@@ -1,0 +1,68 @@
+"""Unit tests for link/canonical/robots-meta extraction (reference
+analog: crawler/web/src/test/.../link/impl/HtmlLinkExtractorTest.java)."""
+
+from crawlspark.functions.links import (
+    extract_canonical,
+    extract_links,
+    extract_robots_meta,
+)
+
+HTML = """
+<html><head>
+<base href="http://a.b/dir/">
+<link rel="canonical" href="http://a.b/canonical"/>
+<meta name="robots" content="noindex,nofollow">
+</head><body>
+<a href="page1.html">one</a>
+<a rel="nofollow" href="skipme.html">nf</a>
+<img src="/img/pic.png">
+<iframe src="http://c.d/frame"></iframe>
+<a href="page1.html">dup</a>
+<a href="mailto:x@y">mail</a>
+<meta http-equiv="refresh" content="0; url=http://a.b/refreshed">
+</body></html>
+"""
+
+
+def test_extract_links_order_and_filters():
+    links = extract_links("http://a.b/start.html", HTML)
+    urls = [u for u, _ in links]
+    assert urls == [
+        "http://a.b/dir/page1.html",  # base-href resolved
+        "http://a.b/img/pic.png",
+        "http://c.d/frame",
+        "http://a.b/refreshed",
+    ]
+    assert [p for _, p in links] == [0, 1, 2, 3]
+
+
+def test_nofollow_and_schemes():
+    html = '<a href="ftp://f.g/x">f</a><a href="file:///etc/passwd">no</a>'
+    links = extract_links("http://a.b/", html)
+    assert [u for u, _ in links] == ["ftp://f.g/x"]
+
+
+def test_max_url_length():
+    long_href = "http://a.b/" + "x" * 3000
+    assert extract_links("http://a.b/", f'<a href="{long_href}">l</a>') == []
+
+
+def test_canonical_head_only():
+    assert extract_canonical("http://a.b/start.html", HTML) == "http://a.b/canonical"
+    body_only = "<body><link rel=canonical href=http://x.y/c></body>"
+    # no <head>: falls back to doc prefix scan — still found here
+    assert extract_canonical("http://a.b/", body_only) == "http://x.y/c"
+    # reversed attribute order
+    rev = "<head><link href='http://x.y/c2' rel='canonical'></head>"
+    assert extract_canonical("http://a.b/", rev) == "http://x.y/c2"
+    assert extract_canonical("http://a.b/", "<p>none</p>") is None
+
+
+def test_robots_meta():
+    assert extract_robots_meta(HTML) == (True, True)
+    assert extract_robots_meta('<meta name="robots" content="noindex">') == (
+        True,
+        False,
+    )
+    assert extract_robots_meta("<p>x</p>") == (False, False)
+    assert extract_robots_meta(None) == (False, False)
