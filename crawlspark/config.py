@@ -1,0 +1,46 @@
+"""Crawl configuration shared by the Spark engine and the oracle
+simulator.
+
+Field defaults follow the reference's CrawlerConfig /
+BaseDelayResolverConfig (crawler/core/.../CrawlerConfig.java;
+crawler/web/.../delay/impl/BaseDelayResolverConfig.java:64 — default
+politeness delay 3 s, SITE scope).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    user_agent: str = "crawlspark"
+    # maxDepth semantics: links are not extracted from docs at
+    # depth == max_depth (LinkExtractorStage.java:59-66); candidates
+    # deeper than max_depth are rejected TOO_DEEP
+    # (DepthValidationStage.java:29-47). -1 = unlimited.
+    max_depth: int = -1
+    # stop once this many docs are committed (checked at superstep
+    # boundaries in the engine; CrawlerConfig maxDocuments analog).
+    max_docs: int | None = None
+    # politeness: robots crawl-delay > default (AbstractDelayResolver
+    # precedence :100-115); per-site serialization (SiteDelay.java:44-58).
+    default_delay_ms: int = 3000
+    # reference filters (GenericReferenceFilter / FilterGroupResolver
+    # semantics: any exclude match rejects; if includes exist, at
+    # least one must match).
+    include_patterns: tuple[str, ...] = ()
+    exclude_patterns: tuple[str, ...] = ()
+    # redirect trail cap (WebImporterPipelineUtil.java:103-116 —
+    # one re-queue allowed, third occurrence rejected).
+    max_redirect_trail: int = 2
+    honor_robots: bool = True
+    # engine-side knobs (no semantic effect):
+    shuffle_partitions: int | None = None
+    bloom_prefilter_min_ledger: int = 100_000
+    bloom_bits: int = 1 << 22
+    image_w: int = 32
+    image_h: int = 32
+
+
+DEFAULT_CONFIG = CrawlConfig()

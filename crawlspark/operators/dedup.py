@@ -1,0 +1,166 @@
+"""URL-seen dedup + deterministic sequence assignment, at scale.
+
+* ``assign_seq`` — the FIFO queue's monotonic key
+  (MVStoreCacheQueue.java:27-35) re-expressed without a single-task
+  global window: range-repartition on the order key, sort within
+  partitions, collect only the tiny per-partition counts to the
+  driver, then add cumulative offsets per partition. O(1) driver data,
+  fully parallel — survives a 10^10-row frontier.
+
+* ``first_wins`` — first-discovery-wins candidate dedup
+  (DedupService.java:88-99 "first reference wins", made deterministic
+  by ordering on (parent_seq, out_pos) instead of thread arrival).
+
+* ``BloomPrefilter`` — the partitioned URL-seen Bloom filter from the
+  north rule: per-partition bitmaps built executor-side over
+  ``xxhash64(url)``, OR-reduced, broadcast, then applied as a
+  vectorized membership test. A Bloom hit is only *probable*, so the
+  exact ledger anti-join (CrawlerEntryLedger.java:361 exact-key dedup)
+  always runs after it on the survivors — the filter only shrinks the
+  anti-join's probe side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def first_wins(df: DataFrame, key: str, order_cols: list[str]) -> DataFrame:
+    """Keep the first row per key by deterministic order."""
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def assign_seq(
+    df: DataFrame, order_cols: list[str], start: int, seq_col: str = "seq"
+) -> DataFrame:
+    """Add a dense 0-gap sequence ``start, start+1, ...`` following the
+    total order given by ``order_cols`` (must be unique per row)."""
+    spark = df.sparkSession
+    n_part = max(2, spark.sparkContext.defaultParallelism)
+    parted = df.repartitionByRange(n_part, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    parted = parted.cache()
+    counts = (
+        parted.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .count()
+        .collect()
+    )
+    sizes = {r["__pid"]: r["count"] for r in counts}
+    offsets: dict[int, int] = {}
+    acc = start
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    boff = spark.sparkContext.broadcast(offsets)
+    cols = df.columns
+
+    def add_seq(it):
+        # called once per partition; batches arrive in partition order,
+        # so a local running offset is exact.
+        off = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if off is None:
+                off = boff.value[int(pdf["__pid"].iloc[0])]
+            seqs = np.arange(off, off + len(pdf), dtype="int64")
+            off += len(pdf)
+            yield pdf.assign(**{seq_col: seqs}).drop(columns="__pid")
+
+    schema = parted.withColumn(seq_col, F.lit(0).cast("long")).schema
+    out = (
+        parted.withColumn("__pid", F.spark_partition_id())
+        .mapInPandas(add_seq, schema=schema)
+        .select(*cols, seq_col)
+    )
+    return out
+
+
+class BloomPrefilter:
+    """Driver-held Bloom bitmap over xxhash64 seen-keys.
+
+    Built distributed (one bitmap per partition, OR-reduced via
+    treeAggregate-style collect of packed uint64 words), applied
+    vectorized. k=4 hash probes derived from the 64-bit key by
+    splitting/mixing — no per-row Python.
+    """
+
+    K = 4
+
+    def __init__(self, bits: int = 1 << 22):
+        assert bits & (bits - 1) == 0, "bits must be a power of two"
+        self.bits = bits
+        self.words = np.zeros(bits // 64, dtype=np.uint64)
+
+    @staticmethod
+    def _probe_positions(keys: np.ndarray, bits: int) -> list[np.ndarray]:
+        k = keys.astype(np.uint64)
+        mask = np.uint64(bits - 1)
+        h2 = (k >> np.uint64(32)) | (k << np.uint64(32))
+        out = []
+        for i in range(BloomPrefilter.K):
+            p = (k + np.uint64(i) * h2 + np.uint64(0x9E3779B97F4A7C15 * (i + 1)))
+            out.append((p & mask).astype(np.int64))
+        return out
+
+    def add_df(self, df: DataFrame, key_col: str = "seen_key") -> None:
+        bits = self.bits
+
+        def build(it):
+            words = np.zeros(bits // 64, dtype=np.uint64)
+            any_rows = False
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                any_rows = True
+                keys = pdf[key_col].to_numpy()
+                for pos in BloomPrefilter._probe_positions(keys, bits):
+                    np.bitwise_or.at(
+                        words, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64)
+                    )
+            if any_rows:
+                yield pd.DataFrame({"words": [words.tobytes()]})
+
+        parts = (
+            df.select(key_col)
+            .mapInPandas(build, schema="words binary")
+            .collect()
+        )
+        for row in parts:
+            self.words |= np.frombuffer(row["words"], dtype=np.uint64)
+
+    def filter_candidates(
+        self, df: DataFrame, key_col: str = "seen_key"
+    ) -> tuple[DataFrame, DataFrame]:
+        """Split candidates into (maybe_seen, definitely_new)."""
+        spark = df.sparkSession
+        bwords = spark.sparkContext.broadcast(self.words.tobytes())
+        bits = self.bits
+
+        @F.pandas_udf("boolean")
+        def maybe_contains(keys: pd.Series) -> pd.Series:
+            words = np.frombuffer(bwords.value, dtype=np.uint64)
+            k = keys.to_numpy()
+            hit = np.ones(len(k), dtype=bool)
+            for pos in BloomPrefilter._probe_positions(k, bits):
+                bitset = (
+                    words[pos // 64] >> (pos % 64).astype(np.uint64)
+                ) & np.uint64(1)
+                hit &= bitset.astype(bool)
+            return pd.Series(hit)
+
+        flagged = df.withColumn("__maybe", maybe_contains(F.col(key_col)))
+        return (
+            flagged.filter(F.col("__maybe")).drop("__maybe"),
+            flagged.filter(~F.col("__maybe")).drop("__maybe"),
+        )

@@ -1,0 +1,278 @@
+"""Single-threaded reference crawl simulator — the behavioral oracle.
+
+Implements, in plain Python over plain dicts, the exact crawl
+semantics the Spark engine must reproduce (SURVEY.md §2-§3 invariant
+list), mirroring the reference's test strategy of asserting committed
+sets against a MemoryCommitter (WebCrawlingTestCapturer.java:41-66):
+
+* strict FIFO by global discovery ``seq`` (MVStoreCacheQueue.java:27-35);
+* exact-URL dedup at enqueue (CrawlerEntryLedger.java:361);
+* depth+1 on extracted links; same depth on redirect/canonical targets
+  (LinkExtractorStage.java:203 vs WebImporterPipelineUtil.java:153-154);
+* robots longest-match, Allow wins only when strictly longer
+  (RobotsTxtFiltersStage.java:94);
+* per-site politeness serialization with delay precedence
+  robots crawl-delay > default (AbstractDelayResolver.java:100-115;
+  SiteDelay.java:44-58): sched = max(avail, last[host] + delay) where
+  avail = the discovering parent's own scheduled time (a URL cannot be
+  fetched before the page that revealed it);
+* content-checksum dedup, first reference wins (DedupService.java:88-99);
+* redirect trail capped at ``max_redirect_trail`` — the loop-break of
+  WebImporterPipelineUtil.java:103-116;
+* canonical pages: non-canonical doc rejected, canonical queued at the
+  same depth, loop-break via the trail (CanonicalStage.java:140-163);
+* noindex docs: links still extracted, doc not committed (stage order
+  WebDocPipelines.java:105-107).
+
+Documented deviations from the reference (identical in engine+oracle):
+robots/filter-rejected candidates are recorded in the ledger (their
+re-evaluation is deterministic, so "seen" is equivalent); metrics
+count unique URLs, not repeat rejection events.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+from dataclasses import dataclass, field
+from urllib.parse import urlsplit
+
+from ..config import CrawlConfig
+from ..functions.links import extract_canonical, extract_links, extract_robots_meta
+from ..functions.robots import RobotsMatcher, parse_robots_txt
+from ..functions.urls import normalize_url, url_host
+
+
+def match_target(url: str) -> str:
+    """Path(+query) a robots rule is matched against."""
+    parts = urlsplit(url)
+    t = parts.path or "/"
+    if parts.query:
+        t += "?" + parts.query
+    return t
+
+
+def content_checksum(html: str) -> str:
+    """Content checksum: md5 hex of the body
+    (Md5DocumentChecksummer.java:34-55 analog)."""
+    return hashlib.md5(html.encode()).hexdigest()
+
+
+@dataclass
+class SimEntry:
+    url: str
+    host: str
+    depth: int
+    seq: int
+    avail_ms: int
+    trail: tuple[str, ...] = ()
+    status: str = "QUEUED"
+    outcome: str | None = None
+    sched_ms: int | None = None
+
+
+@dataclass
+class SimResult:
+    fetch_log: list[dict] = field(default_factory=list)
+    ledger: dict[str, SimEntry] = field(default_factory=dict)
+    committed: list[dict] = field(default_factory=list)
+    metrics: Counter = field(default_factory=Counter)
+
+    def urlseen(self) -> list[dict]:
+        return [
+            {
+                "url": e.url,
+                "status": e.status,
+                "outcome": e.outcome,
+                "depth": e.depth,
+            }
+            for e in self.ledger.values()
+        ]
+
+
+class CrawlSimulator:
+    def __init__(
+        self,
+        pages: dict[str, dict],
+        robots: dict[str, str | None],
+        cfg: CrawlConfig = CrawlConfig(),
+    ):
+        self.pages = pages
+        self.cfg = cfg
+        self._matchers: dict[str, RobotsMatcher] = {}
+        self._delays: dict[str, int] = {}
+        for host, body in robots.items():
+            rules = parse_robots_txt(body, cfg.user_agent)
+            self._matchers[host] = RobotsMatcher(rules)
+            self._delays[host] = (
+                int(rules.crawl_delay * 1000)
+                if rules.crawl_delay is not None
+                else cfg.default_delay_ms
+            )
+        import re
+
+        self._includes = [re.compile(p) for p in cfg.include_patterns]
+        self._excludes = [re.compile(p) for p in cfg.exclude_patterns]
+
+    # -- queue pipeline (§2.2 stage order) --------------------------------
+    def _enqueue(
+        self,
+        res: SimResult,
+        queue: list[SimEntry],
+        raw_url: str,
+        depth: int,
+        avail_ms: int,
+        trail: tuple[str, ...] = (),
+    ) -> None:
+        url = normalize_url(raw_url)
+        if url is None:
+            res.metrics["REJECTED_BAD_URL"] += 1
+            return
+        if url in res.ledger:
+            res.metrics["DUPLICATE_URL_SKIPPED"] += 1
+            return
+        host = url_host(url)
+        seq = len(res.ledger)
+        entry = SimEntry(url, host, depth, seq, avail_ms, trail)
+        if self.cfg.max_depth >= 0 and depth > self.cfg.max_depth:
+            entry.status, entry.outcome = "REJECTED", "TOO_DEEP"
+            res.ledger[url] = entry
+            res.metrics["REJECTED_TOO_DEEP"] += 1
+            return
+        if any(rx.search(url) for rx in self._excludes) or (
+            self._includes and not any(rx.search(url) for rx in self._includes)
+        ):
+            entry.status, entry.outcome = "REJECTED", "FILTERED"
+            res.ledger[url] = entry
+            res.metrics["REJECTED_FILTER"] += 1
+            return
+        if self.cfg.honor_robots:
+            m = self._matchers.get(host)
+            if m is not None and not m.allowed(match_target(url)):
+                entry.status, entry.outcome = "REJECTED", "ROBOTS_TXT"
+                res.ledger[url] = entry
+                res.metrics["REJECTED_ROBOTS_TXT"] += 1
+                return
+        res.ledger[url] = entry
+        queue.append(entry)
+        res.metrics["DOCUMENT_QUEUED"] += 1
+
+    # -- process loop (§3.3) ----------------------------------------------
+    def run(self, seeds: list[str]) -> SimResult:
+        res = SimResult()
+        queue: list[SimEntry] = []
+        for raw in seeds:
+            self._enqueue(res, queue, raw, depth=0, avail_ms=0)
+
+        last_sched: dict[str, int] = {}
+        seen_checksums: dict[str, int] = {}
+        qi = 0
+        step = 0
+        # max_docs is evaluated at superstep (BFS batch) boundaries,
+        # exactly like the engine's driver loop guard.
+        batch_end = len(queue)
+        while qi < len(queue):
+            if qi == batch_end:
+                if (
+                    self.cfg.max_docs is not None
+                    and len(res.committed) >= self.cfg.max_docs
+                ):
+                    break
+                batch_end = len(queue)
+            e = queue[qi]
+            qi += 1
+            delay = self._delays.get(e.host, self.cfg.default_delay_ms)
+            prev = last_sched.get(e.host)
+            sched = e.avail_ms if prev is None else max(e.avail_ms, prev + delay)
+            last_sched[e.host] = sched
+            e.sched_ms = sched
+            e.status = "PROCESSED"
+            res.metrics["DOCUMENT_FETCHED"] += 1
+
+            row = self.pages.get(e.url)
+            if row is None or row["status"] == 404:
+                e.outcome = "NOT_FOUND"
+                res.metrics["REJECTED_NOTFOUND"] += 1
+            elif row["status"] >= 500:
+                e.outcome = "BAD_STATUS"
+                res.metrics["REJECTED_BAD_STATUS"] += 1
+            elif row["status"] in (301, 302):
+                e.outcome = "REDIRECT"
+                res.metrics["DOCUMENT_REDIRECTED"] += 1
+                trail = e.trail + (e.url,)
+                if len(trail) <= self.cfg.max_redirect_trail:
+                    self._enqueue(
+                        res, queue, row["redirect_to"], e.depth, sched, trail
+                    )
+                else:
+                    res.metrics["REJECTED_REDIRECT_LOOP"] += 1
+            else:
+                html = row["html"] or ""
+                canonical_raw = extract_canonical(e.url, html)
+                canonical = (
+                    normalize_url(canonical_raw) if canonical_raw else None
+                )
+                if canonical is not None and canonical != e.url:
+                    e.outcome = "NONCANONICAL"
+                    res.metrics["REJECTED_NONCANONICAL"] += 1
+                    if canonical not in e.trail:
+                        self._enqueue(
+                            res,
+                            queue,
+                            canonical_raw,
+                            e.depth,
+                            sched,
+                            e.trail + (e.url,),
+                        )
+                    res.fetch_log.append(
+                        {
+                            "step": step,
+                            "url": e.url,
+                            "host": e.host,
+                            "depth": e.depth,
+                            "scheduled_at_ms": sched,
+                            "outcome": e.outcome,
+                        }
+                    )
+                    step += 1
+                    continue
+                noindex, nofollow = extract_robots_meta(html)
+                if not nofollow and (
+                    self.cfg.max_depth < 0 or e.depth < self.cfg.max_depth
+                ):
+                    for lurl, _pos in extract_links(e.url, html):
+                        res.metrics["URLS_EXTRACTED"] += 1
+                        self._enqueue(res, queue, lurl, e.depth + 1, sched)
+                if noindex:
+                    e.outcome = "NOINDEX"
+                    res.metrics["REJECTED_NOINDEX"] += 1
+                else:
+                    ck = content_checksum(html)
+                    if ck in seen_checksums:
+                        e.outcome = "DUPLICATE"
+                        res.metrics["REJECTED_DUPLICATE"] += 1
+                    else:
+                        seen_checksums[ck] = e.seq
+                        e.outcome = "NEW"
+                        res.metrics["DOCUMENT_COMMITTED_UPSERT"] += 1
+                        res.committed.append(
+                            {
+                                "image_id": e.url,
+                                "checksum": ck,
+                                "seq": e.seq,
+                                "depth": e.depth,
+                            }
+                        )
+
+            res.fetch_log.append(
+                {
+                    "step": step,
+                    "url": e.url,
+                    "host": e.host,
+                    "depth": e.depth,
+                    "scheduled_at_ms": sched,
+                    "outcome": e.outcome,
+                }
+            )
+            step += 1
+        return res

@@ -1,0 +1,607 @@
+"""The crawl engine: a driver-side BFS superstep loop over DataFrames.
+
+Each superstep processes the entire QUEUED frontier level at once —
+the batch-synchronous re-expression of the reference's
+"N threads polling a FIFO queue until empty"
+(cmd/crawl/pipeline/process/CrawlerProcessStep.java:41-43,162-176).
+Strict FIFO is preserved as a *total order*, not a data structure:
+every ledger row carries a dense ``seq`` assigned in discovery order
+(parents before children, per-document link order within a parent), so
+"the fetch sequence" is simply ORDER BY seq — identical to the
+reference's MVStore monotone queue keys (MVStoreCacheQueue.java:27-35).
+
+Superstep dataflow (all declarative; Catalyst/AQE plan it):
+
+  batch   = ledger WHERE status=QUEUED                (parquet scan)
+  sched   = per-host politeness recurrence            (applyInPandas)
+  fetched = batch LEFT JOIN pages ON url              (the fetch slot*)
+  parsed  = canonical/robots-meta/links/md5           (Arrow UDFs)
+  outcome = CASE ladder + checksum first-wins window  (JVM)
+  docs    = NEW rows + image payload                  (Arrow UDF)
+  cands   = redirect ∪ canonical ∪ explode(links)
+  queue pipeline: normalize → first-wins → Bloom prefilter +
+                  exact anti-join vs ledger → depth/filters/robots →
+                  assign dense seq                    (range-partitioned)
+  commit  = new ledger/docs/checksums/host-state snapshots + manifest
+
+*The fetch slot: tests/bench join a synthetic ``pages`` table
+(FIXTURES.md §1 — the MockWebsite analog). A real-HTTP fetcher drops
+into the same slot as a ``mapInPandas`` over (url) batches doing async
+HTTP with per-fetcher retries (MultiFetcher.java:94-138 semantics);
+everything downstream is unchanged.
+
+Scale notes (10^10-URL frontier): the ledger is hash-partitioned by
+``seen_key`` (xxhash64 of canonical URL) on disk; candidate dedup is a
+Bloom prefilter + exact anti-join on that key; seq assignment is
+range-partition + offset (no global window); the politeness recurrence
+is O(rows) numpy per host. No collect() ever holds row data on the
+driver — only per-partition counts and the Bloom bitmap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import CrawlConfig
+from ..functions.links import extract_canonical_udf, extract_links_udf, robots_meta_udf
+from ..functions.urls import normalize_url_udf, url_host_udf
+from ..operators.dedup import BloomPrefilter, assign_seq, first_wins
+from ..operators.politeness import schedule_hosts
+from ..operators.robots_filter import build_robots_rules, host_delays, robots_verdict
+from ..sources.docgen import make_document_udf
+from .ledger import AppendTable, SnapshotTable
+
+LEDGER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("seen_key", T.LongType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("avail_ms", T.LongType()),
+        T.StructField("sched_ms", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("outcome", T.StringType()),
+        T.StructField("trail", T.ArrayType(T.StringType())),
+        T.StructField("superstep", T.IntegerType()),
+    ]
+)
+
+CAND_COLS = ["raw_url", "depth", "avail_ms", "trail", "parent_seq", "out_pos"]
+
+_L = [f.name for f in LEDGER_SCHEMA.fields]
+
+
+@dataclass
+class StepStats:
+    superstep: int
+    fetched: int = 0
+    committed: int = 0
+    queued_new: int = 0
+    metrics: dict | None = None
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        cfg: CrawlConfig,
+        pages_df: DataFrame,
+        robots_df: DataFrame,
+    ):
+        self.spark = spark
+        self.workdir = workdir
+        self.cfg = cfg
+        os.makedirs(workdir, exist_ok=True)
+        self.pages = pages_df.select(
+            F.col("url"),
+            F.col("status").alias("http_status"),
+            "html",
+            "redirect_to",
+        )
+        self.rules = build_robots_rules(robots_df, cfg.user_agent).cache()
+        self.delays = host_delays(self.rules).cache()
+        self.ledger = SnapshotTable(spark, os.path.join(workdir, "ledger"))
+        self.host_state = SnapshotTable(spark, os.path.join(workdir, "host_state"))
+        self.checksums = SnapshotTable(spark, os.path.join(workdir, "checksums"))
+        self.documents = AppendTable(spark, os.path.join(workdir, "documents"))
+        self.metrics = AppendTable(spark, os.path.join(workdir, "metrics"))
+        self.superstep = 0
+        self.max_seq = 0
+        self.committed_total = 0
+        self.queued_remaining = 0
+
+    # -- checkpoint manifest (per-run lineage) -----------------------------
+    @property
+    def _ckpt(self) -> str:
+        return os.path.join(self.workdir, "checkpoint.json")
+
+    def _save_ckpt(self) -> None:
+        state = {
+            "superstep": self.superstep,
+            "max_seq": self.max_seq,
+            "committed_total": self.committed_total,
+            "queued_remaining": self.queued_remaining,
+            "ledger_snapshot": self.ledger.latest_id(),
+            "host_state_snapshot": self.host_state.latest_id(),
+            "checksums_snapshot": self.checksums.latest_id(),
+        }
+        tmp = self._ckpt + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self._ckpt)
+
+    @classmethod
+    def resume(
+        cls,
+        spark: SparkSession,
+        workdir: str,
+        cfg: CrawlConfig,
+        pages_df: DataFrame,
+        robots_df: DataFrame,
+    ) -> "CrawlEngine":
+        """Rebuild engine state from the last committed checkpoint.
+
+        Replays identically: snapshots are immutable, the manifest is
+        swapped atomically after all writes, and every downstream
+        computation is a pure function of (snapshots, config) — the
+        analog of the reference's requeue-on-resume
+        (CrawlerEntryLedger.java:206-241,487-511).
+        """
+        eng = cls(spark, workdir, cfg, pages_df, robots_df)
+        with open(eng._ckpt) as f:
+            state = json.load(f)
+        eng.superstep = state["superstep"]
+        eng.max_seq = state["max_seq"]
+        eng.committed_total = state["committed_total"]
+        eng.queued_remaining = state["queued_remaining"]
+        # drop any partial writes from a crashed superstep
+        part = (
+            f"{state['superstep'] - 1:06d}"
+            if state["superstep"] > 0
+            else "0-bootstrap"
+        )
+        eng.documents.truncate_after(part)
+        eng.metrics.truncate_after(part)
+        return eng
+
+    # -- bootstrap ---------------------------------------------------------
+    def bootstrap(self, seed_urls: list[str]) -> None:
+        """Seed enqueue (QueueBootstrapper analog; skipped on resume —
+        QueueBootstrapper.java:74-79)."""
+        rows = [
+            (u, 0, 0, [], -1, i) for i, u in enumerate(seed_urls)
+        ]
+        cand = self.spark.createDataFrame(
+            rows,
+            schema="raw_url string, depth int, avail_ms long, "
+            "trail array<string>, parent_seq long, out_pos int",
+        )
+        empty_ledger = self.spark.createDataFrame([], LEDGER_SCHEMA)
+        new_rows, stats = self._queue_pipeline(cand, empty_ledger, len(seed_urls))
+        self.ledger.write(new_rows, 0)
+        self.host_state.write(
+            self.spark.createDataFrame([], "host string, last_sched_ms long"), 0
+        )
+        self.checksums.write(
+            self.spark.createDataFrame([], "checksum string, seq long"), 0
+        )
+        self.queued_remaining = stats["DOCUMENT_QUEUED"]
+        # "0-bootstrap" sorts before "000000" so resume truncation
+        # (drop parts > last completed superstep) never removes it.
+        self._append_metrics(stats, "0-bootstrap")
+        self._save_ckpt()
+
+    # -- queue pipeline (§2.2 stage order) ---------------------------------
+    def _queue_pipeline(
+        self, cand: DataFrame, ledger: DataFrame, n_cand: int
+    ) -> tuple[DataFrame, dict]:
+        """Candidates -> new ledger rows (QUEUED or REJECTED_*), plus
+        metric counts. Stage order fixed at WebDocPipelines.java:58-65.
+        ``n_cand`` is precomputed by the caller (avoids re-running the
+        candidate lineage just for a count)."""
+        cfg = self.cfg
+        c = cand.withColumn("url", normalize_url_udf(F.col("raw_url"))).drop(
+            "raw_url"
+        )
+        c = c.filter(F.col("url").isNotNull())
+        c = first_wins(c, "url", ["parent_seq", "out_pos"])
+
+        # URL-seen: Bloom prefilter (probable) + exact anti-join (exact).
+        c = c.withColumn("seen_key", F.xxhash64(F.col("url")))
+        ledger_keys = ledger.select("url", "seen_key")
+        if self.queued_remaining + self.max_seq >= cfg.bloom_prefilter_min_ledger:
+            bloom = BloomPrefilter(cfg.bloom_bits)
+            bloom.add_df(ledger_keys)
+            maybe, fresh = bloom.filter_candidates(c)
+            maybe_new = maybe.join(ledger_keys.select("url"), "url", "left_anti")
+            c = fresh.unionByName(maybe_new)
+        else:
+            c = c.join(ledger_keys.select("url"), "url", "left_anti")
+
+        c = c.withColumn("host", url_host_udf(F.col("url")))
+
+        too_deep = (
+            (F.lit(cfg.max_depth) >= 0) & (F.col("depth") > cfg.max_depth)
+            if cfg.max_depth >= 0
+            else F.lit(False)
+        )
+        filtered = F.lit(False)
+        for pat in cfg.exclude_patterns:
+            filtered = filtered | F.col("url").rlike(pat)
+        if cfg.include_patterns:
+            any_inc = F.lit(False)
+            for pat in cfg.include_patterns:
+                any_inc = any_inc | F.col("url").rlike(pat)
+            filtered = filtered | ~any_inc
+
+        if cfg.honor_robots:
+            verdict = robots_verdict(c.select("url", "host"), self.rules)
+            c = c.join(verdict, "url", "left")
+        else:
+            c = c.withColumn("robots_ok", F.lit(True))
+
+        c = c.withColumn(
+            "outcome",
+            F.when(too_deep, "TOO_DEEP")
+            .when(filtered, "FILTERED")
+            .when(~F.coalesce(F.col("robots_ok"), F.lit(True)), "ROBOTS_TXT")
+            .otherwise(F.lit(None).cast("string")),
+        ).withColumn(
+            "status",
+            F.when(F.col("outcome").isNull(), "QUEUED").otherwise("REJECTED"),
+        )
+
+        new_rows = assign_seq(c, ["parent_seq", "out_pos"], self.max_seq)
+        new_rows = new_rows.select(
+            "url",
+            "seen_key",
+            "host",
+            "depth",
+            "seq",
+            "avail_ms",
+            F.lit(None).cast("long").alias("sched_ms"),
+            "status",
+            "outcome",
+            "trail",
+            F.lit(self.superstep).cast("int").alias("superstep"),
+        ).cache()
+
+        by_status = {
+            (r["status"], r["outcome"]): r["count"]
+            for r in new_rows.groupBy("status", "outcome").count().collect()
+        }
+        n_new = sum(by_status.values())
+        stats = {
+            "DOCUMENT_QUEUED": by_status.get(("QUEUED", None), 0),
+            "REJECTED_TOO_DEEP": by_status.get(("REJECTED", "TOO_DEEP"), 0),
+            "REJECTED_FILTER": by_status.get(("REJECTED", "FILTERED"), 0),
+            "REJECTED_ROBOTS_TXT": by_status.get(("REJECTED", "ROBOTS_TXT"), 0),
+            "CANDIDATES": n_cand,
+            "DUPLICATE_OR_BAD_SKIPPED": n_cand - n_new,
+        }
+        self.max_seq += n_new
+        return new_rows, stats
+
+    # -- one superstep ------------------------------------------------------
+    def step(self) -> StepStats | None:
+        """Process the whole QUEUED level; None when the crawl is done."""
+        cfg = self.cfg
+        if self.queued_remaining <= 0:
+            return None
+        if cfg.max_docs is not None and self.committed_total >= cfg.max_docs:
+            return None
+        ledger = self.ledger.read()
+        batch = ledger.filter(F.col("status") == "QUEUED").drop("sched_ms")
+
+        sched = schedule_hosts(
+            batch, self.delays, self.host_state.read(), cfg.default_delay_ms
+        )
+        fetched = sched.join(self.pages, "url", "left")
+
+        is200 = F.col("http_status") == 200
+        parsed = (
+            fetched.withColumn(
+                "canonical",
+                F.when(
+                    is200,
+                    normalize_url_udf(
+                        extract_canonical_udf(F.col("url"), F.col("html"))
+                    ),
+                ),
+            )
+            .withColumn("rm", F.when(is200, robots_meta_udf(F.col("html"))))
+            .withColumn("checksum", F.when(is200, F.md5(F.col("html"))))
+        )
+        noncanon = (
+            is200 & F.col("canonical").isNotNull() & (F.col("canonical") != F.col("url"))
+        )
+        noindex = F.coalesce(F.col("rm.noindex"), F.lit(False))
+        nofollow = F.coalesce(F.col("rm.nofollow"), F.lit(False))
+        followable = (
+            is200
+            & ~noncanon
+            & ~nofollow
+            & (
+                F.lit(cfg.max_depth < 0)
+                | (F.col("depth") < F.lit(cfg.max_depth))
+            )
+        )
+        parsed = parsed.withColumn(
+            "links",
+            F.when(followable, extract_links_udf(F.col("url"), F.col("html"))),
+        )
+
+        # first-reference-wins content dedup (DedupService.java:88-99):
+        # rank only committable rows — a noindex/noncanonical row never
+        # registers its checksum, so it must not occupy a rank slot.
+        committable = is200 & ~noncanon & ~noindex
+        w = (
+            Window.partitionBy("checksum")
+            .orderBy("seq")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        parsed = parsed.withColumn(
+            "dup_rank",
+            F.when(
+                committable,
+                F.sum(F.when(committable, 1).otherwise(0)).over(w),
+            ).otherwise(F.lit(None)),
+        )
+        old_ck = self.checksums.read().select(
+            F.col("checksum"), F.lit(True).alias("ck_seen")
+        )
+        parsed = parsed.join(old_ck, "checksum", "left")
+
+        is_redirect = F.col("http_status").isin(301, 302)
+        parsed = parsed.withColumn(
+            "outcome",
+            F.when(F.col("http_status").isNull(), "NOT_FOUND")
+            .when(F.col("http_status") == 404, "NOT_FOUND")
+            .when(F.col("http_status") >= 500, "BAD_STATUS")
+            .when(is_redirect, "REDIRECT")
+            .when(noncanon, "NONCANONICAL")
+            .when(noindex, "NOINDEX")
+            .when(
+                F.coalesce(F.col("ck_seen"), F.lit(False))
+                | (F.col("dup_rank") > 1),
+                "DUPLICATE",
+            )
+            .otherwise("NEW"),
+        ).cache()
+
+        # ---- outputs of this level ----
+        processed = parsed.select(
+            "url",
+            "seen_key",
+            "host",
+            "depth",
+            "seq",
+            "avail_ms",
+            "sched_ms",
+            F.lit("PROCESSED").alias("status"),
+            "outcome",
+            "trail",
+            F.lit(self.superstep).cast("int").alias("superstep"),
+        )
+
+        committed = parsed.filter(F.col("outcome") == "NEW").select(
+            F.col("url").alias("image_id"), "checksum", "seq", "depth"
+        )
+        doc_udf = make_document_udf(cfg.image_w, cfg.image_h)
+        docs = committed.withColumn("d", doc_udf(F.col("image_id"))).select(
+            "image_id",
+            F.col("d.bytes").alias("bytes"),
+            F.col("d.w").alias("w"),
+            F.col("d.h").alias("h"),
+            F.col("d.fmt").alias("fmt"),
+            F.col("d.caption").alias("caption"),
+            F.col("d.phash").alias("phash"),
+            "checksum",
+            "seq",
+            "depth",
+        )
+
+        # ---- next-level candidates ----
+        redirects = parsed.filter(
+            (F.col("outcome") == "REDIRECT")
+            & (F.size("trail") < cfg.max_redirect_trail)
+            & F.col("redirect_to").isNotNull()
+        ).select(
+            F.col("redirect_to").alias("raw_url"),
+            "depth",
+            F.col("sched_ms").alias("avail_ms"),
+            F.concat(F.col("trail"), F.array(F.col("url"))).alias("trail"),
+            F.col("seq").alias("parent_seq"),
+            F.lit(0).alias("out_pos"),
+        )
+        canonicals = parsed.filter(
+            (F.col("outcome") == "NONCANONICAL")
+            & ~F.array_contains(F.col("trail"), F.col("canonical"))
+        ).select(
+            F.col("canonical").alias("raw_url"),
+            "depth",
+            F.col("sched_ms").alias("avail_ms"),
+            F.concat(F.col("trail"), F.array(F.col("url"))).alias("trail"),
+            F.col("seq").alias("parent_seq"),
+            F.lit(0).alias("out_pos"),
+        )
+        links = (
+            parsed.filter(F.col("links").isNotNull())
+            .select(
+                F.col("url").alias("src_url"),
+                "depth",
+                "sched_ms",
+                F.col("seq").alias("parent_seq"),
+                F.explode("links").alias("l"),
+            )
+            .select(
+                F.col("l.url").alias("raw_url"),
+                (F.col("depth") + 1).alias("depth"),
+                F.col("sched_ms").alias("avail_ms"),
+                F.array().cast("array<string>").alias("trail"),
+                "parent_seq",
+                F.col("l.pos").alias("out_pos"),
+            )
+        )
+        cand = redirects.unionByName(canonicals).unionByName(links)
+
+        # ---- level metrics (single aggregation job), which also gives
+        # the exact candidate count so the queue pipeline needs no
+        # extra count action over its UDF-heavy lineage ----
+        agg_rows = (
+            parsed.groupBy("outcome")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.coalesce(F.size("links"), F.lit(0))).alias("n_links"),
+                F.sum(
+                    F.when(
+                        F.size("trail") >= cfg.max_redirect_trail, 1
+                    ).otherwise(0)
+                ).alias("n_loops"),
+                F.sum(
+                    F.when(
+                        (F.size("trail") < cfg.max_redirect_trail)
+                        & F.col("redirect_to").isNotNull(),
+                        1,
+                    ).otherwise(0)
+                ).alias("n_redir_enq"),
+                F.sum(
+                    F.when(
+                        ~F.coalesce(
+                            F.array_contains(F.col("trail"), F.col("canonical")),
+                            F.lit(False),
+                        ),
+                        1,
+                    ).otherwise(0)
+                ).alias("n_canon_enq"),
+            )
+            .collect()
+        )
+        out_counts = {r["outcome"]: r["n"] for r in agg_rows}
+        n_links = sum(r["n_links"] for r in agg_rows)
+        redirect_loops = sum(
+            r["n_loops"] for r in agg_rows if r["outcome"] == "REDIRECT"
+        )
+        n_cand = int(n_links)
+        for r in agg_rows:
+            if r["outcome"] == "REDIRECT":
+                n_cand += int(r["n_redir_enq"])
+            elif r["outcome"] == "NONCANONICAL":
+                n_cand += int(r["n_canon_enq"])
+
+        new_rows, qstats = self._queue_pipeline(cand, ledger, n_cand)
+        stats = dict(qstats)
+        stats.update(
+            {
+                "DOCUMENT_FETCHED": sum(out_counts.values()),
+                "DOCUMENT_COMMITTED_UPSERT": out_counts.get("NEW", 0),
+                "REJECTED_NOTFOUND": out_counts.get("NOT_FOUND", 0),
+                "REJECTED_BAD_STATUS": out_counts.get("BAD_STATUS", 0),
+                "DOCUMENT_REDIRECTED": out_counts.get("REDIRECT", 0),
+                "REJECTED_NONCANONICAL": out_counts.get("NONCANONICAL", 0),
+                "REJECTED_NOINDEX": out_counts.get("NOINDEX", 0),
+                "REJECTED_DUPLICATE": out_counts.get("DUPLICATE", 0),
+                "REJECTED_REDIRECT_LOOP": redirect_loops,
+                "URLS_EXTRACTED": int(n_links or 0),
+            }
+        )
+
+        # ---- commit snapshots (write all, then manifest swap) ----
+        sid = self.superstep + 1
+        ledger_next = (
+            ledger.filter(F.col("status") != "QUEUED")
+            .unionByName(processed)
+            .unionByName(new_rows)
+            .repartition(
+                self.spark.sparkContext.defaultParallelism, "seen_key"
+            )
+        )
+        self.ledger.write(ledger_next, sid)
+
+        new_state = (
+            parsed.groupBy("host")
+            .agg(F.max("sched_ms").alias("last_sched_ms"))
+            .unionByName(self.host_state.read())
+            .groupBy("host")
+            .agg(F.max("last_sched_ms").alias("last_sched_ms"))
+        )
+        self.host_state.write(new_state, sid)
+
+        ck_next = self.checksums.read().unionByName(
+            committed.select("checksum", "seq")
+        )
+        self.checksums.write(ck_next, sid)
+
+        part = f"{self.superstep:06d}"
+        self.documents.append(docs, part)
+        self._append_metrics(stats, part)
+
+        parsed.unpersist()
+        new_rows.unpersist()
+
+        self.committed_total += stats["DOCUMENT_COMMITTED_UPSERT"]
+        self.queued_remaining = (
+            self.queued_remaining
+            - stats["DOCUMENT_FETCHED"]
+            + stats["DOCUMENT_QUEUED"]
+        )
+        st = StepStats(
+            superstep=self.superstep,
+            fetched=stats["DOCUMENT_FETCHED"],
+            committed=stats["DOCUMENT_COMMITTED_UPSERT"],
+            queued_new=stats["DOCUMENT_QUEUED"],
+            metrics=stats,
+        )
+        self.superstep = sid
+        self._save_ckpt()
+        return st
+
+    def run(self, max_supersteps: int = 10_000) -> list[StepStats]:
+        out = []
+        for _ in range(max_supersteps):
+            st = self.step()
+            if st is None:
+                break
+            out.append(st)
+        return out
+
+    # -- outputs -------------------------------------------------------------
+    def _append_metrics(self, stats: dict, part: str) -> None:
+        rows = [(part, k, int(v)) for k, v in stats.items()]
+        df = self.spark.createDataFrame(
+            rows, schema="superstep string, event string, count long"
+        )
+        self.metrics.append(df, part)
+
+    def fetch_log(self) -> DataFrame:
+        """(url, host, depth, scheduled_at_ms, outcome) in fetch order."""
+        return (
+            self.ledger.read()
+            .filter(F.col("status") == "PROCESSED")
+            .select(
+                "seq",
+                "url",
+                "host",
+                "depth",
+                F.col("sched_ms").alias("scheduled_at_ms"),
+                "outcome",
+            )
+            .orderBy("seq")
+        )
+
+    def urlseen(self) -> DataFrame:
+        return self.ledger.read().select("url", "status", "outcome", "depth")
+
+    def docs_df(self) -> DataFrame | None:
+        return self.documents.read()
+
+    def metrics_df(self) -> DataFrame | None:
+        return self.metrics.read()

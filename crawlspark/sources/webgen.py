@@ -1,0 +1,294 @@
+"""Deterministic synthetic web generator (the fetch oracle).
+
+The PySpark analog of the reference's programmable ``MockWebsite``
+test sites (crawler/web/src/test/.../mocks/MockWebsite.java:46-66) and
+the benchmark synthetic-web scenarios
+(benchmark/scenarios/web/{small-clean,dup-heavy,mixed-media}.yaml:
+depth/branching/dup%/redirect%/error% knobs).
+
+Every row is a *pure function of (seed, host, depth, index)* — hashed
+RNG, no sequential state — so the same site can be built three ways
+with identical content:
+
+* in pandas for unit tests (``build_site``),
+* as plain dicts for the pure-Python oracle simulator,
+* distributed via ``spark.range`` + ``mapInPandas`` for bench scale
+  (``spark_pages``) — the 10^10-URL frontier is *enumerable by index*,
+  never materialized on the driver.
+
+Fetching in the engine = joining candidates against the ``pages``
+table (replaces HttpClientFetcher for tests/bench; real-HTTP slot is
+documented in plans/superstep.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+
+def _rng(*key) -> float:
+    """Deterministic uniform [0,1) from a hashed key (process-stable)."""
+    h = hashlib.blake2b(repr(key).encode(), digest_size=8).digest()
+    return int.from_bytes(h, "big") / 2.0**64
+
+
+@dataclass(frozen=True)
+class SiteParams:
+    """Scenario knobs (benchmark/scenarios/web/*.yaml analog)."""
+
+    seed: int = 42
+    n_hosts: int = 3
+    depth: int = 3
+    branching: int = 3
+    dup_pct: float = 0.0
+    redirect_pct: float = 0.0
+    error_pct: float = 0.0
+    canonical_pct: float = 0.0
+    variant_pct: float = 0.0
+    cycle_pct: float = 0.0
+    cross_pct: float = 0.05
+    noindex_pct: float = 0.0
+    n_seed_hosts: int = 1
+    # politeness: per-host crawl-delay seconds = 1 + host % 3; hosts
+    # divisible by 5 have no robots.txt (default delay applies).
+    default_delay_ms: int = 3000
+
+    def host(self, h: int) -> str:
+        return f"site{h:04d}.example.test"
+
+    def base(self, h: int) -> str:
+        return f"http://{self.host(h)}"
+
+    def n_at_depth(self, d: int) -> int:
+        return self.branching**d
+
+    def pages_per_host(self) -> int:
+        return sum(self.branching**d for d in range(self.depth + 1))
+
+    def total_pages(self) -> int:
+        return self.n_hosts * self.pages_per_host()
+
+
+def page_url(p: SiteParams, h: int, d: int, i: int) -> str:
+    if d == 0:
+        return p.base(h) + "/"
+    return p.base(h) + f"/d{d}/p{i}.html"
+
+
+def _is_variant(p: SiteParams, h: int, d: int, i: int) -> bool:
+    return d > 0 and _rng(p.seed, h, d, i, "variant") < p.variant_pct
+
+
+def _linked_url(p: SiteParams, h: int, d: int, i: int) -> str:
+    """URL a parent renders for child (h,d,i) — sometimes a query variant."""
+    u = page_url(p, h, d, i)
+    return u + "?s=1" if _is_variant(p, h, d, i) else u
+
+
+def _page_status(p: SiteParams, h: int, d: int, i: int) -> tuple[int, str | None]:
+    """(status, redirect_to). Seeds' roots are always 200."""
+    if d == 0:
+        return 200, None
+    r_err = _rng(p.seed, h, d, i, "err")
+    if r_err < p.error_pct:
+        return (404 if _rng(p.seed, h, d, i, "err2") < 0.5 else 500), None
+    if _rng(p.seed, h, d, i, "redir") < p.redirect_pct:
+        n_d = p.n_at_depth(d)
+        j = (i + 1 + int(_rng(p.seed, h, d, i, "rt") * max(1, n_d - 1))) % n_d
+        if j == i:
+            j = (i + 1) % n_d
+        if j == i:  # single page at this depth: redirect to root
+            return 301, page_url(p, h, 0, 0)
+        return 301, page_url(p, h, d, j)
+    return 200, None
+
+
+def _own_html(p: SiteParams, h: int, d: int, i: int) -> str:
+    """HTML for a 200 page, links rendered in deterministic order."""
+    url = page_url(p, h, d, i)
+    head = [f"<title>{url}</title>"]
+    if d > 0 and i > 0 and _rng(p.seed, h, d, i, "canon") < p.canonical_pct:
+        head.append(
+            f'<link rel="canonical" href="{page_url(p, h, d, i - 1)}"/>'
+        )
+    if _rng(p.seed, h, d, i, "meta") < p.noindex_pct:
+        head.append('<meta name="robots" content="noindex">')
+    body = [f"<h1>{url}</h1><p>host={h} d={d} i={i} seed={p.seed}</p>"]
+    if d < p.depth:
+        for j in range(p.branching):
+            ci = i * p.branching + j
+            body.append(f'<a href="{_linked_url(p, h, d + 1, ci)}">c{j}</a>')
+    if _rng(p.seed, h, d, i, "cycle") < p.cycle_pct:
+        body.append(f'<a href="{p.base(h)}/">home</a>')
+    if p.n_hosts > 1 and _rng(p.seed, h, d, i, "cross") < p.cross_pct:
+        body.append(f'<a href="{p.base((h + 1) % p.n_hosts)}/">x</a>')
+    return f"<html><head>{''.join(head)}</head><body>{''.join(body)}</body></html>"
+
+
+def page_html(p: SiteParams, h: int, d: int, i: int) -> str:
+    """Body, honoring duplicate-content groups (dup pages clone the
+    first sibling at their depth — same checksum => dedup hit)."""
+    if d > 0 and i > 0 and _rng(p.seed, h, d, i, "dup") < p.dup_pct:
+        return _own_html(p, h, d, 0)
+    return _own_html(p, h, d, i)
+
+
+def page_rows(p: SiteParams, h: int, d: int, i: int) -> list[dict]:
+    """All ``pages`` rows for one page id (base + optional variant)."""
+    url = page_url(p, h, d, i)
+    status, redirect_to = _page_status(p, h, d, i)
+    html = page_html(p, h, d, i) if status == 200 else None
+    row = {
+        "url": url,
+        "host": p.host(h),
+        "status": status,
+        "redirect_to": redirect_to,
+        "html": html,
+        "depth_from_seed": d,
+    }
+    rows = [row]
+    if _is_variant(p, h, d, i):
+        rows.append({**row, "url": url + "?s=1"})
+    return rows
+
+
+def robots_body(p: SiteParams, h: int) -> str | None:
+    """Per-host robots.txt; None => 404 (no rules, default delay)."""
+    if h % 5 == 0:
+        return None
+    delay = 1 + h % 3
+    lines = ["User-agent: *"]
+    # block a path prefix at the deepest level (prefix match, ~1/10th
+    # of leaves for branching>=3 since p1 matches p1, p1x, p1xx...)
+    lines.append(f"Disallow: /d{p.depth}/p1")
+    if h % 4 == 1:  # exercise Allow-beats-Disallow (strictly longer)
+        lines.append(f"Disallow: /d{min(2, p.depth)}/")
+        lines.append(f"Allow: /d{min(2, p.depth)}/p")
+        lines.append(f"Disallow: /d{min(2, p.depth)}/p1.html$")
+    lines.append(f"Crawl-delay: {delay}")
+    lines.append(f"Sitemap: {p.base(h)}/sitemap.xml")
+    return "\n".join(lines) + "\n"
+
+
+def sitemap_xml(p: SiteParams, h: int) -> str:
+    """Small <urlset> listing the host's depth-1 pages."""
+    urls = []
+    for i in range(min(p.branching, p.n_at_depth(min(1, p.depth)))):
+        d = min(1, p.depth)
+        urls.append(
+            "<url><loc>{}</loc><lastmod>2024-01-{:02d}</lastmod>"
+            "<changefreq>daily</changefreq><priority>0.{}</priority></url>".format(
+                page_url(p, h, d, i), 1 + (h + i) % 28, 5 + i % 5
+            )
+        )
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        + "".join(urls)
+        + "</urlset>"
+    )
+
+
+def seed_rows(p: SiteParams) -> list[dict]:
+    """Un-normalized on purpose — exercises the canonicalizer
+    (FIXTURES.md §2)."""
+    rows = []
+    for h in range(min(p.n_seed_hosts, p.n_hosts)):
+        raw = f"HTTP://{p.host(h).upper()}:80/#top"
+        rows.append({"url": raw, "seq": h})
+    return rows
+
+
+@dataclass
+class Site:
+    """Small-scale materialization (tests + simulator input)."""
+
+    params: SiteParams
+    pages: pd.DataFrame = field(repr=False, default=None)
+    seeds: pd.DataFrame = field(repr=False, default=None)
+    robots: pd.DataFrame = field(repr=False, default=None)
+    sitemaps: pd.DataFrame = field(repr=False, default=None)
+
+    def pages_dict(self) -> dict[str, dict]:
+        return {r["url"]: r for r in self.pages.to_dict("records")}
+
+    def robots_dict(self) -> dict[str, str | None]:
+        return {
+            r["host"]: r["body"] for r in self.robots.to_dict("records")
+        }
+
+
+def build_site(p: SiteParams) -> Site:
+    rows: list[dict] = []
+    for h in range(p.n_hosts):
+        for d in range(p.depth + 1):
+            for i in range(p.n_at_depth(d)):
+                rows.extend(page_rows(p, h, d, i))
+    robots = [
+        {"host": p.host(h), "body": robots_body(p, h)} for h in range(p.n_hosts)
+    ]
+    sitemaps = [
+        {"host": p.host(h), "path": "/sitemap.xml", "xml": sitemap_xml(p, h)}
+        for h in range(p.n_hosts)
+    ]
+    return Site(
+        params=p,
+        pages=pd.DataFrame(rows),
+        seeds=pd.DataFrame(seed_rows(p)),
+        robots=pd.DataFrame(robots),
+        sitemaps=pd.DataFrame(sitemaps),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed generation (bench scale): pages enumerable by global index.
+# ---------------------------------------------------------------------------
+
+PAGES_SCHEMA = (
+    "url string, host string, status int, redirect_to string, "
+    "html string, depth_from_seed int"
+)
+
+
+def _unrank(p: SiteParams, gidx: int) -> tuple[int, int, int]:
+    """Global page index -> (host, depth, index-at-depth)."""
+    per = p.pages_per_host()
+    h, r = divmod(gidx, per)
+    d = 0
+    while r >= p.n_at_depth(d):
+        r -= p.n_at_depth(d)
+        d += 1
+    return h, d, r
+
+
+def spark_pages(spark, p: SiteParams, num_partitions: int | None = None):
+    """Generate the pages table distributed: one task per index slice.
+
+    At 10^10 scale this is the *only* viable path — each partition
+    materializes just its own slice from the index formula.
+    """
+    total = p.total_pages()
+    rng = spark.range(0, total, 1, num_partitions or spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        for pdf in batches:
+            out: list[dict] = []
+            for gidx in pdf["id"].tolist():
+                h, d, i = _unrank(p, int(gidx))
+                out.extend(page_rows(p, h, d, i))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "url",
+                    "host",
+                    "status",
+                    "redirect_to",
+                    "html",
+                    "depth_from_seed",
+                ],
+            )
+
+    return rng.mapInPandas(gen, schema=PAGES_SCHEMA)

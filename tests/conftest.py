@@ -1,0 +1,19 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from crawlspark.session import get_spark  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        "crawlspark-tests",
+        cores=os.environ.get("SPARK_GRAFT_CPUS", "8"),
+        shuffle_partitions=4,
+    )
+    yield s
+    s.stop()
