@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship politeness-schedule dataflow on
+sf0.001. ``queries()`` exposes one callable per implemented operator
+family (crawl primitives re-expressed over the TPC-H-ish tables, plus
+the training-data ops over documents/embeddings); ``oracle_sql()``
+gives the DuckDB-equivalent SQL. Column names/types are aligned on
+both sides (the driver hash-compares values under sorted column
+names).
+
+The crawl engine itself (superstep loop, robots, redirects, resume)
+is non-SQL-expressible as a whole; it is parity-gated against the
+pure-Python oracle in tests/test_crawl_parity.py, and its scalar
+operator families are each represented here.
 """
 
 from __future__ import annotations
@@ -12,27 +19,515 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawlspark.operators import similarity as S
+from crawlspark.operators import textops as X
+from crawlspark.operators.textops import (
+    LANG_STOPWORDS,
+    MH_PRIME,
+    N_MINHASH,
+    PUNCT_CLASS,
+    ROWS_PER_BAND,
+    SIMHASH_BITS,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Crawl-primitive analogs over the shared tables
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """Partial-agg shape (map-side combine): the run_metrics rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                "sum_base_price"
+            ),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_frontier_topk_per_host(spark, sf_dir):
+    """Per-host batch selection: Window.partitionBy + row_number <= k
+    (nextQueuedBatch analog, CrawlerEntryLedger.java:437-477)."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "rk")
+    )
+
+
+def q_urlseen_antijoin(spark, sf_dir):
+    """URL-seen exact dedup shape: left_anti
+    (CrawlerEntryLedger.java:361 exact-key check)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def q_dedup_first_wins(spark, sf_dir):
+    """First-reference-wins (DedupService.java:88-99): earliest order
+    per customer by (date, key)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("first_price"),
+        )
+    )
+
+
+def q_politeness_schedule(spark, sf_dir):
+    """The politeness recurrence sched_i = max(avail_i, prev + delay),
+    closed-form as a running max (operators/politeness.py), host :=
+    user_id, avail := event time, delay = 1000 ms."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w0 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = e.select(
+        F.col("user_id").alias("host"),
+        F.col("event_id"),
+        # parquet ts loads as TIMESTAMP_NTZ; session TZ is UTC so this
+        # cast matches DuckDB's naive epoch_ms exactly
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("avail_ms"),
+        (F.row_number().over(w0) - 1).alias("i"),
+    )
+    w1 = (
+        Window.partitionBy("host")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return base.select(
+        "host",
+        "event_id",
+        "avail_ms",
+        (
+            F.lit(1000) * F.col("i")
+            + F.max(F.col("avail_ms") - F.lit(1000) * F.col("i")).over(w1)
+        ).alias("sched_ms"),
+    )
+
+
+def q_frontier_seq(spark, sf_dir):
+    """Deterministic per-host FIFO sequence assignment
+    (MVStoreCacheQueue monotone keys analog)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        F.col("event_id"),
+        F.col("user_id").alias("host"),
+        (F.row_number().over(w) - 1).alias("seq"),
+    )
+
+
+def q_orphan_outcomes(spark, sf_dir):
+    """Baseline-vs-current delta (orphan pass,
+    RequeueOrphansForProcessingStep): orders with no lineitem rows."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orphans"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def q_doc_fingerprints(spark, sf_dir):
+    return X.fingerprints(_t(spark, sf_dir, "documents")).withColumn(
+        "n_tokens", F.col("n_tokens").cast("long")
+    )
+
+
+def q_exact_dup_groups(spark, sf_dir):
+    return X.exact_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+def q_token_stats(spark, sf_dir):
+    return X.token_stats(_t(spark, sf_dir, "documents")).withColumn(
+        "total_tokens", F.col("total_tokens").cast("long")
+    )
+
+
+def q_quality_scores(spark, sf_dir):
+    d = X.quality_scores(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_punct").cast("long").alias("n_punct"),
+        F.col("n_stopwords").cast("long").alias("n_stopwords"),
+        "quality",
+    )
+
+
+def q_langid(spark, sf_dir):
+    return X.langid(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return X.minhash_signatures(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("i").cast("long").alias("i"), "minhash"
+    )
+
+
+def q_minhash_dup_pairs(spark, sf_dir):
+    return X.minhash_dup_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_simhash(spark, sf_dir):
+    return X.simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_jaccard_next(spark, sf_dir):
+    return X.consecutive_jaccard(_t(spark, sf_dir, "documents"))
+
+
+def q_cosine_topk(spark, sf_dir):
+    return S.cosine_topk(_t(spark, sf_dir, "embeddings")).select(
+        "query_id", "neighbor_id", "cos", F.col("rk").cast("long").alias("rk")
+    )
+
+
+def q_lsh_bucket_stats(spark, sf_dir):
+    return S.lsh_bucket_stats(_t(spark, sf_dir, "embeddings")).select(
+        "lsh_sig",
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.col("n_labels").cast("long").alias("n_labels"),
+    )
+
+
+def q_image_payload(spark, sf_dir):
+    """Multimodal plumbing: synthesize+decode+phash the image payload
+    for each document id via Arrow UDFs over a binary column. The
+    decode itself is engine-custom (no SQL oracle -> rows-only check)."""
+    from crawlspark.sources.docgen import make_document_udf, phash_udf
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias(
+            "image_id"
+        )
+    )
+    doc = d.withColumn("p", make_document_udf(16, 16)(F.col("image_id")))
+    return doc.select(
+        "image_id",
+        F.col("p.fmt").alias("fmt"),
+        F.col("p.w").alias("w"),
+        F.col("p.h").alias("h"),
+        F.col("p.phash").alias("phash"),
+        phash_udf(F.col("p.bytes")).alias("phash_decoded"),
+    )
+
+
+def q_crawl_microsite(spark, sf_dir):
+    """End-to-end crawl of a deterministic micro-web (engine-custom —
+    rows-only check; full parity vs the pure-Python oracle is gated in
+    tests/test_crawl_parity.py)."""
+    import tempfile
+
+    from crawlspark.config import CrawlConfig
+    from crawlspark.plans.superstep import CrawlEngine
+    from crawlspark.sources.webgen import SiteParams, build_site
+
+    site = build_site(SiteParams(seed=42, n_hosts=2, depth=2, branching=3))
+    cfg = CrawlConfig(max_depth=2, default_delay_ms=1000)
+    eng = CrawlEngine(
+        spark,
+        tempfile.mkdtemp(prefix="crawl_entry_"),
+        cfg,
+        spark.createDataFrame(site.pages),
+        spark.createDataFrame(site.robots),
+    )
+    eng.bootstrap([r["url"] for r in site.seeds.to_dict("records")])
+    eng.run()
+    return eng.fetch_log()
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the politeness-schedule dataflow on sf0.001."""
+    return q_politeness_schedule(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q_pricing_summary": q_pricing_summary,
+        "q_frontier_topk_per_host": q_frontier_topk_per_host,
+        "q_urlseen_antijoin": q_urlseen_antijoin,
+        "q_dedup_first_wins": q_dedup_first_wins,
+        "q_politeness_schedule": q_politeness_schedule,
+        "q_frontier_seq": q_frontier_seq,
+        "q_orphan_outcomes": q_orphan_outcomes,
+        "q_doc_fingerprints": q_doc_fingerprints,
+        "q_exact_dup_groups": q_exact_dup_groups,
+        "q_token_stats": q_token_stats,
+        "q_quality_scores": q_quality_scores,
+        "q_langid": q_langid,
+        "q_minhash_signatures": q_minhash_signatures,
+        "q_minhash_dup_pairs": q_minhash_dup_pairs,
+        "q_simhash": q_simhash,
+        "q_jaccard_next": q_jaccard_next,
+        "q_cosine_topk": q_cosine_topk,
+        "q_lsh_bucket_stats": q_lsh_bucket_stats,
+        "q_image_payload": q_image_payload,
+        "q_crawl_microsite": q_crawl_microsite,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles — identical semantics, dialect-translated.
+# ---------------------------------------------------------------------------
+
+_H32 = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"  # = Spark conv(substr(md5,1,8),16,10)
+_WORDS = "regexp_split_to_array(lower(trim({t})), '\\s+')"
+
+
+def _langid_sql() -> str:
+    score_cols = ", ".join(
+        "len(list_filter({w}, t -> list_contains({lst}, t))) AS s_{lang}".format(
+            w=_WORDS.format(t="text"),
+            lst="[" + ", ".join(f"'{s}'" for s in stops) + "]",
+            lang=lang,
+        )
+        for lang, stops in LANG_STOPWORDS.items()
+    )
+    langs = list(LANG_STOPWORDS)
+    # replicate the first-wins argmax fold of textops.langid
+    best, bs = f"'{langs[0]}'", f"s_{langs[0]}"
+    for lang in langs[1:]:
+        best = f"CASE WHEN s_{lang} > {bs} THEN '{lang}' ELSE {best} END"
+        bs = f"greatest({bs}, s_{lang})"
+    return f"""
+WITH scored AS (SELECT doc_id, lang, {score_cols} FROM documents)
+SELECT lang,
+       CASE WHEN {bs} > 0 THEN {best} ELSE 'und' END AS predicted,
+       count(*) AS n
+FROM scored GROUP BY 1, 2
+"""
+
+
+def _minhash_base_sql() -> str:
+    w = _WORDS.format(t="text")
+    return f"""
+shing AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len({w}) - 1, 0) + 1),
+           i -> {w}[i] || ' ' || {w}[i + 1]))) AS sh
+  FROM documents
+),
+hx AS (SELECT doc_id, {_H32.format(x='sh')} % {MH_PRIME} AS x FROM shing),
+sig AS (
+  SELECT doc_id, i,
+         min(((2 * i + 1) * x + 7919 * i) % {MH_PRIME}) AS minhash
+  FROM hx, (SELECT unnest(range({N_MINHASH})) AS i)
+  GROUP BY doc_id, i
+)"""
+
+
+def _simhash_sql() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN sum(((h >> {j}) & 1) * 2 - 1) > 0 "
+        f"THEN {1 << j}::BIGINT ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    w = _WORDS.format(t="text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({w}) AS t FROM documents
+), hx AS (SELECT doc_id, {_H32.format(x='t')} AS h FROM tok)
+SELECT doc_id, {bit_terms} AS simhash FROM hx GROUP BY doc_id
+"""
+
+
+def _lsh_sig_expr(n_planes: int) -> str:
+    terms = []
+    for p in range(n_planes):
+        proj = (
+            "list_sum(list_transform(range(1, len(embedding) + 1), "
+            f"i -> embedding[i]::DOUBLE * "
+            f"(({_H32.format(x=chr(39) + str(p) + ':' + chr(39) + ' || i')})::DOUBLE"
+            " / 2147483648.0 - 1.0)))"
+        )
+        terms.append(
+            f"(CASE WHEN {proj} > 0 THEN {1 << p}::BIGINT ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+_EN = "[" + ", ".join(f"'{s}'" for s in LANG_STOPWORDS["en"]) + "]"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    w = _WORDS.format(t="text")
+    return {
+        "q_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity::DECIMAL(18,2)) AS sum_qty,
+       sum(l_extendedprice::DECIMAL(18,2)) AS sum_base_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus ORDER BY 1, 2
+""",
+        "q_frontier_topk_per_host": """
+SELECT l_suppkey, l_orderkey, l_linenumber, rk FROM (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         row_number() OVER (PARTITION BY l_suppkey
+                            ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rk
+  FROM lineitem) WHERE rk <= 3
+""",
+        "q_urlseen_antijoin": """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+        "q_dedup_first_wins": """
+SELECT o_custkey, first_orderkey, first_price FROM (
+  SELECT o_custkey, o_orderkey AS first_orderkey,
+         o_totalprice::DECIMAL(18,2) AS first_price,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rk
+  FROM orders) WHERE rk = 1
+""",
+        "q_politeness_schedule": """
+WITH e AS (
+  SELECT user_id AS host, event_id, epoch_ms(ts) AS avail_ms,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i
+  FROM events)
+SELECT host, event_id, avail_ms,
+       1000 * i + max(avail_ms - 1000 * i)
+         OVER (PARTITION BY host ORDER BY i ROWS UNBOUNDED PRECEDING) AS sched_ms
+FROM e
+""",
+        "q_frontier_seq": """
+SELECT event_id, user_id AS host,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS seq
+FROM events
+""",
+        "q_orphan_outcomes": """
+SELECT o_orderstatus, count(*) AS n_orphans FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderstatus
+""",
+        "q_doc_fingerprints": f"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       len({w})::BIGINT AS n_tokens
+FROM documents
+""",
+        "q_exact_dup_groups": """
+SELECT fingerprint, count(*) AS n_dups, min(doc_id) AS keeper_doc_id
+FROM (SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents)
+GROUP BY fingerprint HAVING count(*) > 1
+""",
+        "q_token_stats": f"""
+SELECT lang, count(*) AS n_docs,
+       sum(len({w}))::BIGINT AS total_tokens,
+       round(avg(len({w})), 4) AS avg_tokens,
+       round(avg(length(text)::DOUBLE / len({w})), 4) AS avg_chars_per_token
+FROM documents GROUP BY lang
+""",
+        "q_quality_scores": f"""
+WITH q AS (
+  SELECT doc_id,
+         len({w})::BIGINT AS n_tokens,
+         (length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')))::BIGINT AS n_punct,
+         len(list_filter({w}, t -> list_contains({_EN}, t)))::BIGINT AS n_stopwords
+  FROM documents)
+SELECT doc_id, n_tokens, n_punct, n_stopwords,
+       round((CASE WHEN n_tokens >= 20 THEN 0.4
+                   ELSE n_tokens::DOUBLE / 50.0 END)
+             + least(0.3, n_stopwords::DOUBLE / n_tokens)
+             + least(0.3, n_punct::DOUBLE / 20.0), 4) AS quality
+FROM q
+""",
+        "q_langid": _langid_sql(),
+        "q_minhash_signatures": f"""
+WITH {_minhash_base_sql()}
+SELECT doc_id, i::BIGINT AS i, minhash FROM sig
+""",
+        "q_minhash_dup_pairs": f"""
+WITH {_minhash_base_sql()},
+buckets AS (
+  SELECT doc_id, i // {ROWS_PER_BAND} AS band,
+         sum(minhash * (31 ** (i % {ROWS_PER_BAND}))::BIGINT) AS bucket
+  FROM sig GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT da AS a, db AS b,
+         sum(CASE WHEN s1.minhash = s2.minhash THEN 1 ELSE 0 END)
+           / {float(N_MINHASH)} AS ej
+  FROM cand JOIN sig s1 ON s1.doc_id = da
+            JOIN sig s2 ON s2.doc_id = db AND s2.i = s1.i
+  GROUP BY da, db
+)
+SELECT a, b, round(ej, 4) AS est_jaccard FROM est WHERE ej >= 0.5
+""",
+        "q_simhash": _simhash_sql(),
+        "q_jaccard_next": f"""
+WITH ws AS (SELECT doc_id, list_distinct({w}) AS s FROM documents)
+SELECT a.doc_id,
+       round(len(list_intersect(a.s, b.s))::DOUBLE /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4)
+         AS jaccard_next
+FROM ws a JOIN ws b ON b.doc_id = a.doc_id + 1
+""",
+        "q_cosine_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 5),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(qv, e.embedding) AS c
+  FROM q, embeddings e WHERE e.vec_id != query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, c,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, neighbor_id) AS rk
+  FROM scored)
+SELECT query_id, neighbor_id, round(c, 6) AS cos, rk
+FROM ranked WHERE rk <= 5
+""",
+        "q_lsh_bucket_stats": f"""
+SELECT {_lsh_sig_expr(8)} AS lsh_sig,
+       count(*) AS n_vectors,
+       count(DISTINCT label) AS n_labels
+FROM embeddings GROUP BY 1
+""",
+        # q_image_payload / q_crawl_microsite: engine-custom (binary
+        # codec / iterative crawl) — rows-only check by design.
+    }
