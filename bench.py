@@ -1,0 +1,217 @@
+"""crawlspark benchmark harness.
+
+Default mode (what the driver runs): times the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` plus a crawl-engine frontier benchmark
+(urls scheduled+fetched per second on a synthetic web), and prints ONE
+JSON line.
+
+``--scaling`` mode: runs the identical crawl benchmark at two
+parallelism levels (default 8 and 32 cores — the sandbox evidence for
+the N -> 4N executor scaling rule) in *fresh JVMs* (subprocess per
+level) and rewrites ``BENCH/BASELINE.md`` with throughput at both
+levels and the scaling efficiency.
+
+The reference's own harness metric is docsPerSecond
+(benchmark/harness/.../BenchmarkHarnessMain.java:200-216); its
+scenario floors are 4.2-8.3 docs/s (BASELINE.md) because it sleeps on
+politeness. crawlspark computes the politeness schedule instead of
+sleeping on it, so the comparable number is frontier URLs
+scheduled+fetched per second of compute.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _bench_site_params():
+    from crawlspark.sources.webgen import SiteParams
+
+    return SiteParams(
+        seed=42,
+        n_hosts=int(os.environ.get("BENCH_HOSTS", "80")),
+        depth=int(os.environ.get("BENCH_DEPTH", "3")),
+        branching=int(os.environ.get("BENCH_BRANCH", "8")),
+        dup_pct=0.10,
+        redirect_pct=0.03,
+        error_pct=0.02,
+        canonical_pct=0.03,
+        variant_pct=0.05,
+        cycle_pct=0.05,
+        cross_pct=0.10,
+        n_seed_hosts=int(os.environ.get("BENCH_HOSTS", "80")),
+    )
+
+
+def crawl_bench(spark, workdir: str) -> dict:
+    """Crawl the bench site end-to-end; returns throughput numbers."""
+    import shutil
+
+    from crawlspark.config import CrawlConfig
+    from crawlspark.plans.superstep import CrawlEngine
+    from crawlspark.sources.webgen import robots_body, seed_rows, spark_pages
+
+    p = _bench_site_params()
+    pages_path = os.path.join(workdir, "pages")
+    t0 = time.time()
+    spark_pages(spark, p).write.mode("overwrite").parquet(pages_path)
+    gen_s = time.time() - t0
+
+    pages_df = spark.read.parquet(pages_path)
+    robots_df = spark.createDataFrame(
+        [(p.host(h), robots_body(p, h)) for h in range(p.n_hosts)],
+        schema="host string, body string",
+    )
+    seeds = [r["url"] for r in seed_rows(p)]
+
+    rundir = os.path.join(workdir, "run")
+    shutil.rmtree(rundir, ignore_errors=True)
+    cfg = CrawlConfig(max_depth=p.depth, default_delay_ms=1000)
+    eng = CrawlEngine(spark, rundir, cfg, pages_df, robots_df)
+    t1 = time.time()
+    eng.bootstrap(seeds)
+    stats = eng.run()
+    crawl_s = time.time() - t1
+    fetched = sum(s.fetched for s in stats)
+    committed = sum(s.committed for s in stats)
+    return {
+        "pages_generated": p.total_pages(),
+        "gen_seconds": round(gen_s, 2),
+        "urls_fetched": fetched,
+        "docs_committed": committed,
+        "supersteps": len(stats),
+        "crawl_seconds": round(crawl_s, 2),
+        "frontier_urls_per_sec": round(fetched / crawl_s, 2),
+    }
+
+
+HEADLINE = [
+    "q_pricing_summary",
+    "q_frontier_topk_per_host",
+    "q_urlseen_antijoin",
+    "q_dedup_first_wins",
+    "q_politeness_schedule",
+    "q_frontier_seq",
+    "q_doc_fingerprints",
+    "q_exact_dup_groups",
+    "q_minhash_dup_pairs",
+    "q_simhash",
+    "q_langid",
+    "q_cosine_topk",
+    "q_lsh_bucket_stats",
+]
+
+
+def run_default() -> dict:
+    from crawlspark.session import get_spark
+
+    import __spark_entry__ as E
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("crawlspark-bench", cores=cpus)
+    qtimes = {}
+    total0 = time.time()
+    for name in HEADLINE:
+        fn = E.queries()[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        qtimes[name] = round(time.time() - t0, 3)
+    crawl = crawl_bench(spark, "/tmp/crawlspark_bench")
+    total = round(time.time() - total0, 2)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    return {
+        "metric": "frontier_urls_scheduled_fetched_per_sec",
+        "value": crawl["frontier_urls_per_sec"],
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf_val,
+        "crawl": crawl,
+        "total_seconds": total,
+        "cpus": cpus,
+    }
+
+
+def run_scaling() -> None:
+    """Same crawl job at two parallelism levels, fresh JVM each."""
+    levels = [
+        int(x)
+        for x in os.environ.get("BENCH_SCALING_LEVELS", "8,32").split(",")
+    ]
+    os.environ.setdefault("BENCH_HOSTS", "120")
+    os.environ.setdefault("BENCH_DEPTH", "3")
+    os.environ.setdefault("BENCH_BRANCH", "9")
+    results = {}
+    for n in levels:
+        env = dict(os.environ)
+        env["SPARK_GRAFT_CPUS"] = str(n)
+        out = subprocess.run(
+            [sys.executable, __file__, "--crawl-only"],
+            capture_output=True,
+            text=True,
+            env=env,
+            check=True,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[n] = json.loads(line)
+        print(f"local[{n}]: {results[n]['frontier_urls_per_sec']} urls/s")
+    lo, hi = min(levels), max(levels)
+    tlo = results[lo]["frontier_urls_per_sec"]
+    thi = results[hi]["frontier_urls_per_sec"]
+    eff = thi / (tlo * (hi / lo))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            f"""# BENCH — crawl-engine scaling evidence
+
+Same job, same input, two parallelism levels (fresh JVM each), per the
+north rule's N -> 4N executor criterion evidenced with local[{lo}] vs
+local[{hi}] (no real cluster in this sandbox).
+
+Site: {os.environ['BENCH_HOSTS']} hosts x depth {os.environ['BENCH_DEPTH']} x branching {os.environ['BENCH_BRANCH']}
+({results[lo]['pages_generated']} pages); politeness delay 1000 ms
+(computed, not slept); exact ordering + URL-seen parity vs the oracle
+gated separately in tests/test_crawl_parity.py.
+
+| level | urls fetched | crawl s | urls/s |
+|---|---|---|---|
+| local[{lo}] | {results[lo]['urls_fetched']} | {results[lo]['crawl_seconds']} | {tlo} |
+| local[{hi}] | {results[hi]['urls_fetched']} | {results[hi]['crawl_seconds']} | {thi} |
+
+**Scaling efficiency ({lo} -> {hi} cores): {eff:.3f}**
+(target >= 0.8; efficiency = T_{hi} / (T_{lo} x {hi//lo}))
+
+Reference comparison: the Norconex harness metric is docsPerSecond
+with scenario floors 4.2-8.3 docs/s (BASELINE.md — politeness-bound,
+it sleeps). crawlspark computes the same per-host schedule without
+sleeping: {thi} urls/s at local[{hi}].
+"""
+        )
+    print(f"efficiency {lo}->{hi}: {eff:.3f}  (wrote BENCH/BASELINE.md)")
+
+
+def run_crawl_only() -> None:
+    from crawlspark.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("crawlspark-scaling", cores=cpus)
+    res = crawl_bench(spark, f"/tmp/crawlspark_bench_{cpus}")
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    elif "--crawl-only" in sys.argv:
+        run_crawl_only()
+    else:
+        print(json.dumps(run_default()))

@@ -83,6 +83,10 @@ def assign_seq(
         .mapInPandas(add_seq, schema=schema)
         .select(*cols, seq_col)
     )
+    # expose the internal cache so the caller can release it once the
+    # result is materialized (long superstep loops would otherwise
+    # accumulate cached frames)
+    out._assign_seq_cache = parted
     return out
 
 

@@ -42,7 +42,27 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from dataclasses import dataclass
+
+_TIMING = os.environ.get("CRAWLSPARK_TIMING", "") == "1"
+
+
+class _Tick:
+    """Opt-in per-phase wall timing (CRAWLSPARK_TIMING=1)."""
+
+    def __init__(self, superstep: int):
+        self.superstep = superstep
+        self.t = time.time()
+
+    def __call__(self, phase: str) -> None:
+        if _TIMING:
+            now = time.time()
+            print(
+                f"[timing] ss={self.superstep} {phase}: {now - self.t:.2f}s",
+                flush=True,
+            )
+            self.t = now
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -259,8 +279,11 @@ class CrawlEngine:
             F.when(F.col("outcome").isNull(), "QUEUED").otherwise("REJECTED"),
         )
 
-        new_rows = assign_seq(c, ["parent_seq", "out_pos"], self.max_seq)
-        new_rows = new_rows.select(
+        # cache before assign_seq: range partitioning samples its input
+        # (an extra pass), which must not re-run the UDF/join lineage
+        c = c.cache()
+        seq_df = assign_seq(c, ["parent_seq", "out_pos"], self.max_seq)
+        new_rows = seq_df.select(
             "url",
             "seen_key",
             "host",
@@ -288,6 +311,9 @@ class CrawlEngine:
             "DUPLICATE_OR_BAD_SKIPPED": n_cand - n_new,
         }
         self.max_seq += n_new
+        c.unpersist()
+        if hasattr(seq_df, "_assign_seq_cache"):
+            seq_df._assign_seq_cache.unpersist()
         return new_rows, stats
 
     # -- one superstep ------------------------------------------------------
@@ -298,6 +324,7 @@ class CrawlEngine:
             return None
         if cfg.max_docs is not None and self.committed_total >= cfg.max_docs:
             return None
+        tick = _Tick(self.superstep)
         ledger = self.ledger.read()
         batch = ledger.filter(F.col("status") == "QUEUED").drop("sched_ms")
 
@@ -485,6 +512,7 @@ class CrawlEngine:
             )
             .collect()
         )
+        tick("parse+agg")
         out_counts = {r["outcome"]: r["n"] for r in agg_rows}
         n_links = sum(r["n_links"] for r in agg_rows)
         redirect_loops = sum(
@@ -498,6 +526,7 @@ class CrawlEngine:
                 n_cand += int(r["n_canon_enq"])
 
         new_rows, qstats = self._queue_pipeline(cand, ledger, n_cand)
+        tick("queue_pipeline")
         stats = dict(qstats)
         stats.update(
             {
@@ -525,6 +554,7 @@ class CrawlEngine:
             )
         )
         self.ledger.write(ledger_next, sid)
+        tick("ledger_write")
 
         new_state = (
             parsed.groupBy("host")
@@ -534,15 +564,19 @@ class CrawlEngine:
             .agg(F.max("last_sched_ms").alias("last_sched_ms"))
         )
         self.host_state.write(new_state, sid)
+        tick("host_state_write")
 
         ck_next = self.checksums.read().unionByName(
             committed.select("checksum", "seq")
         )
         self.checksums.write(ck_next, sid)
+        tick("checksums_write")
 
         part = f"{self.superstep:06d}"
         self.documents.append(docs, part)
+        tick("documents_write")
         self._append_metrics(stats, part)
+        tick("metrics_write")
 
         parsed.unpersist()
         new_rows.unpersist()
