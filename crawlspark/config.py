@@ -35,6 +35,13 @@ class CrawlConfig:
     # one re-queue allowed, third occurrence rejected).
     max_redirect_trail: int = 2
     honor_robots: bool = True
+    # incremental crawl: orphan strategy PROCESS (default,
+    # CrawlerConfig.java:281) / DELETE / IGNORE; spoiled (previously
+    # committed, now 404) docs are deleted, bad-status docs get grace
+    # (GenericSpoiledReferenceStrategizer default mapping; GRACE_ONCE
+    # counting across >2 runs is TODO).
+    orphan_strategy: str = "PROCESS"
+    spoiled_delete: bool = True
     # engine-side knobs (no semantic effect):
     shuffle_partitions: int | None = None
     bloom_prefilter_min_ledger: int = 100_000

@@ -1,0 +1,200 @@
+"""Importer transformer surface: the reference's handler taxonomy as
+Column expressions.
+
+The reference's importer applies a chain of ~40 transformers to doc
+content/metadata (importer/src/main/java/com/norconex/importer/handler/
+transformer/impl/ — SURVEY.md §2.11). Spark-first, each is a one-line
+Column function (JVM-side, codegen'd) rather than a handler object;
+conditions (handler/condition/impl/) are boolean Columns guarding
+application via ``F.when``. This module is the explicit mapping table
+so a reference user can find each handler by name.
+
+| reference handler            | here                      |
+|------------------------------|---------------------------|
+| CharacterCaseTransformer     | character_case            |
+| ReplaceTransformer (regex)   | replace_regex             |
+| SubstringTransformer         | substring                 |
+| StripBefore/After/Between    | strip_before/after/between|
+| TextBetweenTransformer       | text_between              |
+| TruncateTransformer          | truncate                  |
+| CollapseRepeatingTransformer | collapse_repeating        |
+| DocumentLengthTransformer    | document_length           |
+| CountMatchesTransformer      | count_matches             |
+| TitleGeneratorTransformer    | title_generator           |
+| LanguageTransformer          | operators.textops.langid  |
+| UuidTransformer              | uuid_deterministic        |
+| CurrentDate/DateFormat       | date_format_col           |
+| ConstantTransformer          | F.lit (trivial)           |
+| Rename/Copy/Delete/KeepOnly  | DataFrame select/alias    |
+| TextStatisticsTransformer    | text_statistics           |
+| UrlExtractorTransformer      | extract_urls              |
+| Splitters (Csv/Dom/Xml)      | split_explode             |
+| Conditions (Blank/Numeric/…) | cond_* boolean Columns    |
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+# -- string ops ---------------------------------------------------------------
+
+def character_case(col, mode: str = "lower") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        "lower": F.lower(c),
+        "upper": F.upper(c),
+        "title": F.initcap(c),
+    }[mode]
+
+
+def replace_regex(col, pattern: str, replacement: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, pattern, replacement)
+
+
+def substring(col, start: int, length: int | None = None) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(c, start, length if length is not None else 1 << 30)
+
+
+def strip_before(col, sep: str) -> Column:
+    """Remove everything up to and including the first ``sep``."""
+    c = F.col(col) if isinstance(col, str) else col
+    idx = F.instr(c, sep)
+    return F.when(idx > 0, F.substring_index(c, sep, -1)).otherwise(c)
+
+
+def strip_after(col, sep: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring_index(c, sep, 1)
+
+
+def strip_between(col, open_s: str, close_s: str) -> Column:
+    """Remove text between (and including) open/close markers."""
+    import re as _re
+
+    c = F.col(col) if isinstance(col, str) else col
+    pat = _re.escape(open_s) + ".*?" + _re.escape(close_s)
+    return F.regexp_replace(c, pat, "")
+
+
+def text_between(col, open_s: str, close_s: str) -> Column:
+    import re as _re
+
+    c = F.col(col) if isinstance(col, str) else col
+    pat = _re.escape(open_s) + "(.*?)" + _re.escape(close_s)
+    return F.regexp_extract(c, pat, 1)
+
+
+def truncate(col, max_len: int, suffix: str = "") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        F.length(c) > max_len,
+        F.concat(F.substring(c, 1, max_len - len(suffix)), F.lit(suffix)),
+    ).otherwise(c)
+
+
+def collapse_repeating(col, token: str = " ") -> Column:
+    import re as _re
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, "(" + _re.escape(token) + ")+", token)
+
+
+# -- derivations ---------------------------------------------------------------
+
+def document_length(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def count_matches(col, pattern: str) -> Column:
+    """Occurrences of a regex in the text (CountMatchesTransformer)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.split(c, pattern)) - 1
+
+
+def title_generator(col, max_len: int = 60) -> Column:
+    """First sentence/fragment, truncated — TitleGeneratorTransformer's
+    heuristic mode."""
+    c = F.col(col) if isinstance(col, str) else col
+    first = F.substring_index(F.trim(c), ".", 1)
+    return truncate(first, max_len, "...")
+
+
+def uuid_deterministic(*cols) -> Column:
+    """Stable doc UUID from identity columns (UuidTransformer made
+    deterministic: checkpoint replay must regenerate identical ids)."""
+    return F.md5(F.concat_ws("\x1f", *[F.col(c) if isinstance(c, str) else c for c in cols]))
+
+
+def date_format_col(col, fmt: str = "yyyy-MM-dd") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c, fmt)
+
+
+def text_statistics(col) -> Column:
+    """struct(chars, words, sentences, avg_word_len) — the
+    TextStatisticsTransformer bundle."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.trim(c), r"\s+")
+    return F.struct(
+        F.length(c).alias("chars"),
+        F.size(words).alias("words"),
+        (F.size(F.split(c, r"[.!?]")) - 1).alias("sentences"),
+        F.round(
+            F.length(F.regexp_replace(c, r"\s+", "")) / F.size(words), 4
+        ).alias("avg_word_len"),
+    )
+
+
+def extract_urls(col) -> Column:
+    """All http(s) URLs in free text (UrlExtractorTransformer)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_distinct(
+        F.regexp_extract_all(c, F.lit(r'(https?://[^\s"<>]+)'), F.lit(1))
+    )
+
+
+def split_explode(df, col, pattern: str, out_col: str = "part"):
+    """Splitter family: one row per fragment (Csv/XmlStream splitters)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return df.withColumn(out_col, F.explode(F.split(c, pattern)))
+
+
+# -- conditions (handler/condition/impl) ---------------------------------------
+
+def cond_blank(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.isNull() | (F.trim(c) == "")
+
+
+def cond_numeric(col, op: str, value: float) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    d = c.cast("double")
+    return {
+        ">": d > value,
+        ">=": d >= value,
+        "<": d < value,
+        "<=": d <= value,
+        "==": d == value,
+    }[op]
+
+
+def cond_text(col, pattern: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.rlike(pattern)
+
+
+def cond_reference(url_col, pattern: str) -> Column:
+    return cond_text(url_col, pattern)
+
+
+def apply_when(df, condition: Column, col_name: str, then_expr: Column):
+    """Guarded handler application (condition -> transformer), the
+    ``if`` wrapper of the reference's handler flow."""
+    return df.withColumn(
+        col_name, F.when(condition, then_expr).otherwise(F.col(col_name))
+    )

@@ -76,7 +76,22 @@ class SimResult:
     fetch_log: list[dict] = field(default_factory=list)
     ledger: dict[str, SimEntry] = field(default_factory=dict)
     committed: list[dict] = field(default_factory=list)
+    deletes: list[str] = field(default_factory=list)
     metrics: Counter = field(default_factory=Counter)
+
+    def baseline_dict(self) -> dict[str, dict]:
+        """This run's ledger as the next run's incremental baseline
+        (mirrors plans.superstep.load_baseline)."""
+        cks = {c["image_id"]: c["checksum"] for c in self.committed}
+        return {
+            url: {
+                "checksum": cks.get(url),
+                "depth": e.depth,
+                "seq": e.seq,
+            }
+            for url, e in self.ledger.items()
+            if e.status == "PROCESSED"
+        }
 
     def urlseen(self) -> list[dict]:
         return [
@@ -96,9 +111,16 @@ class CrawlSimulator:
         pages: dict[str, dict],
         robots: dict[str, str | None],
         cfg: CrawlConfig = CrawlConfig(),
+        baseline: dict[str, dict] | None = None,
     ):
+        """``baseline``: previous run's ledger as url -> {checksum,
+        depth, seq} (checksum None if the url was never committed) —
+        drives the incremental NEW/MODIFIED/UNMODIFIED delta
+        (ChecksumStageUtil.java:46-104), the orphan pass
+        (RequeueOrphansForProcessingStep), and spoiled deletes."""
         self.pages = pages
         self.cfg = cfg
+        self.baseline = baseline or {}
         self._matchers: dict[str, RobotsMatcher] = {}
         self._delays: dict[str, int] = {}
         for host, body in robots.items():
@@ -171,12 +193,44 @@ class CrawlSimulator:
         # max_docs is evaluated at superstep (BFS batch) boundaries,
         # exactly like the engine's driver loop guard.
         batch_end = len(queue)
-        while qi < len(queue):
+        orphans_done = not self.baseline
+        stopped = False
+        while True:
+            if qi >= len(queue):
+                # main drain complete: orphan pass (baseline entries
+                # never rediscovered this run), once, in baseline seq
+                # order — then keep processing what it enqueued.
+                if orphans_done or stopped:
+                    break
+                orphans_done = True
+                orphans = sorted(
+                    (
+                        (b.get("seq", 0), url, b)
+                        for url, b in self.baseline.items()
+                        if url not in res.ledger
+                    ),
+                )
+                if self.cfg.orphan_strategy == "PROCESS":
+                    for _seq, url, b in orphans:
+                        res.metrics["ORPHANS_REQUEUED"] += 1
+                        self._enqueue(
+                            res, queue, url, b.get("depth", 0), 0
+                        )
+                elif self.cfg.orphan_strategy == "DELETE":
+                    for _seq, url, b in orphans:
+                        if b["checksum"] is not None:
+                            res.deletes.append(url)
+                            res.metrics["DOCUMENT_COMMITTED_DELETE"] += 1
+                batch_end = len(queue)
+                if qi >= len(queue):
+                    break
+                continue
             if qi == batch_end:
                 if (
                     self.cfg.max_docs is not None
                     and len(res.committed) >= self.cfg.max_docs
                 ):
+                    stopped = True
                     break
                 batch_end = len(queue)
             e = queue[qi]
@@ -189,10 +243,17 @@ class CrawlSimulator:
             e.status = "PROCESSED"
             res.metrics["DOCUMENT_FETCHED"] += 1
 
+            base = self.baseline.get(e.url)
+            base_ck = base["checksum"] if base else None
             row = self.pages.get(e.url)
             if row is None or row["status"] == 404:
                 e.outcome = "NOT_FOUND"
                 res.metrics["REJECTED_NOTFOUND"] += 1
+                # spoiled: previously committed, now gone -> delete op
+                # (GenericSpoiledReferenceStrategizer NOT_FOUND->DELETE)
+                if base_ck is not None and self.cfg.spoiled_delete:
+                    res.deletes.append(e.url)
+                    res.metrics["DOCUMENT_COMMITTED_DELETE"] += 1
             elif row["status"] >= 500:
                 e.outcome = "BAD_STATUS"
                 res.metrics["REJECTED_BAD_STATUS"] += 1
@@ -248,12 +309,19 @@ class CrawlSimulator:
                     res.metrics["REJECTED_NOINDEX"] += 1
                 else:
                     ck = content_checksum(html)
-                    if ck in seen_checksums:
+                    if base_ck is not None and base_ck == ck:
+                        # unchanged since last run: rejected before the
+                        # dedup stage, checksum NOT registered
+                        e.outcome = "UNMODIFIED"
+                        res.metrics["REJECTED_UNMODIFIED"] += 1
+                    elif ck in seen_checksums:
                         e.outcome = "DUPLICATE"
                         res.metrics["REJECTED_DUPLICATE"] += 1
                     else:
                         seen_checksums[ck] = e.seq
-                        e.outcome = "NEW"
+                        e.outcome = (
+                            "MODIFIED" if base_ck is not None else "NEW"
+                        )
                         res.metrics["DOCUMENT_COMMITTED_UPSERT"] += 1
                         res.committed.append(
                             {

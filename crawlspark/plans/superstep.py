@@ -115,10 +115,18 @@ class CrawlEngine:
         cfg: CrawlConfig,
         pages_df: DataFrame,
         robots_df: DataFrame,
+        baseline_df: DataFrame | None = None,
     ):
+        """``baseline_df``: previous run's ledger delta input
+        (url, checksum, depth, seq) — enables NEW/MODIFIED/UNMODIFIED
+        outcomes, the orphan pass, and spoiled deletes (the ledger_a/
+        ledger_b generation flip of CrawlerEntryLedger.java:619-658).
+        Build it with ``load_baseline(spark, prev_workdir)``."""
         self.spark = spark
         self.workdir = workdir
         self.cfg = cfg
+        self.baseline = baseline_df.cache() if baseline_df is not None else None
+        self._orphans_done = baseline_df is None
         os.makedirs(workdir, exist_ok=True)
         self.pages = pages_df.select(
             F.col("url"),
@@ -149,6 +157,7 @@ class CrawlEngine:
             "max_seq": self.max_seq,
             "committed_total": self.committed_total,
             "queued_remaining": self.queued_remaining,
+            "orphans_done": self._orphans_done,
             "ledger_snapshot": self.ledger.latest_id(),
             "host_state_snapshot": self.host_state.latest_id(),
             "checksums_snapshot": self.checksums.latest_id(),
@@ -166,6 +175,7 @@ class CrawlEngine:
         cfg: CrawlConfig,
         pages_df: DataFrame,
         robots_df: DataFrame,
+        baseline_df: DataFrame | None = None,
     ) -> "CrawlEngine":
         """Rebuild engine state from the last committed checkpoint.
 
@@ -175,13 +185,16 @@ class CrawlEngine:
         analog of the reference's requeue-on-resume
         (CrawlerEntryLedger.java:206-241,487-511).
         """
-        eng = cls(spark, workdir, cfg, pages_df, robots_df)
+        eng = cls(spark, workdir, cfg, pages_df, robots_df, baseline_df)
         with open(eng._ckpt) as f:
             state = json.load(f)
         eng.superstep = state["superstep"]
         eng.max_seq = state["max_seq"]
         eng.committed_total = state["committed_total"]
         eng.queued_remaining = state["queued_remaining"]
+        eng._orphans_done = state.get(
+            "orphans_done", baseline_df is None
+        )
         # drop any partial writes from a crashed superstep
         part = (
             f"{state['superstep'] - 1:06d}"
@@ -366,10 +379,31 @@ class CrawlEngine:
             F.when(followable, extract_links_udf(F.col("url"), F.col("html"))),
         )
 
-        # first-reference-wins content dedup (DedupService.java:88-99):
-        # rank only committable rows — a noindex/noncanonical row never
-        # registers its checksum, so it must not occupy a rank slot.
+        # incremental delta: previous run's checksum for this url
+        # (ChecksumStageUtil.java:46-104 — no baseline => NEW, equal =>
+        # UNMODIFIED, different => MODIFIED)
         committable = is200 & ~noncanon & ~noindex
+        if self.baseline is not None:
+            parsed = parsed.join(
+                self.baseline.select(
+                    "url", F.col("checksum").alias("base_ck")
+                ),
+                "url",
+                "left",
+            )
+        else:
+            parsed = parsed.withColumn(
+                "base_ck", F.lit(None).cast("string")
+            )
+        unmod = F.col("base_ck").isNotNull() & (
+            F.col("base_ck") == F.col("checksum")
+        )
+
+        # first-reference-wins content dedup (DedupService.java:88-99):
+        # rank only rows that would register a checksum — noindex,
+        # noncanonical, and UNMODIFIED rows never register, so they
+        # must not occupy a rank slot.
+        registers = committable & ~unmod
         w = (
             Window.partitionBy("checksum")
             .orderBy("seq")
@@ -378,8 +412,8 @@ class CrawlEngine:
         parsed = parsed.withColumn(
             "dup_rank",
             F.when(
-                committable,
-                F.sum(F.when(committable, 1).otherwise(0)).over(w),
+                registers,
+                F.sum(F.when(registers, 1).otherwise(0)).over(w),
             ).otherwise(F.lit(None)),
         )
         old_ck = self.checksums.read().select(
@@ -396,11 +430,13 @@ class CrawlEngine:
             .when(is_redirect, "REDIRECT")
             .when(noncanon, "NONCANONICAL")
             .when(noindex, "NOINDEX")
+            .when(unmod, "UNMODIFIED")
             .when(
                 F.coalesce(F.col("ck_seen"), F.lit(False))
                 | (F.col("dup_rank") > 1),
                 "DUPLICATE",
             )
+            .when(F.col("base_ck").isNotNull(), "MODIFIED")
             .otherwise("NEW"),
         ).cache()
 
@@ -419,9 +455,9 @@ class CrawlEngine:
             F.lit(self.superstep).cast("int").alias("superstep"),
         )
 
-        committed = parsed.filter(F.col("outcome") == "NEW").select(
-            F.col("url").alias("image_id"), "checksum", "seq", "depth"
-        )
+        committed = parsed.filter(
+            F.col("outcome").isin("NEW", "MODIFIED")
+        ).select(F.col("url").alias("image_id"), "checksum", "seq", "depth")
         doc_udf = make_document_udf(cfg.image_w, cfg.image_h)
         docs = committed.withColumn("d", doc_udf(F.col("image_id"))).select(
             "image_id",
@@ -434,7 +470,28 @@ class CrawlEngine:
             "checksum",
             "seq",
             "depth",
+            F.lit("upsert").alias("op"),
         )
+        # spoiled: previously committed, now NOT_FOUND -> delete op
+        # (GenericSpoiledReferenceStrategizer NOT_FOUND->DELETE mapping)
+        if cfg.spoiled_delete:
+            spoiled = parsed.filter(
+                (F.col("outcome") == "NOT_FOUND")
+                & F.col("base_ck").isNotNull()
+            ).select(
+                F.col("url").alias("image_id"),
+                F.lit(None).cast("binary").alias("bytes"),
+                F.lit(None).cast("int").alias("w"),
+                F.lit(None).cast("int").alias("h"),
+                F.lit(None).cast("string").alias("fmt"),
+                F.lit(None).cast("string").alias("caption"),
+                F.lit(None).cast("long").alias("phash"),
+                F.lit(None).cast("string").alias("checksum"),
+                "seq",
+                "depth",
+                F.lit("delete").alias("op"),
+            )
+            docs = docs.unionByName(spoiled)
 
         # ---- next-level candidates ----
         redirects = parsed.filter(
@@ -509,6 +566,9 @@ class CrawlEngine:
                         1,
                     ).otherwise(0)
                 ).alias("n_canon_enq"),
+                F.sum(
+                    F.when(F.col("base_ck").isNotNull(), 1).otherwise(0)
+                ).alias("n_had_baseline"),
             )
             .collect()
         )
@@ -527,11 +587,23 @@ class CrawlEngine:
 
         new_rows, qstats = self._queue_pipeline(cand, ledger, n_cand)
         tick("queue_pipeline")
+        spoiled_deletes = (
+            sum(
+                r["n_had_baseline"]
+                for r in agg_rows
+                if r["outcome"] == "NOT_FOUND"
+            )
+            if cfg.spoiled_delete
+            else 0
+        )
         stats = dict(qstats)
         stats.update(
             {
                 "DOCUMENT_FETCHED": sum(out_counts.values()),
-                "DOCUMENT_COMMITTED_UPSERT": out_counts.get("NEW", 0),
+                "DOCUMENT_COMMITTED_UPSERT": out_counts.get("NEW", 0)
+                + out_counts.get("MODIFIED", 0),
+                "REJECTED_UNMODIFIED": out_counts.get("UNMODIFIED", 0),
+                "DOCUMENT_COMMITTED_DELETE": spoiled_deletes,
                 "REJECTED_NOTFOUND": out_counts.get("NOT_FOUND", 0),
                 "REJECTED_BAD_STATUS": out_counts.get("BAD_STATUS", 0),
                 "DOCUMENT_REDIRECTED": out_counts.get("REDIRECT", 0),
@@ -598,11 +670,78 @@ class CrawlEngine:
         self._save_ckpt()
         return st
 
+    def _inject_orphans(self) -> None:
+        """Orphan pass: every baseline URL never rediscovered this run
+        (RequeueOrphansForProcessingStep analog). PROCESS requeues them
+        through the normal queue pipeline in baseline-seq order;
+        DELETE emits delete ops for previously committed ones."""
+        ledger = self.ledger.read()
+        orphans = self.baseline.join(
+            ledger.select("url"), "url", "left_anti"
+        ).cache()
+        strategy = self.cfg.orphan_strategy
+        sid = self.superstep + 1
+        part = f"{self.superstep:06d}"
+        if strategy == "PROCESS":
+            cand = orphans.select(
+                F.col("url").alias("raw_url"),
+                F.col("depth").cast("int").alias("depth"),
+                F.lit(0).cast("long").alias("avail_ms"),
+                F.array().cast("array<string>").alias("trail"),
+                F.col("seq").cast("long").alias("parent_seq"),
+                F.lit(0).alias("out_pos"),
+            )
+            n = orphans.count()
+            new_rows, stats = self._queue_pipeline(cand, ledger, n)
+            stats["ORPHANS_REQUEUED"] = n
+            self.ledger.write(ledger.unionByName(new_rows), sid)
+            new_rows.unpersist()
+            self.queued_remaining += stats["DOCUMENT_QUEUED"]
+            self._append_metrics(stats, part)
+        elif strategy == "DELETE":
+            deletes = orphans.filter(F.col("checksum").isNotNull()).select(
+                F.col("url").alias("image_id"),
+                F.lit(None).cast("binary").alias("bytes"),
+                F.lit(None).cast("int").alias("w"),
+                F.lit(None).cast("int").alias("h"),
+                F.lit(None).cast("string").alias("fmt"),
+                F.lit(None).cast("string").alias("caption"),
+                F.lit(None).cast("long").alias("phash"),
+                F.lit(None).cast("string").alias("checksum"),
+                F.col("seq").cast("long").alias("seq"),
+                F.col("depth").cast("int").alias("depth"),
+                F.lit("delete").alias("op"),
+            )
+            # part name must not sort after f"{superstep:06d}" or resume
+            # truncation would drop it; the plain step part is unused
+            # here (no step ran with this number)
+            self.documents.append(deletes, part)
+            n_del = deletes.count()
+            self.ledger.write(ledger, sid)
+            self._append_metrics(
+                {"DOCUMENT_COMMITTED_DELETE": n_del}, part
+            )
+        else:  # IGNORE
+            self.ledger.write(ledger, sid)
+        orphans.unpersist()
+        self.host_state.write(self.host_state.read(), sid)
+        self.checksums.write(self.checksums.read(), sid)
+        self.superstep = sid
+        self._save_ckpt()
+
     def run(self, max_supersteps: int = 10_000) -> list[StepStats]:
         out = []
         for _ in range(max_supersteps):
             st = self.step()
             if st is None:
+                hit_max_docs = (
+                    self.cfg.max_docs is not None
+                    and self.committed_total >= self.cfg.max_docs
+                )
+                if not self._orphans_done and not hit_max_docs:
+                    self._orphans_done = True
+                    self._inject_orphans()
+                    continue
                 break
             out.append(st)
         return out
@@ -634,8 +773,33 @@ class CrawlEngine:
     def urlseen(self) -> DataFrame:
         return self.ledger.read().select("url", "status", "outcome", "depth")
 
+    def deletes_df(self) -> DataFrame | None:
+        docs = self.documents.read()
+        return docs.filter(F.col("op") == "delete") if docs is not None else None
+
     def docs_df(self) -> DataFrame | None:
         return self.documents.read()
 
     def metrics_df(self) -> DataFrame | None:
         return self.metrics.read()
+
+
+def load_baseline(spark: SparkSession, prev_workdir: str) -> DataFrame:
+    """Previous run's ledger as the incremental baseline:
+    (url, checksum, depth, seq) — checksum only for urls whose last
+    document op was an upsert (the ledger_a->baseline flip of
+    CrawlerEntryLedger.java:619-658 re-expressed as reading the prior
+    run's final snapshot)."""
+    ledger = SnapshotTable(spark, os.path.join(prev_workdir, "ledger")).read()
+    docs = AppendTable(spark, os.path.join(prev_workdir, "documents")).read()
+    base = ledger.filter(F.col("status") == "PROCESSED").select(
+        "url", "depth", "seq"
+    )
+    if docs is None:
+        return base.withColumn("checksum", F.lit(None).cast("string"))
+    cks = (
+        docs.filter(F.col("op") == "upsert")
+        .select(F.col("image_id").alias("url"), "checksum")
+        .dropDuplicates(["url"])
+    )
+    return base.join(cks, "url", "left")

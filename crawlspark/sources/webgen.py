@@ -55,6 +55,12 @@ class SiteParams:
     # politeness: per-host crawl-delay seconds = 1 + host % 3; hosts
     # divisible by 5 have no robots.txt (default delay applies).
     default_delay_ms: int = 3000
+    # incremental-crawl support: revision > 0 deterministically mutates
+    # some page bodies (-> MODIFIED) and removes some pages (-> spoiled
+    # 404) relative to revision 0 of the same seed.
+    revision: int = 0
+    mutate_pct: float = 0.0
+    gone_pct: float = 0.0
 
     def host(self, h: int) -> str:
         return f"site{h:04d}.example.test"
@@ -92,6 +98,8 @@ def _page_status(p: SiteParams, h: int, d: int, i: int) -> tuple[int, str | None
     """(status, redirect_to). Seeds' roots are always 200."""
     if d == 0:
         return 200, None
+    if p.revision > 0 and _rng(p.seed, h, d, i, "gone") < p.gone_pct:
+        return 404, None
     r_err = _rng(p.seed, h, d, i, "err")
     if r_err < p.error_pct:
         return (404 if _rng(p.seed, h, d, i, "err2") < 0.5 else 500), None
@@ -116,7 +124,12 @@ def _own_html(p: SiteParams, h: int, d: int, i: int) -> str:
         )
     if _rng(p.seed, h, d, i, "meta") < p.noindex_pct:
         head.append('<meta name="robots" content="noindex">')
-    body = [f"<h1>{url}</h1><p>host={h} d={d} i={i} seed={p.seed}</p>"]
+    rev = (
+        f" rev={p.revision}"
+        if p.revision > 0 and _rng(p.seed, h, d, i, "mut") < p.mutate_pct
+        else ""
+    )
+    body = [f"<h1>{url}</h1><p>host={h} d={d} i={i} seed={p.seed}{rev}</p>"]
     if d < p.depth:
         for j in range(p.branching):
             ci = i * p.branching + j

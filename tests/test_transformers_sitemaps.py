@@ -1,0 +1,125 @@
+"""Unit tests for the importer-transformer surface and sitemap parser."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from crawlspark.functions import transformers as TR
+from crawlspark.functions.sitemaps import (
+    parse_sitemap,
+    sitemap_locations,
+)
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "Hello World. Second sentence!  Extra   spaces", "2021-03-04"),
+            (2, "visit http://a.b/x and https://c.d/y now", "2022-12-31"),
+            (3, "", None),
+        ],
+        schema="id int, text string, d string",
+    )
+
+
+def test_string_transformers(spark, df):
+    out = df.select(
+        TR.character_case("text", "upper").alias("up"),
+        TR.replace_regex("text", r"\s+", "_").alias("rep"),
+        TR.truncate("text", 11, "...").alias("tr"),
+        TR.collapse_repeating("text", " ").alias("col1"),
+        TR.strip_after("text", ".").alias("sa"),
+        TR.text_between("text", "Hello", "Second").alias("tb"),
+        TR.document_length("text").alias("dl"),
+        TR.title_generator("text").alias("title"),
+    ).collect()
+    r = out[0]
+    assert r["up"].startswith("HELLO WORLD")
+    assert r["rep"].startswith("Hello_World.")
+    assert r["tr"] == "Hello Wo..."
+    assert "   " not in r["col1"]
+    assert r["sa"] == "Hello World"
+    assert r["tb"].strip() == "World."
+    assert r["dl"] == len("Hello World. Second sentence!  Extra   spaces")
+    assert r["title"] == "Hello World"
+
+
+def test_derivations(spark, df):
+    out = df.select(
+        "id",
+        TR.count_matches("text", r"\s+").alias("nws"),
+        TR.uuid_deterministic("id", "text").alias("uid"),
+        TR.extract_urls("text").alias("urls"),
+        TR.text_statistics("text").alias("st"),
+    ).collect()
+    assert out[1]["urls"] == ["http://a.b/x", "https://c.d/y"]
+    # deterministic uuid: same input -> same id across runs
+    assert out[0]["uid"] == out[0]["uid"] and len(out[0]["uid"]) == 32
+    assert out[0]["st"]["words"] == 6
+    assert out[0]["st"]["sentences"] == 2
+
+
+def test_conditions(spark, df):
+    out = df.select(
+        TR.cond_blank("text").alias("b"),
+        TR.cond_text("text", "World").alias("t"),
+    ).collect()
+    assert [r["b"] for r in out] == [False, False, True]
+    assert [r["t"] for r in out] == [True, False, False]
+
+
+def test_apply_when(spark, df):
+    out = TR.apply_when(
+        df,
+        TR.cond_text("text", "World"),
+        "text",
+        TR.character_case("text", "upper"),
+    ).collect()
+    assert out[0]["text"].startswith("HELLO")
+    assert out[1]["text"].startswith("visit")
+
+
+SITEMAP_XML = """<?xml version="1.0"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+<url><loc>http://a.b/d1/x.html</loc><lastmod>2024-01-02</lastmod>
+<changefreq>daily</changefreq><priority>0.8</priority></url>
+<url><loc>http://a.b/d1/y.html</loc><priority>oops</priority></url>
+<url><loc>http://other.c/z.html</loc></url>
+<url><loc></loc></url>
+</urlset>"""
+
+INDEX_XML = """<sitemapindex>
+<sitemap><loc>http://a.b/sitemap1.xml</loc></sitemap>
+<sitemap><loc>http://a.b/sitemap2.xml</loc></sitemap>
+</sitemapindex>"""
+
+
+def test_parse_sitemap():
+    recs, children = parse_sitemap("http://a.b/sitemap.xml", SITEMAP_XML)
+    urls = [r["url"] for r in recs]
+    assert urls == ["http://a.b/d1/x.html", "http://a.b/d1/y.html"]
+    assert recs[0]["changefreq"] == "daily" and recs[0]["priority"] == 0.8
+    # priority parse error -> 0 (SitemapParser.java:118)
+    assert recs[1]["priority"] == 0.0
+    assert children == []
+
+
+def test_parse_sitemap_index():
+    recs, children = parse_sitemap("http://a.b/sitemap_index.xml", INDEX_XML)
+    assert recs == []
+    assert children == [
+        "http://a.b/sitemap1.xml",
+        "http://a.b/sitemap2.xml",
+    ]
+
+
+def test_sitemap_locations():
+    locs = sitemap_locations(
+        "http://a.b", ["http://a.b/custom_map.xml"]
+    )
+    assert locs == [
+        "http://a.b/custom_map.xml",
+        "http://a.b/sitemap.xml",
+        "http://a.b/sitemap_index.xml",
+    ]
