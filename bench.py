@@ -159,8 +159,12 @@ def run_scaling() -> None:
             capture_output=True,
             text=True,
             env=env,
-            check=True,
         )
+        if out.returncode != 0:
+            sys.stderr.write(out.stderr[-4000:])
+            raise SystemExit(
+                f"crawl-only at {n} cores failed rc={out.returncode}"
+            )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         results[n] = json.loads(line)
         print(f"local[{n}]: {results[n]['frontier_urls_per_sec']} urls/s")
@@ -203,7 +207,13 @@ def run_crawl_only() -> None:
     from crawlspark.session import get_spark
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = get_spark("crawlspark-scaling", cores=cpus)
+    # shuffle partitions scale with the level so task counts are
+    # proportional — the fair N vs 4N comparison
+    spark = get_spark(
+        "crawlspark-scaling",
+        cores=cpus,
+        shuffle_partitions=int(cpus) if str(cpus).isdigit() else None,
+    )
     res = crawl_bench(spark, f"/tmp/crawlspark_bench_{cpus}")
     print(json.dumps(res))
 

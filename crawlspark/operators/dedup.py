@@ -112,9 +112,11 @@ class BloomPrefilter:
         mask = np.uint64(bits - 1)
         h2 = (k >> np.uint64(32)) | (k << np.uint64(32))
         out = []
-        for i in range(BloomPrefilter.K):
-            p = (k + np.uint64(i) * h2 + np.uint64(0x9E3779B97F4A7C15 * (i + 1)))
-            out.append((p & mask).astype(np.int64))
+        with np.errstate(over="ignore"):
+            for i in range(BloomPrefilter.K):
+                c = (0x9E3779B97F4A7C15 * (i + 1)) & ((1 << 64) - 1)
+                p = k + np.uint64(i) * h2 + np.uint64(c)
+                out.append((p & mask).astype(np.int64))
         return out
 
     def add_df(self, df: DataFrame, key_col: str = "seen_key") -> None:

@@ -10,19 +10,30 @@ every ledger row carries a dense ``seq`` assigned in discovery order
 "the fetch sequence" is simply ORDER BY seq — identical to the
 reference's MVStore monotone queue keys (MVStoreCacheQueue.java:27-35).
 
+Ledger storage is split so per-superstep writes are O(level), never
+O(ledger) — the property that survives a 10^10-URL frontier:
+
+* ``archive`` — append-only parts, one per superstep, holding rows
+  whose state is final (PROCESSED and REJECTED). Nothing here is ever
+  rewritten; on Iceberg these are plain appends to a table bucketed by
+  ``seen_key`` so the URL-seen anti-join prunes partitions.
+* ``frontier`` — a snapshot per superstep holding only the QUEUED
+  level (small); fully consumed by the next superstep.
+
 Superstep dataflow (all declarative; Catalyst/AQE plan it):
 
-  batch   = ledger WHERE status=QUEUED                (parquet scan)
-  sched   = per-host politeness recurrence            (applyInPandas)
-  fetched = batch LEFT JOIN pages ON url              (the fetch slot*)
-  parsed  = canonical/robots-meta/links/md5           (Arrow UDFs)
-  outcome = CASE ladder + checksum first-wins window  (JVM)
-  docs    = NEW rows + image payload                  (Arrow UDF)
+  batch   = frontier snapshot                          (parquet scan)
+  sched   = per-host politeness recurrence             (applyInPandas)
+  fetched = batch LEFT JOIN pages ON url               (the fetch slot*)
+  parsed  = canonical/robots-meta/links/md5/baseline   (Arrow UDFs + joins)
+  outcome = CASE ladder + checksum first-wins window   (JVM)
+  docs    = NEW/MODIFIED rows + image payload          (Arrow UDF)
   cands   = redirect ∪ canonical ∪ explode(links)
   queue pipeline: normalize → first-wins → Bloom prefilter +
-                  exact anti-join vs ledger → depth/filters/robots →
-                  assign dense seq                    (range-partitioned)
-  commit  = new ledger/docs/checksums/host-state snapshots + manifest
+                  exact anti-join vs archive∪frontier → depth/filters/
+                  robots → assign dense seq            (range-partitioned)
+  commit  = archive part + frontier/checksums/host-state snapshots +
+            checkpoint manifest (atomic swap last)
 
 *The fetch slot: tests/bench join a synthetic ``pages`` table
 (FIXTURES.md §1 — the MockWebsite analog). A real-HTTP fetcher drops
@@ -30,12 +41,13 @@ into the same slot as a ``mapInPandas`` over (url) batches doing async
 HTTP with per-fetcher retries (MultiFetcher.java:94-138 semantics);
 everything downstream is unchanged.
 
-Scale notes (10^10-URL frontier): the ledger is hash-partitioned by
-``seen_key`` (xxhash64 of canonical URL) on disk; candidate dedup is a
-Bloom prefilter + exact anti-join on that key; seq assignment is
-range-partition + offset (no global window); the politeness recurrence
-is O(rows) numpy per host. No collect() ever holds row data on the
-driver — only per-partition counts and the Bloom bitmap.
+Other scale notes: candidate dedup is a partitioned-Bloom prefilter +
+exact anti-join on ``xxhash64(canonical_url)``; seq assignment is
+range-partition + per-partition offsets (no global window); the
+politeness recurrence is O(rows) numpy per host. No collect() ever
+holds row data on the driver — only per-partition counts, metric
+dicts, and the Bloom bitmap. Run metrics live in the checkpoint
+manifest (driver json), not in Spark jobs.
 """
 
 from __future__ import annotations
@@ -44,6 +56,19 @@ import json
 import os
 import time
 from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import CrawlConfig
+from ..functions.links import extract_canonical_udf, extract_links_udf, robots_meta_udf
+from ..functions.urls import normalize_url_udf, url_host_udf
+from ..operators.dedup import BloomPrefilter, assign_seq, first_wins
+from ..operators.politeness import schedule_hosts
+from ..operators.robots_filter import build_robots_rules, host_delays, robots_verdict
+from ..sources.docgen import make_document_udf
+from .ledger import AppendTable, SnapshotTable
 
 _TIMING = os.environ.get("CRAWLSPARK_TIMING", "") == "1"
 
@@ -64,18 +89,6 @@ class _Tick:
             )
             self.t = now
 
-from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-from ..config import CrawlConfig
-from ..functions.links import extract_canonical_udf, extract_links_udf, robots_meta_udf
-from ..functions.urls import normalize_url_udf, url_host_udf
-from ..operators.dedup import BloomPrefilter, assign_seq, first_wins
-from ..operators.politeness import schedule_hosts
-from ..operators.robots_filter import build_robots_rules, host_delays, robots_verdict
-from ..sources.docgen import make_document_udf
-from .ledger import AppendTable, SnapshotTable
 
 LEDGER_SCHEMA = T.StructType(
     [
@@ -94,8 +107,6 @@ LEDGER_SCHEMA = T.StructType(
 )
 
 CAND_COLS = ["raw_url", "depth", "avail_ms", "trail", "parent_seq", "out_pos"]
-
-_L = [f.name for f in LEDGER_SCHEMA.fields]
 
 
 @dataclass
@@ -136,15 +147,24 @@ class CrawlEngine:
         )
         self.rules = build_robots_rules(robots_df, cfg.user_agent).cache()
         self.delays = host_delays(self.rules).cache()
-        self.ledger = SnapshotTable(spark, os.path.join(workdir, "ledger"))
+        self.archive = AppendTable(spark, os.path.join(workdir, "ledger_archive"))
+        self.frontier = SnapshotTable(spark, os.path.join(workdir, "frontier"))
         self.host_state = SnapshotTable(spark, os.path.join(workdir, "host_state"))
         self.checksums = SnapshotTable(spark, os.path.join(workdir, "checksums"))
         self.documents = AppendTable(spark, os.path.join(workdir, "documents"))
-        self.metrics = AppendTable(spark, os.path.join(workdir, "metrics"))
         self.superstep = 0
         self.max_seq = 0
         self.committed_total = 0
         self.queued_remaining = 0
+        self._metric_rows: list[tuple[str, str, int]] = []
+
+    def _ledger_df(self) -> DataFrame:
+        """All URL-seen rows: final archive parts ∪ live frontier."""
+        fr = self.frontier.read()
+        ar = self.archive.read()
+        if ar is None:
+            return fr
+        return ar.unionByName(fr)
 
     # -- checkpoint manifest (per-run lineage) -----------------------------
     @property
@@ -158,9 +178,10 @@ class CrawlEngine:
             "committed_total": self.committed_total,
             "queued_remaining": self.queued_remaining,
             "orphans_done": self._orphans_done,
-            "ledger_snapshot": self.ledger.latest_id(),
+            "frontier_snapshot": self.frontier.latest_id(),
             "host_state_snapshot": self.host_state.latest_id(),
             "checksums_snapshot": self.checksums.latest_id(),
+            "metrics": self._metric_rows,
         }
         tmp = self._ckpt + ".tmp"
         with open(tmp, "w") as f:
@@ -179,10 +200,10 @@ class CrawlEngine:
     ) -> "CrawlEngine":
         """Rebuild engine state from the last committed checkpoint.
 
-        Replays identically: snapshots are immutable, the manifest is
-        swapped atomically after all writes, and every downstream
-        computation is a pure function of (snapshots, config) — the
-        analog of the reference's requeue-on-resume
+        Replays identically: archive parts and snapshots are immutable,
+        the manifest is swapped atomically after all writes, and every
+        downstream computation is a pure function of (snapshots,
+        config) — the analog of the reference's requeue-on-resume
         (CrawlerEntryLedger.java:206-241,487-511).
         """
         eng = cls(spark, workdir, cfg, pages_df, robots_df, baseline_df)
@@ -192,9 +213,8 @@ class CrawlEngine:
         eng.max_seq = state["max_seq"]
         eng.committed_total = state["committed_total"]
         eng.queued_remaining = state["queued_remaining"]
-        eng._orphans_done = state.get(
-            "orphans_done", baseline_df is None
-        )
+        eng._orphans_done = state.get("orphans_done", baseline_df is None)
+        eng._metric_rows = [tuple(r) for r in state.get("metrics", [])]
         # drop any partial writes from a crashed superstep
         part = (
             f"{state['superstep'] - 1:06d}"
@@ -202,24 +222,27 @@ class CrawlEngine:
             else "0-bootstrap"
         )
         eng.documents.truncate_after(part)
-        eng.metrics.truncate_after(part)
+        eng.archive.truncate_after(part)
         return eng
 
     # -- bootstrap ---------------------------------------------------------
     def bootstrap(self, seed_urls: list[str]) -> None:
         """Seed enqueue (QueueBootstrapper analog; skipped on resume —
         QueueBootstrapper.java:74-79)."""
-        rows = [
-            (u, 0, 0, [], -1, i) for i, u in enumerate(seed_urls)
-        ]
+        rows = [(u, 0, 0, [], -1, i) for i, u in enumerate(seed_urls)]
         cand = self.spark.createDataFrame(
             rows,
             schema="raw_url string, depth int, avail_ms long, "
             "trail array<string>, parent_seq long, out_pos int",
         )
-        empty_ledger = self.spark.createDataFrame([], LEDGER_SCHEMA)
-        new_rows, stats = self._queue_pipeline(cand, empty_ledger, len(seed_urls))
-        self.ledger.write(new_rows, 0)
+        empty = self.spark.createDataFrame([], LEDGER_SCHEMA)
+        new_rows, stats = self._queue_pipeline(cand, empty, len(seed_urls))
+        self.frontier.write(new_rows.filter(F.col("status") == "QUEUED"), 0)
+        rejected = new_rows.filter(F.col("status") != "QUEUED")
+        # "0-bootstrap" sorts before "000000" so resume truncation
+        # (drop parts > last completed superstep) never removes it.
+        self.archive.append(rejected, "0-bootstrap")
+        new_rows.unpersist()
         self.host_state.write(
             self.spark.createDataFrame([], "host string, last_sched_ms long"), 0
         )
@@ -227,9 +250,7 @@ class CrawlEngine:
             self.spark.createDataFrame([], "checksum string, seq long"), 0
         )
         self.queued_remaining = stats["DOCUMENT_QUEUED"]
-        # "0-bootstrap" sorts before "000000" so resume truncation
-        # (drop parts > last completed superstep) never removes it.
-        self._append_metrics(stats, "0-bootstrap")
+        self._record_metrics(stats, "0-bootstrap")
         self._save_ckpt()
 
     # -- queue pipeline (§2.2 stage order) ---------------------------------
@@ -338,8 +359,7 @@ class CrawlEngine:
         if cfg.max_docs is not None and self.committed_total >= cfg.max_docs:
             return None
         tick = _Tick(self.superstep)
-        ledger = self.ledger.read()
-        batch = ledger.filter(F.col("status") == "QUEUED").drop("sched_ms")
+        batch = self.frontier.read().drop("sched_ms")
 
         sched = schedule_hosts(
             batch, self.delays, self.host_state.read(), cfg.default_delay_ms
@@ -361,7 +381,9 @@ class CrawlEngine:
             .withColumn("checksum", F.when(is200, F.md5(F.col("html"))))
         )
         noncanon = (
-            is200 & F.col("canonical").isNotNull() & (F.col("canonical") != F.col("url"))
+            is200
+            & F.col("canonical").isNotNull()
+            & (F.col("canonical") != F.col("url"))
         )
         noindex = F.coalesce(F.col("rm.noindex"), F.lit(False))
         nofollow = F.coalesce(F.col("rm.nofollow"), F.lit(False))
@@ -369,10 +391,7 @@ class CrawlEngine:
             is200
             & ~noncanon
             & ~nofollow
-            & (
-                F.lit(cfg.max_depth < 0)
-                | (F.col("depth") < F.lit(cfg.max_depth))
-            )
+            & (F.lit(cfg.max_depth < 0) | (F.col("depth") < F.lit(cfg.max_depth)))
         )
         parsed = parsed.withColumn(
             "links",
@@ -385,16 +404,12 @@ class CrawlEngine:
         committable = is200 & ~noncanon & ~noindex
         if self.baseline is not None:
             parsed = parsed.join(
-                self.baseline.select(
-                    "url", F.col("checksum").alias("base_ck")
-                ),
+                self.baseline.select("url", F.col("checksum").alias("base_ck")),
                 "url",
                 "left",
             )
         else:
-            parsed = parsed.withColumn(
-                "base_ck", F.lit(None).cast("string")
-            )
+            parsed = parsed.withColumn("base_ck", F.lit(None).cast("string"))
         unmod = F.col("base_ck").isNotNull() & (
             F.col("base_ck") == F.col("checksum")
         )
@@ -412,8 +427,7 @@ class CrawlEngine:
         parsed = parsed.withColumn(
             "dup_rank",
             F.when(
-                registers,
-                F.sum(F.when(registers, 1).otherwise(0)).over(w),
+                registers, F.sum(F.when(registers, 1).otherwise(0)).over(w)
             ).otherwise(F.lit(None)),
         )
         old_ck = self.checksums.read().select(
@@ -476,8 +490,7 @@ class CrawlEngine:
         # (GenericSpoiledReferenceStrategizer NOT_FOUND->DELETE mapping)
         if cfg.spoiled_delete:
             spoiled = parsed.filter(
-                (F.col("outcome") == "NOT_FOUND")
-                & F.col("base_ck").isNotNull()
+                (F.col("outcome") == "NOT_FOUND") & F.col("base_ck").isNotNull()
             ).select(
                 F.col("url").alias("image_id"),
                 F.lit(None).cast("binary").alias("bytes"),
@@ -520,7 +533,6 @@ class CrawlEngine:
         links = (
             parsed.filter(F.col("links").isNotNull())
             .select(
-                F.col("url").alias("src_url"),
                 "depth",
                 "sched_ms",
                 F.col("seq").alias("parent_seq"),
@@ -585,8 +597,9 @@ class CrawlEngine:
             elif r["outcome"] == "NONCANONICAL":
                 n_cand += int(r["n_canon_enq"])
 
-        new_rows, qstats = self._queue_pipeline(cand, ledger, n_cand)
+        new_rows, qstats = self._queue_pipeline(cand, self._ledger_df(), n_cand)
         tick("queue_pipeline")
+
         spoiled_deletes = (
             sum(
                 r["n_had_baseline"]
@@ -615,18 +628,18 @@ class CrawlEngine:
             }
         )
 
-        # ---- commit snapshots (write all, then manifest swap) ----
+        # ---- commit: O(level) writes only, manifest swap last ----
         sid = self.superstep + 1
-        ledger_next = (
-            ledger.filter(F.col("status") != "QUEUED")
-            .unionByName(processed)
-            .unionByName(new_rows)
-            .repartition(
-                self.spark.sparkContext.defaultParallelism, "seen_key"
-            )
+        part = f"{self.superstep:06d}"
+        self.archive.append(
+            processed.unionByName(new_rows.filter(F.col("status") != "QUEUED")),
+            part,
         )
-        self.ledger.write(ledger_next, sid)
-        tick("ledger_write")
+        tick("archive_write")
+        self.frontier.write(
+            new_rows.filter(F.col("status") == "QUEUED"), sid
+        )
+        tick("frontier_write")
 
         new_state = (
             parsed.groupBy("host")
@@ -644,11 +657,9 @@ class CrawlEngine:
         self.checksums.write(ck_next, sid)
         tick("checksums_write")
 
-        part = f"{self.superstep:06d}"
         self.documents.append(docs, part)
         tick("documents_write")
-        self._append_metrics(stats, part)
-        tick("metrics_write")
+        self._record_metrics(stats, part)
 
         parsed.unpersist()
         new_rows.unpersist()
@@ -675,9 +686,8 @@ class CrawlEngine:
         (RequeueOrphansForProcessingStep analog). PROCESS requeues them
         through the normal queue pipeline in baseline-seq order;
         DELETE emits delete ops for previously committed ones."""
-        ledger = self.ledger.read()
         orphans = self.baseline.join(
-            ledger.select("url"), "url", "left_anti"
+            self._ledger_df().select("url"), "url", "left_anti"
         ).cache()
         strategy = self.cfg.orphan_strategy
         sid = self.superstep + 1
@@ -692,12 +702,17 @@ class CrawlEngine:
                 F.lit(0).alias("out_pos"),
             )
             n = orphans.count()
-            new_rows, stats = self._queue_pipeline(cand, ledger, n)
+            new_rows, stats = self._queue_pipeline(cand, self._ledger_df(), n)
             stats["ORPHANS_REQUEUED"] = n
-            self.ledger.write(ledger.unionByName(new_rows), sid)
+            self.archive.append(
+                new_rows.filter(F.col("status") != "QUEUED"), part
+            )
+            self.frontier.write(
+                new_rows.filter(F.col("status") == "QUEUED"), sid
+            )
             new_rows.unpersist()
             self.queued_remaining += stats["DOCUMENT_QUEUED"]
-            self._append_metrics(stats, part)
+            self._record_metrics(stats, part)
         elif strategy == "DELETE":
             deletes = orphans.filter(F.col("checksum").isNotNull()).select(
                 F.col("url").alias("image_id"),
@@ -712,17 +727,12 @@ class CrawlEngine:
                 F.col("depth").cast("int").alias("depth"),
                 F.lit("delete").alias("op"),
             )
-            # part name must not sort after f"{superstep:06d}" or resume
-            # truncation would drop it; the plain step part is unused
-            # here (no step ran with this number)
             self.documents.append(deletes, part)
             n_del = deletes.count()
-            self.ledger.write(ledger, sid)
-            self._append_metrics(
-                {"DOCUMENT_COMMITTED_DELETE": n_del}, part
-            )
+            self.frontier.write(self.frontier.read(), sid)
+            self._record_metrics({"DOCUMENT_COMMITTED_DELETE": n_del}, part)
         else:  # IGNORE
-            self.ledger.write(ledger, sid)
+            self.frontier.write(self.frontier.read(), sid)
         orphans.unpersist()
         self.host_state.write(self.host_state.read(), sid)
         self.checksums.write(self.checksums.read(), sid)
@@ -747,17 +757,15 @@ class CrawlEngine:
         return out
 
     # -- outputs -------------------------------------------------------------
-    def _append_metrics(self, stats: dict, part: str) -> None:
-        rows = [(part, k, int(v)) for k, v in stats.items()]
-        df = self.spark.createDataFrame(
-            rows, schema="superstep string, event string, count long"
+    def _record_metrics(self, stats: dict, part: str) -> None:
+        self._metric_rows.extend(
+            (part, k, int(v)) for k, v in stats.items()
         )
-        self.metrics.append(df, part)
 
     def fetch_log(self) -> DataFrame:
         """(url, host, depth, scheduled_at_ms, outcome) in fetch order."""
         return (
-            self.ledger.read()
+            self.archive.read()
             .filter(F.col("status") == "PROCESSED")
             .select(
                 "seq",
@@ -771,17 +779,21 @@ class CrawlEngine:
         )
 
     def urlseen(self) -> DataFrame:
-        return self.ledger.read().select("url", "status", "outcome", "depth")
+        return self._ledger_df().select("url", "status", "outcome", "depth")
+
+    def docs_df(self) -> DataFrame | None:
+        return self.documents.read()
 
     def deletes_df(self) -> DataFrame | None:
         docs = self.documents.read()
         return docs.filter(F.col("op") == "delete") if docs is not None else None
 
-    def docs_df(self) -> DataFrame | None:
-        return self.documents.read()
-
     def metrics_df(self) -> DataFrame | None:
-        return self.metrics.read()
+        if not self._metric_rows:
+            return None
+        return self.spark.createDataFrame(
+            self._metric_rows, schema="superstep string, event string, count long"
+        )
 
 
 def load_baseline(spark: SparkSession, prev_workdir: str) -> DataFrame:
@@ -789,10 +801,12 @@ def load_baseline(spark: SparkSession, prev_workdir: str) -> DataFrame:
     (url, checksum, depth, seq) — checksum only for urls whose last
     document op was an upsert (the ledger_a->baseline flip of
     CrawlerEntryLedger.java:619-658 re-expressed as reading the prior
-    run's final snapshot)."""
-    ledger = SnapshotTable(spark, os.path.join(prev_workdir, "ledger")).read()
+    run's final state)."""
+    archive = AppendTable(
+        spark, os.path.join(prev_workdir, "ledger_archive")
+    ).read()
     docs = AppendTable(spark, os.path.join(prev_workdir, "documents")).read()
-    base = ledger.filter(F.col("status") == "PROCESSED").select(
+    base = archive.filter(F.col("status") == "PROCESSED").select(
         "url", "depth", "seq"
     )
     if docs is None:

@@ -49,10 +49,19 @@ def _seed_bytes(key: str, n: int) -> np.ndarray:
 
 
 def pixels_for(image_id: str, w: int, h: int) -> np.ndarray:
-    """Oracle pixels: seeded noise + a smooth gradient (h, w, 3)."""
+    """Oracle pixels: seeded noise + an id-dependent gradient (h, w, 3).
+
+    The gradient orientation/scale derive from the id so different
+    images have genuinely different low-frequency structure (and hence
+    distant phashes) — pure position gradients would make every
+    image's phash near-identical."""
     noise = _seed_bytes(image_id, w * h * 3).reshape(h, w, 3).astype(np.int16)
+    d = hashlib.blake2b(f"grad:{image_id}".encode(), digest_size=4).digest()
+    ax = (d[0] % 5) - 2  # -2..2
+    ay = (d[1] % 5) - 2
+    phase = d[2]
     yy, xx = np.mgrid[0:h, 0:w]
-    grad = ((xx * 255 // max(1, w - 1)) + (yy * 255 // max(1, h - 1))) // 2
+    grad = (ax * xx * 255 // max(1, w - 1) + ay * yy * 255 // max(1, h - 1) + phase) % 256
     px = (noise // 2 + grad[..., None] // 2).astype(np.uint8)
     return px
 
