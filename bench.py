@@ -49,20 +49,21 @@ def _bench_site_params():
 
 
 def crawl_bench(spark, workdir: str) -> dict:
-    """Crawl the bench site end-to-end; returns throughput numbers."""
+    """Crawl the bench site end-to-end; returns throughput numbers.
+
+    The fetch slot is ``make_fetcher`` — page responses resolved inside
+    the fetch tasks (the real-HTTP mapInPandas shape), so there is no
+    pages-table scan or join shuffle; what's measured is the frontier
+    pipeline itself: politeness scheduling, fetch+parse, outcome
+    resolution, dedup, queue pipeline, ledger/document commits.
+    """
     import shutil
 
     from crawlspark.config import CrawlConfig
     from crawlspark.plans.superstep import CrawlEngine
-    from crawlspark.sources.webgen import robots_body, seed_rows, spark_pages
+    from crawlspark.sources.webgen import make_fetcher, robots_body, seed_rows
 
     p = _bench_site_params()
-    pages_path = os.path.join(workdir, "pages")
-    t0 = time.time()
-    spark_pages(spark, p).write.mode("overwrite").parquet(pages_path)
-    gen_s = time.time() - t0
-
-    pages_df = spark.read.parquet(pages_path)
     robots_df = spark.createDataFrame(
         [(p.host(h), robots_body(p, h)) for h in range(p.n_hosts)],
         schema="host string, body string",
@@ -71,8 +72,13 @@ def crawl_bench(spark, workdir: str) -> dict:
 
     rundir = os.path.join(workdir, "run")
     shutil.rmtree(rundir, ignore_errors=True)
-    cfg = CrawlConfig(max_depth=p.depth, default_delay_ms=1000)
-    eng = CrawlEngine(spark, rundir, cfg, pages_df, robots_df)
+    img = int(os.environ.get("BENCH_IMG", "48"))
+    cfg = CrawlConfig(
+        max_depth=p.depth, default_delay_ms=1000, image_w=img, image_h=img
+    )
+    eng = CrawlEngine(
+        spark, rundir, cfg, None, robots_df, fetcher=make_fetcher(p)
+    )
     t1 = time.time()
     eng.bootstrap(seeds)
     stats = eng.run()
@@ -81,7 +87,6 @@ def crawl_bench(spark, workdir: str) -> dict:
     committed = sum(s.committed for s in stats)
     return {
         "pages_generated": p.total_pages(),
-        "gen_seconds": round(gen_s, 2),
         "urls_fetched": fetched,
         "docs_committed": committed,
         "supersteps": len(stats),
@@ -115,6 +120,7 @@ def run_default() -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark("crawlspark-bench", cores=cpus)
+    _warmup_crawl(spark)
     qtimes = {}
     total0 = time.time()
     for name in HEADLINE:
@@ -147,9 +153,12 @@ def run_scaling() -> None:
         int(x)
         for x in os.environ.get("BENCH_SCALING_LEVELS", "8,32").split(",")
     ]
-    os.environ.setdefault("BENCH_HOSTS", "120")
-    os.environ.setdefault("BENCH_DEPTH", "3")
-    os.environ.setdefault("BENCH_BRANCH", "9")
+    # wide and shallow: big BFS levels amortize per-superstep fixed
+    # costs and give every core real work — the shape a production
+    # frontier has (millions of URLs per level), scaled down.
+    os.environ.setdefault("BENCH_HOSTS", "400")
+    os.environ.setdefault("BENCH_DEPTH", "2")
+    os.environ.setdefault("BENCH_BRANCH", "20")
     results = {}
     for n in levels:
         env = dict(os.environ)
@@ -203,6 +212,55 @@ sleeping: {thi} urls/s at local[{hi}].
     print(f"efficiency {lo}->{hi}: {eff:.3f}  (wrote BENCH/BASELINE.md)")
 
 
+def _warmup_crawl(spark) -> None:
+    """Tiny throwaway crawl: JIT-compiles the codegen paths and spawns
+    the Python UDF workers so the measured run sees steady state."""
+    import shutil
+
+    from crawlspark.config import CrawlConfig
+    from crawlspark.plans.superstep import CrawlEngine
+    from crawlspark.sources.webgen import (
+        SiteParams,
+        make_fetcher,
+        robots_body,
+        seed_rows,
+    )
+
+    import pandas as pd
+
+    # spawn the full Python-UDF worker pool up front: a trivial
+    # mapInPandas with 2x-parallelism tasks forces every task slot to
+    # fork a worker and pay the pandas/numpy import once, here, instead
+    # of 32-at-once in the middle of the measured crawl.
+    par = spark.sparkContext.defaultParallelism
+
+    def _noop(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"id": pdf["id"]})
+
+    spark.range(0, par * 200, 1, par * 2).mapInPandas(
+        _noop, schema="id long"
+    ).count()
+
+    p = SiteParams(seed=1, n_hosts=16, depth=2, branching=5, n_seed_hosts=16)
+    robots_df = spark.createDataFrame(
+        [(p.host(h), robots_body(p, h)) for h in range(p.n_hosts)],
+        schema="host string, body string",
+    )
+    wd = "/tmp/crawlspark_warmup"
+    shutil.rmtree(wd, ignore_errors=True)
+    eng = CrawlEngine(
+        spark,
+        wd,
+        CrawlConfig(max_depth=p.depth, default_delay_ms=1000),
+        None,
+        robots_df,
+        fetcher=make_fetcher(p),
+    )
+    eng.bootstrap([r["url"] for r in seed_rows(p)])
+    eng.run()
+
+
 def run_crawl_only() -> None:
     from crawlspark.session import get_spark
 
@@ -214,6 +272,7 @@ def run_crawl_only() -> None:
         cores=cpus,
         shuffle_partitions=int(cpus) if str(cpus).isdigit() else None,
     )
+    _warmup_crawl(spark)
     res = crawl_bench(spark, f"/tmp/crawlspark_bench_{cpus}")
     print(json.dumps(res))
 

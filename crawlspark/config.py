@@ -42,6 +42,11 @@ class CrawlConfig:
     # counting across >2 runs is TODO).
     orphan_strategy: str = "PROCESS"
     spoiled_delete: bool = True
+    # robots physical strategy: True (default) collects+broadcasts the
+    # per-host rule lists once and matches in a zero-shuffle pandas UDF;
+    # False keeps rules distributed and filters via the robots_rules
+    # dim-table join (the path for rule sets too big to broadcast).
+    robots_broadcast: bool = True
     # engine-side knobs (no semantic effect):
     shuffle_partitions: int | None = None
     bloom_prefilter_min_ledger: int = 100_000

@@ -165,3 +165,73 @@ _ROBOTS_META_TYPE = T.StructType(
 def robots_meta_udf(html: pd.Series) -> pd.DataFrame:
     vals = [extract_robots_meta(h) for h in html]
     return pd.DataFrame(vals, columns=["noindex", "nofollow"])
+
+
+PARSE_FIELDS = T.StructType(
+    [
+        T.StructField("canonical", T.StringType()),
+        T.StructField("noindex", T.BooleanType()),
+        T.StructField("nofollow", T.BooleanType()),
+        T.StructField("checksum", T.StringType()),
+        T.StructField("links", LINKS_TYPE),
+    ]
+)
+
+
+def make_parse_transformer(max_depth: int):
+    """Fused per-batch parser: html in, parse fields out, html dropped.
+
+    One Arrow crossing instead of one per extractor UDF — the ~KBs/row
+    ``html`` column never re-enters the JVM, never lands in a cache,
+    and never crosses a shuffle; only the distilled parse fields do.
+    This is the Importer-handler-chain-in-one-pass shape
+    (importer/.../Importer.java:150-204 runs all handlers over the doc
+    while it is in memory once).
+
+    Per row (200-status only): canonical link (normalized), robots
+    meta, md5 content checksum, and — when the doc is followable
+    (canonical-self, not nofollow, below max depth,
+    LinkExtractorStage.java:59-66,162-171) — the outlinks.
+    """
+    import hashlib
+
+    from .urls import normalize_url
+
+    def parse(batches):
+        for pdf in batches:
+            n = len(pdf)
+            canon = [None] * n
+            noidx = [False] * n
+            nofol = [False] * n
+            ck = [None] * n
+            links = [None] * n
+            it = zip(
+                pdf["url"].tolist(),
+                pdf["html"].tolist(),
+                pdf["http_status"].tolist(),
+                pdf["depth"].tolist(),
+            )
+            for i, (u, h, s, d) in enumerate(it):
+                if h is None or s is None or pd.isna(s) or int(s) != 200:
+                    continue
+                c = extract_canonical(u, h)
+                c = normalize_url(c) if c else None
+                canon[i] = c
+                ni, nf = extract_robots_meta(h)
+                noidx[i], nofol[i] = ni, nf
+                ck[i] = hashlib.md5(h.encode()).hexdigest()
+                if (
+                    (c is None or c == u)
+                    and not nf
+                    and (max_depth < 0 or int(d) < max_depth)
+                ):
+                    links[i] = extract_links(u, h)
+            out = pdf.drop(columns=["html"])
+            out["canonical"] = canon
+            out["noindex"] = noidx
+            out["nofollow"] = nofol
+            out["checksum"] = ck
+            out["links"] = pd.Series(links, dtype=object, index=out.index)
+            yield out
+
+    return parse

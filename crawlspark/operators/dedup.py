@@ -28,8 +28,20 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def first_wins(df: DataFrame, key: str, order_cols: list[str]) -> DataFrame:
-    """Keep the first row per key by deterministic order."""
+def first_wins(
+    df: DataFrame, key: str, order_cols: list[str], n_part: int | None = None
+) -> DataFrame:
+    """Keep the first row per key by deterministic order.
+
+    ``n_part`` pins the clustering shuffle width explicitly: the
+    window's own exchange is AQE-coalescible, and with compressible
+    slim rows AQE happily folds a multi-100k-row level into ONE
+    partition — serializing every Python stage downstream of the
+    window. An explicit repartition-by-num is exempt from coalescing
+    and already satisfies the window's clustering requirement.
+    """
+    if n_part is not None:
+        df = df.repartition(n_part, F.col(key))
     w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order_cols])
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -38,13 +50,42 @@ def first_wins(df: DataFrame, key: str, order_cols: list[str]) -> DataFrame:
     )
 
 
-def assign_seq(
+def assign_seq_small(
     df: DataFrame, order_cols: list[str], start: int, seq_col: str = "seq"
+) -> DataFrame:
+    """Small-level fast path: one shuffle to a single partition, sort,
+    number. No range-sampling pass, no per-partition count job —
+    two whole Spark jobs cheaper than ``assign_seq``, and a single
+    sort task over <~150k rows is milliseconds. Upstream lineage keeps
+    its parallelism (``repartition``, not ``coalesce``)."""
+    one = df.repartition(1).sortWithinPartitions(*order_cols)
+    cols = df.columns
+    schema = one.withColumn(seq_col, F.lit(0).cast("long")).schema
+
+    def add_seq(it):
+        off = start
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            seqs = np.arange(off, off + len(pdf), dtype="int64")
+            off += len(pdf)
+            yield pdf.assign(**{seq_col: seqs})
+
+    return one.mapInPandas(add_seq, schema=schema).select(*cols, seq_col)
+
+
+def assign_seq(
+    df: DataFrame,
+    order_cols: list[str],
+    start: int,
+    seq_col: str = "seq",
+    n_part: int | None = None,
 ) -> DataFrame:
     """Add a dense 0-gap sequence ``start, start+1, ...`` following the
     total order given by ``order_cols`` (must be unique per row)."""
     spark = df.sparkSession
-    n_part = max(2, spark.sparkContext.defaultParallelism)
+    if n_part is None:
+        n_part = max(2, spark.sparkContext.defaultParallelism)
     parted = df.repartitionByRange(n_part, *order_cols).sortWithinPartitions(
         *order_cols
     )

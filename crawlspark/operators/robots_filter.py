@@ -94,10 +94,60 @@ def match_target_col(url_col):
     ).otherwise(F.concat(path, F.lit("?"), query))
 
 
+def make_robots_verdict_udf(spark, rules_rows: list):
+    """Broadcast-dict longest-match verdict — a single projection,
+    zero shuffles, zero extra jobs per superstep.
+
+    ``rules_rows``: collected (host, pattern, allow) triples from the
+    rules dim — collected ONCE per run; the per-host pattern lists are
+    broadcast and candidates match in a vectorized pandas UDF using
+    the *same* ``RobotsMatcher`` the pure-Python oracle uses (exact
+    parity by construction). This is the right physical shape while
+    the rule set fits a broadcast (hundreds of MB ≈ 10^6+ hosts);
+    beyond that, flip to ``robots_verdict`` — the join/agg dataflow
+    form over the ``robots_rules`` dim table.
+    """
+    from ..functions.robots import RobotsMatcher, RobotsRules
+
+    by_host: dict[str, list[tuple[str, bool]]] = {}
+    for host, pattern, allow in rules_rows:
+        if pattern is not None:
+            by_host.setdefault(host, []).append((pattern, bool(allow)))
+    b = spark.sparkContext.broadcast(by_host)
+
+    @F.pandas_udf("boolean")
+    def robots_ok(url: pd.Series, host: pd.Series) -> pd.Series:
+        from urllib.parse import urlsplit
+
+        rules_map = b.value
+        matchers: dict[str, RobotsMatcher | None] = {}
+        out = []
+        for u, h in zip(url, host):
+            m = matchers.get(h, False)
+            if m is False:
+                rs = rules_map.get(h)
+                m = RobotsMatcher(RobotsRules(rules=rs)) if rs else None
+                matchers[h] = m
+            if m is None:
+                out.append(True)
+                continue
+            parts = urlsplit(u)
+            t = parts.path or "/"
+            if parts.query:
+                t += "?" + parts.query
+            out.append(m.allowed(t))
+        return pd.Series(out)
+
+    return robots_ok
+
+
 def robots_verdict(cand_urls: DataFrame, rules_df: DataFrame) -> DataFrame:
     """(url, host) -> (url, robots_ok boolean) via longest-match."""
     c = cand_urls.withColumn("__mt", match_target_col(F.col("url")))
-    j = c.join(rules_df, "host", "left")
+    # rules is a per-host dim (a handful of rows per host); broadcast
+    # explicitly — its mapInPandas lineage defeats size estimation, so
+    # without the hint Catalyst plans a sort-merge join.
+    j = c.join(F.broadcast(rules_df), "host", "left")
     matched = F.col("pattern_re").isNotNull() & F.regexp_like(
         F.col("__mt"), F.col("pattern_re")
     )

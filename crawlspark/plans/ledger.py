@@ -76,25 +76,40 @@ class SnapshotTable:
 
 
 class AppendTable:
-    """Append-only parquet table (documents / metrics / fetch log)."""
+    """Append-only parquet table (ledger levels / documents / metrics).
 
-    def __init__(self, spark: SparkSession, path: str):
+    An explicit ``schema`` makes empty parts and the no-parts case read
+    back as an empty DataFrame instead of failing schema inference —
+    required for the ledger, whose per-superstep parts may legally hold
+    zero rows of a given status.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, schema=None):
         self.spark = spark
         self.path = path
+        self.schema = schema
         os.makedirs(path, exist_ok=True)
+
+    def _reader(self):
+        r = self.spark.read
+        return r.schema(self.schema) if self.schema is not None else r
 
     def append(self, df: DataFrame, part: str) -> None:
         df.write.mode("overwrite").parquet(os.path.join(self.path, f"part-{part}"))
 
+    def parts(self) -> list[str]:
+        return sorted(d for d in os.listdir(self.path) if d.startswith("part-"))
+
     def read(self) -> DataFrame | None:
-        parts = [
-            os.path.join(self.path, d)
-            for d in sorted(os.listdir(self.path))
-            if d.startswith("part-")
-        ]
+        parts = [os.path.join(self.path, d) for d in self.parts()]
         if not parts:
+            if self.schema is not None:
+                return self.spark.createDataFrame([], self.schema)
             return None
-        return self.spark.read.parquet(*parts)
+        return self._reader().parquet(*parts)
+
+    def read_part(self, part: str) -> DataFrame:
+        return self._reader().parquet(os.path.join(self.path, f"part-{part}"))
 
     def truncate_after(self, part: str) -> None:
         """Resume support: drop parts written after a checkpoint."""

@@ -10,44 +10,78 @@ every ledger row carries a dense ``seq`` assigned in discovery order
 "the fetch sequence" is simply ORDER BY seq — identical to the
 reference's MVStore monotone queue keys (MVStoreCacheQueue.java:27-35).
 
-Ledger storage is split so per-superstep writes are O(level), never
-O(ledger) — the property that survives a 10^10-URL frontier:
+Ledger storage is one append-only *level* part per superstep, so
+per-superstep writes are O(level), never O(ledger) — the property that
+survives a 10^10-URL frontier. A level part holds this superstep's
 
-* ``archive`` — append-only parts, one per superstep, holding rows
-  whose state is final (PROCESSED and REJECTED). Nothing here is ever
-  rewritten; on Iceberg these are plain appends to a table bucketed by
-  ``seen_key`` so the URL-seen anti-join prunes partitions.
-* ``frontier`` — a snapshot per superstep holding only the QUEUED
-  level (small); fully consumed by the next superstep.
+* PROCESSED rows — the batch just fetched (final state),
+* REJECTED rows — candidates killed by depth/filters/robots (final),
+* QUEUED rows — the next frontier (consumed by the next superstep,
+  superseded there by their own PROCESSED row; the URL-seen anti-join
+  tolerates that one transient duplicate, ``urlseen()`` resolves it
+  by latest superstep).
+
+On Iceberg these are plain appends to a table bucketed by ``seen_key``
+so the URL-seen anti-join prunes partitions.
 
 Superstep dataflow (all declarative; Catalyst/AQE plan it):
 
-  batch   = frontier snapshot                          (parquet scan)
-  sched   = per-host politeness recurrence             (applyInPandas)
-  fetched = batch LEFT JOIN pages ON url               (the fetch slot*)
-  parsed  = canonical/robots-meta/links/md5/baseline   (Arrow UDFs + joins)
-  outcome = CASE ladder + checksum first-wins window   (JVM)
-  docs    = NEW/MODIFIED rows + image payload          (Arrow UDF)
+  batch   = previous level's QUEUED rows                (parquet scan)
+  sched   = per-host politeness recurrence              (applyInPandas)
+  fetched = fetcher(sched)                              (the fetch slot*)
+  parsed  = canonical/robots-meta/links/md5/baseline    (Arrow UDFs)
+  outcome = CASE ladder + checksum first-wins window    (JVM)
+  docs    = NEW/MODIFIED rows + image payload           (Arrow UDF)
   cands   = redirect ∪ canonical ∪ explode(links)
   queue pipeline: normalize → first-wins → Bloom prefilter +
-                  exact anti-join vs archive∪frontier → depth/filters/
-                  robots → assign dense seq            (range-partitioned)
-  commit  = archive part + frontier/checksums/host-state snapshots +
+                  exact anti-join vs ledger → depth/filters/robots →
+                  assign dense seq
+  commit  = ONE level part + host-state snapshot + documents part +
             checkpoint manifest (atomic swap last)
 
-*The fetch slot: tests/bench join a synthetic ``pages`` table
-(FIXTURES.md §1 — the MockWebsite analog). A real-HTTP fetcher drops
-into the same slot as a ``mapInPandas`` over (url) batches doing async
-HTTP with per-fetcher retries (MultiFetcher.java:94-138 semantics);
-everything downstream is unchanged.
+*The fetch slot has two implementations: ``fetcher`` — a mapInPandas
+transform resolving each URL in the fetch task itself (zero shuffle;
+the real async-HTTP fetcher with per-fetcher retries,
+MultiFetcher.java:94-138, drops into exactly this shape — see
+``webgen.make_fetcher`` for the synthetic one) — or a LEFT JOIN
+against a materialized ``pages`` table (FIXTURES.md §1, the
+MockWebsite analog) for arbitrary test fixtures.
 
-Other scale notes: candidate dedup is a partitioned-Bloom prefilter +
-exact anti-join on ``xxhash64(canonical_url)``; seq assignment is
-range-partition + per-partition offsets (no global window); the
-politeness recurrence is O(rows) numpy per host. No collect() ever
-holds row data on the driver — only per-partition counts, metric
-dicts, and the Bloom bitmap. Run metrics live in the checkpoint
-manifest (driver json), not in Spark jobs.
+Scale/efficiency notes:
+
+* Every shuffle is sized to the level, not the cluster: the driver
+  knows the exact frontier/candidate counts (they're by-products of
+  the metric aggregations), so ``spark.sql.shuffle.partitions`` is set
+  per superstep to ``rows / ROWS_PER_TASK`` capped at the parallelism.
+  Small levels run in a handful of tasks instead of paying per-task
+  Python-UDF round-trip overhead across hundreds of near-empty tasks;
+  big levels still fan out to every core.
+* The URL-seen Bloom bitmap is maintained *incrementally* on the
+  driver: synced once from the ledger when it first crosses the size
+  threshold, then fed only each superstep's new rows — O(level), not
+  O(ledger), per superstep.
+* ``seq`` assignment is a single-task sort below ~150k candidates
+  (two fewer jobs) and range-partition + per-partition offsets above
+  (no global window either way).
+* The URL-seen keys and the checksum registry are served from
+  per-part cached fragments (one slim cached DataFrame per committed
+  level part) so per-superstep broadcast builds never re-scan the
+  ledger from disk; columns like ``checksum`` ride in the ledger rows
+  so no extra table or write job exists for them.
+* Explicit ``repartition(n, key)`` pins the politeness and first-wins
+  clustering width: those shuffles carry highly-compressible slim rows
+  that AQE would coalesce into one partition, serializing the Python
+  stages downstream (politeness -> fetch -> parse).
+* Robots matching defaults to a broadcast of the per-host rule lists
+  applied in a zero-shuffle pandas UDF (same ``RobotsMatcher`` as the
+  oracle); the ``robots_rules`` dim-table join remains for rule sets
+  too large to broadcast (``CrawlConfig.robots_broadcast=False``).
+* Fetch and parse are FUSED into one ``mapInPandas`` pass when the
+  fetcher exposes its generator form: page bodies are parsed in the
+  Python worker that fetched them and never serialize to the JVM.
+* No collect() ever holds row data on the driver — only per-partition
+  counts, metric dicts, and the Bloom bitmap. Run metrics live in the
+  checkpoint manifest (driver json), not in Spark jobs.
 """
 
 from __future__ import annotations
@@ -56,21 +90,36 @@ import json
 import os
 import time
 from dataclasses import dataclass
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import CrawlConfig
-from ..functions.links import extract_canonical_udf, extract_links_udf, robots_meta_udf
+from ..functions.links import PARSE_FIELDS, make_parse_transformer
 from ..functions.urls import normalize_url_udf, url_host_udf
-from ..operators.dedup import BloomPrefilter, assign_seq, first_wins
+from ..operators.dedup import BloomPrefilter, assign_seq, assign_seq_small, first_wins
 from ..operators.politeness import schedule_hosts
-from ..operators.robots_filter import build_robots_rules, host_delays, robots_verdict
+from ..operators.robots_filter import (
+    build_robots_rules,
+    host_delays,
+    make_robots_verdict_udf,
+    robots_verdict,
+)
 from ..sources.docgen import make_document_udf
 from .ledger import AppendTable, SnapshotTable
 
 _TIMING = os.environ.get("CRAWLSPARK_TIMING", "") == "1"
+
+# target rows per shuffle task when sizing a superstep's shuffles; the
+# per-row work (politeness numpy, regex link extraction, md5) makes a
+# few thousand rows ≈ tens of ms per task, comfortably above task
+# overhead while still fanning wide levels out to every core.
+ROWS_PER_TASK = 2500
+# below this many candidates, seq assignment single-task sorts instead
+# of range-partitioning (saves the sampling + count jobs).
+SMALL_SEQ_ROWS = 150_000
 
 
 class _Tick:
@@ -101,8 +150,25 @@ LEDGER_SCHEMA = T.StructType(
         T.StructField("sched_ms", T.LongType()),
         T.StructField("status", T.StringType()),
         T.StructField("outcome", T.StringType()),
+        T.StructField("checksum", T.StringType()),
         T.StructField("trail", T.ArrayType(T.StringType())),
         T.StructField("superstep", T.IntegerType()),
+    ]
+)
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("caption", T.StringType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("checksum", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("op", T.StringType()),
     ]
 )
 
@@ -124,47 +190,181 @@ class CrawlEngine:
         spark: SparkSession,
         workdir: str,
         cfg: CrawlConfig,
-        pages_df: DataFrame,
+        pages_df: DataFrame | None,
         robots_df: DataFrame,
         baseline_df: DataFrame | None = None,
+        fetcher: Callable[[DataFrame], DataFrame] | None = None,
     ):
         """``baseline_df``: previous run's ledger delta input
         (url, checksum, depth, seq) — enables NEW/MODIFIED/UNMODIFIED
         outcomes, the orphan pass, and spoiled deletes (the ledger_a/
         ledger_b generation flip of CrawlerEntryLedger.java:619-658).
-        Build it with ``load_baseline(spark, prev_workdir)``."""
+        Build it with ``load_baseline(spark, prev_workdir)``.
+
+        ``fetcher``: optional fetch transform (batch DF with ``url`` ->
+        same DF + http_status/html/redirect_to). When given, fetching
+        runs inside the batch's own tasks (the real-HTTP shape); when
+        None, ``pages_df`` is joined instead."""
         self.spark = spark
         self.workdir = workdir
         self.cfg = cfg
         self.baseline = baseline_df.cache() if baseline_df is not None else None
         self._orphans_done = baseline_df is None
         os.makedirs(workdir, exist_ok=True)
-        self.pages = pages_df.select(
-            F.col("url"),
-            F.col("status").alias("http_status"),
-            "html",
-            "redirect_to",
-        )
+        self.fetcher = fetcher
+        if fetcher is None:
+            if pages_df is None:
+                raise ValueError("need pages_df or fetcher")
+            # cache the fixture table so each superstep's fetch join
+            # reuses the in-memory relation instead of re-scanning
+            self.pages = pages_df.select(
+                F.col("url"),
+                F.col("status").alias("http_status"),
+                "html",
+                "redirect_to",
+            ).cache()
+        else:
+            self.pages = None
         self.rules = build_robots_rules(robots_df, cfg.user_agent).cache()
         self.delays = host_delays(self.rules).cache()
-        self.archive = AppendTable(spark, os.path.join(workdir, "ledger_archive"))
-        self.frontier = SnapshotTable(spark, os.path.join(workdir, "frontier"))
+        self._robots_udf = None
+        if cfg.honor_robots and cfg.robots_broadcast:
+            rows = self.rules.select("host", "pattern", "allow").collect()
+            self._robots_udf = make_robots_verdict_udf(spark, rows)
+        self.levels = AppendTable(
+            spark, os.path.join(workdir, "ledger_levels"), schema=LEDGER_SCHEMA
+        )
         self.host_state = SnapshotTable(spark, os.path.join(workdir, "host_state"))
-        self.checksums = SnapshotTable(spark, os.path.join(workdir, "checksums"))
-        self.documents = AppendTable(spark, os.path.join(workdir, "documents"))
+        self.documents = AppendTable(
+            spark, os.path.join(workdir, "documents"), schema=DOCS_SCHEMA
+        )
         self.superstep = 0
         self.max_seq = 0
         self.committed_total = 0
         self.queued_remaining = 0
+        self._frontier_part: str | None = None
+        self._ledger_rows = 0
+        self.bloom = BloomPrefilter(cfg.bloom_bits)
+        self._bloom_synced = False
+        # links-per-fetched-doc ratio from the previous superstep; only
+        # shapes partition counts, never results
+        self._branch_est = 10.0
+        self._key_parts: list[DataFrame] = []
+        self._registry_parts: list[DataFrame] = []
         self._metric_rows: list[tuple[str, str, int]] = []
+        self._parallelism = spark.sparkContext.defaultParallelism
+
+    def _n_part(self, rows: int) -> int:
+        return max(1, min(self._parallelism, rows // ROWS_PER_TASK + 1))
+
+    def _set_shuffle(self, rows: int) -> None:
+        """Size upcoming shuffles to the data, not the cluster."""
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", str(self._n_part(rows))
+        )
 
     def _ledger_df(self) -> DataFrame:
-        """All URL-seen rows: final archive parts ∪ live frontier."""
-        fr = self.frontier.read()
-        ar = self.archive.read()
-        if ar is None:
-            return fr
-        return ar.unionByName(fr)
+        """All URL-seen rows (every level part; a QUEUED row and its
+        later PROCESSED row may coexist — harmless for anti-joins)."""
+        return self.levels.read()
+
+    # -- in-memory ledger fragments ----------------------------------------
+    # The URL-seen anti-join and the checksum registry need the ledger
+    # every superstep; re-scanning all level parts from parquet makes
+    # each superstep O(ledger) in broadcast-build time. Instead each
+    # committed part contributes one independently-cached slim fragment
+    # (url/seen_key; checksums of committed rows) and consumers union
+    # the fragment list — O(level) new work per superstep, no nested
+    # cache lineage. On a 10^10-URL cluster these fragments would not
+    # fit executor memory: there the anti-join runs against the Iceberg
+    # ledger bucketed by seen_key (bucket-pruned by the Bloom pass) —
+    # same dataflow, different storage tier.
+
+    def _register_part(self, part: str) -> None:
+        pdf = self.levels.read_part(part)
+        self._key_parts.append(
+            pdf.filter(F.col("status") != "PROCESSED")
+            .select("url", "seen_key")
+            .cache()
+        )
+        self._registry_parts.append(
+            pdf.filter(F.col("outcome").isin("NEW", "MODIFIED"))
+            .select("checksum")
+            .cache()
+        )
+
+    def _restore_parts(self) -> None:
+        for name in self.levels.parts():
+            self._register_part(name[len("part-"):])
+
+    def _ledger_keys(self) -> DataFrame:
+        """(url, seen_key) of every ledger row — union of cached
+        fragments (urls unique: PROCESSED rows are excluded, having
+        already contributed their QUEUED fragment)."""
+        if not self._key_parts:
+            return self.spark.createDataFrame([], "url string, seen_key long")
+        out = self._key_parts[0]
+        for p in self._key_parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _frontier_df(self) -> DataFrame:
+        return self.levels.read_part(self._frontier_part).filter(
+            F.col("status") == "QUEUED"
+        )
+
+    def _fetch_parse(self, sched: DataFrame) -> DataFrame:
+        """Fetch + parse the scheduled batch.
+
+        Preferred shape: the fetcher's generator form composed with the
+        parse transformer into ONE mapInPandas — bodies are fetched and
+        parsed in the same Python worker pass and only the distilled
+        parse fields (canonical/robots-meta/checksum/links) return to
+        the JVM. Fallbacks: a DataFrame-level fetcher, or the
+        ``pages``-table join (MockWebsite analog), each followed by the
+        parse transformer (html crosses once, then is dropped).
+        """
+        parse = make_parse_transformer(self.cfg.max_depth)
+        parse_names = {f.name for f in PARSE_FIELDS.fields}
+        out_fields = [
+            f
+            for f in sched.schema.fields
+            if f.name not in ("html", "http_status", "redirect_to")
+            and f.name not in parse_names
+        ]
+        out_schema = T.StructType(
+            out_fields
+            + [
+                T.StructField("http_status", T.IntegerType()),
+                T.StructField("redirect_to", T.StringType()),
+            ]
+            + list(PARSE_FIELDS.fields)
+        )
+        gen = getattr(self.fetcher, "batches", None)
+        if gen is not None:
+
+            def composed(batches):
+                return parse(gen(batches))
+
+            return sched.mapInPandas(composed, schema=out_schema)
+        if self.fetcher is not None:
+            fetched = self.fetcher(sched)
+        else:
+            fetched = sched.join(self.pages, "url", "left")
+        return fetched.mapInPandas(parse, schema=out_schema)
+
+    def _checksum_registry(self) -> DataFrame:
+        """(checksum, ck_seen) from committed ledger rows — unique per
+        checksum by construction (a checksum commits at most once per
+        run; later hits become DUPLICATE). Served from the cached
+        fragments, independent of image payload size."""
+        if not self._registry_parts:
+            base = self.spark.createDataFrame([], "checksum string")
+        else:
+            base = self._registry_parts[0]
+            for p in self._registry_parts[1:]:
+                base = base.unionByName(p)
+        return base.select("checksum", F.lit(True).alias("ck_seen"))
 
     # -- checkpoint manifest (per-run lineage) -----------------------------
     @property
@@ -178,9 +378,10 @@ class CrawlEngine:
             "committed_total": self.committed_total,
             "queued_remaining": self.queued_remaining,
             "orphans_done": self._orphans_done,
-            "frontier_snapshot": self.frontier.latest_id(),
+            "frontier_part": self._frontier_part,
+            "ledger_rows": self._ledger_rows,
+            "branch_est": self._branch_est,
             "host_state_snapshot": self.host_state.latest_id(),
-            "checksums_snapshot": self.checksums.latest_id(),
             "metrics": self._metric_rows,
         }
         tmp = self._ckpt + ".tmp"
@@ -194,19 +395,21 @@ class CrawlEngine:
         spark: SparkSession,
         workdir: str,
         cfg: CrawlConfig,
-        pages_df: DataFrame,
+        pages_df: DataFrame | None,
         robots_df: DataFrame,
         baseline_df: DataFrame | None = None,
+        fetcher: Callable[[DataFrame], DataFrame] | None = None,
     ) -> "CrawlEngine":
         """Rebuild engine state from the last committed checkpoint.
 
-        Replays identically: archive parts and snapshots are immutable,
-        the manifest is swapped atomically after all writes, and every
-        downstream computation is a pure function of (snapshots,
-        config) — the analog of the reference's requeue-on-resume
-        (CrawlerEntryLedger.java:206-241,487-511).
+        Replays identically: level parts are immutable, the manifest is
+        swapped atomically after all writes, and every downstream
+        computation is a pure function of (level parts, config) — the
+        analog of the reference's requeue-on-resume
+        (CrawlerEntryLedger.java:206-241,487-511). The Bloom bitmap is
+        not persisted; it is re-synced lazily from the ledger.
         """
-        eng = cls(spark, workdir, cfg, pages_df, robots_df, baseline_df)
+        eng = cls(spark, workdir, cfg, pages_df, robots_df, baseline_df, fetcher)
         with open(eng._ckpt) as f:
             state = json.load(f)
         eng.superstep = state["superstep"]
@@ -214,6 +417,9 @@ class CrawlEngine:
         eng.committed_total = state["committed_total"]
         eng.queued_remaining = state["queued_remaining"]
         eng._orphans_done = state.get("orphans_done", baseline_df is None)
+        eng._frontier_part = state.get("frontier_part")
+        eng._ledger_rows = state.get("ledger_rows", 0)
+        eng._branch_est = state.get("branch_est", 10.0)
         eng._metric_rows = [tuple(r) for r in state.get("metrics", [])]
         # drop any partial writes from a crashed superstep
         part = (
@@ -222,7 +428,8 @@ class CrawlEngine:
             else "0-bootstrap"
         )
         eng.documents.truncate_after(part)
-        eng.archive.truncate_after(part)
+        eng.levels.truncate_after(part)
+        eng._restore_parts()
         return eng
 
     # -- bootstrap ---------------------------------------------------------
@@ -235,20 +442,15 @@ class CrawlEngine:
             schema="raw_url string, depth int, avail_ms long, "
             "trail array<string>, parent_seq long, out_pos int",
         )
+        self._set_shuffle(len(seed_urls))
         empty = self.spark.createDataFrame([], LEDGER_SCHEMA)
         new_rows, stats = self._queue_pipeline(cand, empty, len(seed_urls))
-        self.frontier.write(new_rows.filter(F.col("status") == "QUEUED"), 0)
-        rejected = new_rows.filter(F.col("status") != "QUEUED")
         # "0-bootstrap" sorts before "000000" so resume truncation
         # (drop parts > last completed superstep) never removes it.
-        self.archive.append(rejected, "0-bootstrap")
+        self.levels.append(new_rows, "0-bootstrap")
         new_rows.unpersist()
-        self.host_state.write(
-            self.spark.createDataFrame([], "host string, last_sched_ms long"), 0
-        )
-        self.checksums.write(
-            self.spark.createDataFrame([], "checksum string, seq long"), 0
-        )
+        self._register_part("0-bootstrap")
+        self._frontier_part = "0-bootstrap"
         self.queued_remaining = stats["DOCUMENT_QUEUED"]
         self._record_metrics(stats, "0-bootstrap")
         self._save_ckpt()
@@ -262,19 +464,36 @@ class CrawlEngine:
         ``n_cand`` is precomputed by the caller (avoids re-running the
         candidate lineage just for a count)."""
         cfg = self.cfg
+        qtick = _Tick(self.superstep)
+        self._set_shuffle(n_cand)
         c = cand.withColumn("url", normalize_url_udf(F.col("raw_url"))).drop(
             "raw_url"
         )
         c = c.filter(F.col("url").isNotNull())
-        c = first_wins(c, "url", ["parent_seq", "out_pos"])
+        c = first_wins(
+            c, "url", ["parent_seq", "out_pos"], n_part=self._n_part(n_cand)
+        )
+        c = c.withColumn("seen_key", F.xxhash64(F.col("url")))
+        # cache HERE, right after the first-wins shuffle: the Bloom
+        # split (fresh ∪ maybe) and the robots-verdict join each
+        # reference the candidate set a second time — without this
+        # cache the normalize-UDF + window lineage re-executes up to
+        # 4x per superstep (seen live in the event log as four
+        # identical wide stages).
+        c = cand_cache = c.cache()
 
         # URL-seen: Bloom prefilter (probable) + exact anti-join (exact).
-        c = c.withColumn("seen_key", F.xxhash64(F.col("url")))
+        # The bitmap is synced from the full ledger once, at the
+        # threshold crossing; afterwards step() feeds it only new rows.
         ledger_keys = ledger.select("url", "seen_key")
-        if self.queued_remaining + self.max_seq >= cfg.bloom_prefilter_min_ledger:
-            bloom = BloomPrefilter(cfg.bloom_bits)
-            bloom.add_df(ledger_keys)
-            maybe, fresh = bloom.filter_candidates(c)
+        if (
+            not self._bloom_synced
+            and self._ledger_rows >= cfg.bloom_prefilter_min_ledger
+        ):
+            self.bloom.add_df(ledger_keys)
+            self._bloom_synced = True
+        if self._bloom_synced:
+            maybe, fresh = self.bloom.filter_candidates(c)
             maybe_new = maybe.join(ledger_keys.select("url"), "url", "left_anti")
             c = fresh.unionByName(maybe_new)
         else:
@@ -296,7 +515,11 @@ class CrawlEngine:
                 any_inc = any_inc | F.col("url").rlike(pat)
             filtered = filtered | ~any_inc
 
-        if cfg.honor_robots:
+        if cfg.honor_robots and self._robots_udf is not None:
+            c = c.withColumn(
+                "robots_ok", self._robots_udf(F.col("url"), F.col("host"))
+            )
+        elif cfg.honor_robots:
             verdict = robots_verdict(c.select("url", "host"), self.rules)
             c = c.join(verdict, "url", "left")
         else:
@@ -313,10 +536,19 @@ class CrawlEngine:
             F.when(F.col("outcome").isNull(), "QUEUED").otherwise("REJECTED"),
         )
 
-        # cache before assign_seq: range partitioning samples its input
-        # (an extra pass), which must not re-run the UDF/join lineage
+        # second cache before assign_seq: the large path's range
+        # partitioning samples its input (an extra pass), which must
+        # not re-run the join lineage
         c = c.cache()
-        seq_df = assign_seq(c, ["parent_seq", "out_pos"], self.max_seq)
+        if n_cand <= SMALL_SEQ_ROWS:
+            seq_df = assign_seq_small(c, ["parent_seq", "out_pos"], self.max_seq)
+        else:
+            seq_df = assign_seq(
+                c,
+                ["parent_seq", "out_pos"],
+                self.max_seq,
+                n_part=self._n_part(n_cand),
+            )
         new_rows = seq_df.select(
             "url",
             "seen_key",
@@ -327,14 +559,17 @@ class CrawlEngine:
             F.lit(None).cast("long").alias("sched_ms"),
             "status",
             "outcome",
+            F.lit(None).cast("string").alias("checksum"),
             "trail",
             F.lit(self.superstep).cast("int").alias("superstep"),
         ).cache()
 
+        qtick("qp:plan_built")
         by_status = {
             (r["status"], r["outcome"]): r["count"]
             for r in new_rows.groupBy("status", "outcome").count().collect()
         }
+        qtick("qp:materialize+count")
         n_new = sum(by_status.values())
         stats = {
             "DOCUMENT_QUEUED": by_status.get(("QUEUED", None), 0),
@@ -345,7 +580,13 @@ class CrawlEngine:
             "DUPLICATE_OR_BAD_SKIPPED": n_cand - n_new,
         }
         self.max_seq += n_new
+        self._ledger_rows += n_new
+        if self._bloom_synced:
+            # O(level) incremental bitmap maintenance over the cached rows
+            self.bloom.add_df(new_rows.select("seen_key"))
+        qtick("qp:bloom_add")
         c.unpersist()
+        cand_cache.unpersist()
         if hasattr(seq_df, "_assign_seq_cache"):
             seq_df._assign_seq_cache.unpersist()
         return new_rows, stats
@@ -359,44 +600,30 @@ class CrawlEngine:
         if cfg.max_docs is not None and self.committed_total >= cfg.max_docs:
             return None
         tick = _Tick(self.superstep)
-        batch = self.frontier.read().drop("sched_ms")
+        self._set_shuffle(self.queued_remaining)
+        # sched_ms/checksum are re-derived this superstep (QUEUED rows
+        # carry nulls for both). The explicit repartition-by-num pins
+        # the politeness clustering width — AQE would otherwise coalesce
+        # this slim-row shuffle into one partition and serialize the
+        # whole politeness → fetch → parse chain behind it.
+        batch = (
+            self._frontier_df()
+            .drop("sched_ms", "checksum")
+            .repartition(self._n_part(self.queued_remaining), F.col("host"))
+        )
 
         sched = schedule_hosts(
             batch, self.delays, self.host_state.read(), cfg.default_delay_ms
         )
-        fetched = sched.join(self.pages, "url", "left")
+        parsed = self._fetch_parse(sched)
 
         is200 = F.col("http_status") == 200
-        parsed = (
-            fetched.withColumn(
-                "canonical",
-                F.when(
-                    is200,
-                    normalize_url_udf(
-                        extract_canonical_udf(F.col("url"), F.col("html"))
-                    ),
-                ),
-            )
-            .withColumn("rm", F.when(is200, robots_meta_udf(F.col("html"))))
-            .withColumn("checksum", F.when(is200, F.md5(F.col("html"))))
-        )
         noncanon = (
             is200
             & F.col("canonical").isNotNull()
             & (F.col("canonical") != F.col("url"))
         )
-        noindex = F.coalesce(F.col("rm.noindex"), F.lit(False))
-        nofollow = F.coalesce(F.col("rm.nofollow"), F.lit(False))
-        followable = (
-            is200
-            & ~noncanon
-            & ~nofollow
-            & (F.lit(cfg.max_depth < 0) | (F.col("depth") < F.lit(cfg.max_depth)))
-        )
-        parsed = parsed.withColumn(
-            "links",
-            F.when(followable, extract_links_udf(F.col("url"), F.col("html"))),
-        )
+        noindex = F.coalesce(F.col("noindex"), F.lit(False))
 
         # incremental delta: previous run's checksum for this url
         # (ChecksumStageUtil.java:46-104 — no baseline => NEW, equal =>
@@ -430,10 +657,7 @@ class CrawlEngine:
                 registers, F.sum(F.when(registers, 1).otherwise(0)).over(w)
             ).otherwise(F.lit(None)),
         )
-        old_ck = self.checksums.read().select(
-            F.col("checksum"), F.lit(True).alias("ck_seen")
-        )
-        parsed = parsed.join(old_ck, "checksum", "left")
+        parsed = parsed.join(self._checksum_registry(), "checksum", "left")
 
         is_redirect = F.col("http_status").isin(301, 302)
         parsed = parsed.withColumn(
@@ -465,6 +689,7 @@ class CrawlEngine:
             "sched_ms",
             F.lit("PROCESSED").alias("status"),
             "outcome",
+            "checksum",
             "trail",
             F.lit(self.superstep).cast("int").alias("superstep"),
         )
@@ -549,9 +774,19 @@ class CrawlEngine:
         )
         cand = redirects.unionByName(canonicals).unionByName(links)
 
-        # ---- level metrics (single aggregation job), which also gives
-        # the exact candidate count so the queue pipeline needs no
-        # extra count action over its UDF-heavy lineage ----
+        # ---- queue pipeline FIRST: its count action materializes the
+        # whole superstep (politeness/fetch/parse cache + candidate
+        # lineage) as ONE job with no barrier between parse and queue
+        # stages. Partition sizing uses the previous superstep's
+        # branching ratio (an estimate is fine — it only shapes the
+        # physical plan); exact candidate counts come from the metrics
+        # aggregation right after, which now reads the warm cache. ----
+        n_est = max(1, int(self.queued_remaining * self._branch_est))
+        new_rows, qstats = self._queue_pipeline(cand, self._ledger_keys(), n_est)
+        tick("queue_pipeline")
+
+        # ---- level metrics: one aggregation job over the cached slim
+        # rows (pure JVM, fast) giving exact per-outcome counts ----
         agg_rows = (
             parsed.groupBy("outcome")
             .agg(
@@ -596,9 +831,17 @@ class CrawlEngine:
                 n_cand += int(r["n_redir_enq"])
             elif r["outcome"] == "NONCANONICAL":
                 n_cand += int(r["n_canon_enq"])
-
-        new_rows, qstats = self._queue_pipeline(cand, self._ledger_df(), n_cand)
-        tick("queue_pipeline")
+        # patch the estimate-based candidate stats with exact counts
+        n_new = (
+            qstats["DOCUMENT_QUEUED"]
+            + qstats["REJECTED_TOO_DEEP"]
+            + qstats["REJECTED_FILTER"]
+            + qstats["REJECTED_ROBOTS_TXT"]
+        )
+        qstats["CANDIDATES"] = n_cand
+        qstats["DUPLICATE_OR_BAD_SKIPPED"] = n_cand - n_new
+        fetched_n = sum(r["n"] for r in agg_rows)
+        self._branch_est = max(1.0, n_cand / max(1, fetched_n))
 
         spoiled_deletes = (
             sum(
@@ -629,41 +872,44 @@ class CrawlEngine:
         )
 
         # ---- commit: O(level) writes only, manifest swap last ----
+        # coalesce the union branches: without it each branch keeps its
+        # own partitions and the write stage runs 2x-parallelism
+        # concurrent tasks — oversubscribing the Python workers 2:1
+        # (measured 5x core-seconds inflation on the image stage).
+        n_out = self._n_part(
+            stats["DOCUMENT_FETCHED"] + stats["DOCUMENT_QUEUED"]
+        )
         sid = self.superstep + 1
         part = f"{self.superstep:06d}"
-        self.archive.append(
-            processed.unionByName(new_rows.filter(F.col("status") != "QUEUED")),
-            part,
+        self.levels.append(
+            processed.unionByName(new_rows).coalesce(n_out), part
         )
-        tick("archive_write")
-        self.frontier.write(
-            new_rows.filter(F.col("status") == "QUEUED"), sid
-        )
-        tick("frontier_write")
+        self._register_part(part)
+        tick("level_write")
 
-        new_state = (
-            parsed.groupBy("host")
-            .agg(F.max("sched_ms").alias("last_sched_ms"))
-            .unionByName(self.host_state.read())
-            .groupBy("host")
-            .agg(F.max("last_sched_ms").alias("last_sched_ms"))
+        prev_state = self.host_state.read()
+        new_state = parsed.groupBy("host").agg(
+            F.max("sched_ms").alias("last_sched_ms")
         )
+        if prev_state is not None:
+            new_state = (
+                new_state.unionByName(prev_state)
+                .groupBy("host")
+                .agg(F.max("last_sched_ms").alias("last_sched_ms"))
+            )
         self.host_state.write(new_state, sid)
         tick("host_state_write")
 
-        ck_next = self.checksums.read().unionByName(
-            committed.select("checksum", "seq")
-        )
-        self.checksums.write(ck_next, sid)
-        tick("checksums_write")
-
-        self.documents.append(docs, part)
+        # same 2-branch coalesce for the image-payload write (the most
+        # CPU-intensive stage — worker count must equal core count)
+        self.documents.append(docs.coalesce(n_out), part)
         tick("documents_write")
         self._record_metrics(stats, part)
 
         parsed.unpersist()
         new_rows.unpersist()
 
+        self._frontier_part = part
         self.committed_total += stats["DOCUMENT_COMMITTED_UPSERT"]
         self.queued_remaining = (
             self.queued_remaining
@@ -687,7 +933,7 @@ class CrawlEngine:
         through the normal queue pipeline in baseline-seq order;
         DELETE emits delete ops for previously committed ones."""
         orphans = self.baseline.join(
-            self._ledger_df().select("url"), "url", "left_anti"
+            self._ledger_keys().select("url"), "url", "left_anti"
         ).cache()
         strategy = self.cfg.orphan_strategy
         sid = self.superstep + 1
@@ -702,15 +948,12 @@ class CrawlEngine:
                 F.lit(0).alias("out_pos"),
             )
             n = orphans.count()
-            new_rows, stats = self._queue_pipeline(cand, self._ledger_df(), n)
+            new_rows, stats = self._queue_pipeline(cand, self._ledger_keys(), n)
             stats["ORPHANS_REQUEUED"] = n
-            self.archive.append(
-                new_rows.filter(F.col("status") != "QUEUED"), part
-            )
-            self.frontier.write(
-                new_rows.filter(F.col("status") == "QUEUED"), sid
-            )
+            self.levels.append(new_rows, part)
             new_rows.unpersist()
+            self._register_part(part)
+            self._frontier_part = part
             self.queued_remaining += stats["DOCUMENT_QUEUED"]
             self._record_metrics(stats, part)
         elif strategy == "DELETE":
@@ -729,13 +972,9 @@ class CrawlEngine:
             )
             self.documents.append(deletes, part)
             n_del = deletes.count()
-            self.frontier.write(self.frontier.read(), sid)
             self._record_metrics({"DOCUMENT_COMMITTED_DELETE": n_del}, part)
-        else:  # IGNORE
-            self.frontier.write(self.frontier.read(), sid)
+        # IGNORE: nothing to write; the frontier is already drained
         orphans.unpersist()
-        self.host_state.write(self.host_state.read(), sid)
-        self.checksums.write(self.checksums.read(), sid)
         self.superstep = sid
         self._save_ckpt()
 
@@ -765,7 +1004,7 @@ class CrawlEngine:
     def fetch_log(self) -> DataFrame:
         """(url, host, depth, scheduled_at_ms, outcome) in fetch order."""
         return (
-            self.archive.read()
+            self.levels.read()
             .filter(F.col("status") == "PROCESSED")
             .select(
                 "seq",
@@ -779,7 +1018,23 @@ class CrawlEngine:
         )
 
     def urlseen(self) -> DataFrame:
-        return self._ledger_df().select("url", "status", "outcome", "depth")
+        """Final per-URL state: the latest-superstep row wins (a QUEUED
+        row is superseded by its PROCESSED row one level later; at the
+        bootstrap/step-0 tie the higher status rank wins)."""
+        rank = (
+            F.when(F.col("status") == "PROCESSED", 2)
+            .when(F.col("status") == "REJECTED", 1)
+            .otherwise(0)
+        )
+        w = Window.partitionBy("url").orderBy(
+            F.desc("superstep"), F.desc(rank)
+        )
+        return (
+            self.levels.read()
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("url", "status", "outcome", "depth")
+        )
 
     def docs_df(self) -> DataFrame | None:
         return self.documents.read()
@@ -802,15 +1057,15 @@ def load_baseline(spark: SparkSession, prev_workdir: str) -> DataFrame:
     document op was an upsert (the ledger_a->baseline flip of
     CrawlerEntryLedger.java:619-658 re-expressed as reading the prior
     run's final state)."""
-    archive = AppendTable(
-        spark, os.path.join(prev_workdir, "ledger_archive")
+    levels = AppendTable(
+        spark, os.path.join(prev_workdir, "ledger_levels"), schema=LEDGER_SCHEMA
     ).read()
-    docs = AppendTable(spark, os.path.join(prev_workdir, "documents")).read()
-    base = archive.filter(F.col("status") == "PROCESSED").select(
+    docs = AppendTable(
+        spark, os.path.join(prev_workdir, "documents"), schema=DOCS_SCHEMA
+    ).read()
+    base = levels.filter(F.col("status") == "PROCESSED").select(
         "url", "depth", "seq"
     )
-    if docs is None:
-        return base.withColumn("checksum", F.lit(None).cast("string"))
     cks = (
         docs.filter(F.col("op") == "upsert")
         .select(F.col("image_id").alias("url"), "checksum")

@@ -44,10 +44,16 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # ledger/frontier rows are ~60-100B; at the default 128 MiB a
+        # half-million-row frontier scan (and the politeness shuffle
+        # map fed by it) collapses into ONE task. 8 MiB keeps slim
+        # scans parallel while leaving wide binary tables reasonable.
+        .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():

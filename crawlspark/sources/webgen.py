@@ -16,14 +16,17 @@ with identical content:
   (``spark_pages``) — the 10^10-URL frontier is *enumerable by index*,
   never materialized on the driver.
 
-Fetching in the engine = joining candidates against the ``pages``
-table (replaces HttpClientFetcher for tests/bench; real-HTTP slot is
-documented in plans/superstep.py).
+Fetching in the engine has two slots (plans/superstep.py): joining
+candidates against a materialized ``pages`` table, or — the shape a
+real HTTP fetcher takes — ``make_fetcher(params)``: a ``mapInPandas``
+transform that resolves each URL's response directly in the fetch
+task, no pages scan, no join shuffle.
 """
 
 from __future__ import annotations
 
 import hashlib
+import re
 from dataclasses import dataclass, field
 
 import pandas as pd
@@ -254,6 +257,84 @@ def build_site(p: SiteParams) -> Site:
         robots=pd.DataFrame(robots),
         sitemaps=pd.DataFrame(sitemaps),
     )
+
+
+# ---------------------------------------------------------------------------
+# Simulated HTTP fetcher (the MultiFetcher/HttpClientFetcher slot,
+# HttpClientFetcher.java:315-402): URL -> response computed in the fetch
+# task itself. Must return exactly what the pages-table join would.
+# ---------------------------------------------------------------------------
+
+_URL_RE = re.compile(
+    r"^http://site(\d+)\.example\.test(/|/d(\d+)/p(\d+)\.html)(\?s=1)?$"
+)
+
+
+def fetch_one(p: SiteParams, url: str) -> tuple[int | None, str | None, str | None]:
+    """(http_status, html, redirect_to) for a canonicalized URL;
+    (None, None, None) when the URL resolves to no page (DNS/404 slot —
+    the engine maps a null status to NOT_FOUND)."""
+    m = _URL_RE.match(url)
+    if not m:
+        return None, None, None
+    h = int(m.group(1))
+    if h >= p.n_hosts:
+        return None, None, None
+    if m.group(2) == "/":
+        d, i = 0, 0
+    else:
+        d, i = int(m.group(3)), int(m.group(4))
+    if d > p.depth or i >= p.n_at_depth(d):
+        return None, None, None
+    if m.group(5) is not None and not _is_variant(p, h, d, i):
+        return None, None, None
+    status, redirect_to = _page_status(p, h, d, i)
+    html = page_html(p, h, d, i) if status == 200 else None
+    return status, html, redirect_to
+
+
+def fetch_batches(p: SiteParams):
+    """Per-batch fetch generator: pandas frames with a ``url`` column
+    in, same frames + (http_status, html, redirect_to) out. The real
+    async-HTTP fetcher implements this exact signature; the engine
+    composes it with the parse transformer into ONE mapInPandas so
+    fetched bodies are parsed in-process and never serialized."""
+
+    def gen(batches):
+        for pdf in batches:
+            res = [fetch_one(p, u) for u in pdf["url"]]
+            out = pdf.copy()
+            out["http_status"] = pd.array([r[0] for r in res], dtype="Int32")
+            out["html"] = [r[1] for r in res]
+            out["redirect_to"] = [r[2] for r in res]
+            yield out
+
+    return gen
+
+
+def make_fetcher(p: SiteParams):
+    """Engine ``fetcher`` slot: batch DataFrame -> batch + response
+    columns via mapInPandas (one Arrow batch per politeness partition,
+    zero shuffle). Carries ``.batches`` — the generator form — which
+    the engine prefers so it can fuse fetch+parse into a single pass."""
+
+    g = fetch_batches(p)
+
+    def fetch(batch_df):
+        schema = (
+            batch_df.sparkSession.createDataFrame([], batch_df.schema)
+            .selectExpr(
+                "*",
+                "cast(null as int) http_status",
+                "cast(null as string) html",
+                "cast(null as string) redirect_to",
+            )
+            .schema
+        )
+        return batch_df.mapInPandas(g, schema=schema)
+
+    fetch.batches = g
+    return fetch
 
 
 # ---------------------------------------------------------------------------
