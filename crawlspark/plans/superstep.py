@@ -251,6 +251,19 @@ class CrawlEngine:
         self._branch_est = 10.0
         self._key_parts: list[DataFrame] = []
         self._registry_parts: list[DataFrame] = []
+        # write-behind committer: one ordered background thread owns
+        # durability (level/documents/host-state/manifest); the main
+        # thread owns compute and hands the next superstep its inputs
+        # in memory (localCheckpoints). FIFO single worker => manifests
+        # land in superstep order.
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._committer = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="crawlspark-commit"
+        )
+        self._pending = []
+        self._frontier_mem: DataFrame | None = None
+        self._host_state_mem: DataFrame | None = None
         self._metric_rows: list[tuple[str, str, int]] = []
         self._parallelism = spark.sparkContext.defaultParallelism
 
@@ -281,6 +294,7 @@ class CrawlEngine:
     # same dataflow, different storage tier.
 
     def _register_part(self, part: str) -> None:
+        """Resume path: rebuild fragments from the part's parquet."""
         pdf = self.levels.read_part(part)
         self._key_parts.append(
             pdf.filter(F.col("status") != "PROCESSED")
@@ -292,6 +306,20 @@ class CrawlEngine:
             .select("checksum")
             .cache()
         )
+
+    def _add_key_fragment(self, new_rows: DataFrame) -> None:
+        """Live path: snapshot this superstep's ledger keys off the
+        still-cached ``new_rows`` — no parquet re-read, no single-task
+        scan. MUST be ``localCheckpoint`` (flat LogicalRDD plan), not
+        ``cache``: a cached fragment keeps the queue-pipeline lineage,
+        which references the union of all PRIOR fragments through the
+        anti-join — nesting every fragment's plan inside the next and
+        sending Catalyst analysis exponential. On a cluster this slot
+        is the Iceberg ledger table itself (bucketed by seen_key)."""
+        frag = new_rows.select("url", "seen_key").localCheckpoint(eager=True)
+        if self._bloom_synced:
+            self.bloom.add_df(frag)
+        self._key_parts.append(frag)
 
     def _restore_parts(self) -> None:
         for name in self.levels.parts():
@@ -371,8 +399,8 @@ class CrawlEngine:
     def _ckpt(self) -> str:
         return os.path.join(self.workdir, "checkpoint.json")
 
-    def _save_ckpt(self) -> None:
-        state = {
+    def _ckpt_state(self, host_state_snapshot=None) -> dict:
+        return {
             "superstep": self.superstep,
             "max_seq": self.max_seq,
             "committed_total": self.committed_total,
@@ -381,13 +409,39 @@ class CrawlEngine:
             "frontier_part": self._frontier_part,
             "ledger_rows": self._ledger_rows,
             "branch_est": self._branch_est,
-            "host_state_snapshot": self.host_state.latest_id(),
-            "metrics": self._metric_rows,
+            "host_state_snapshot": (
+                host_state_snapshot
+                if host_state_snapshot is not None
+                else self.host_state.latest_id()
+            ),
+            "metrics": list(self._metric_rows),
         }
+
+    def _write_ckpt(self, state: dict) -> None:
         tmp = self._ckpt + ".tmp"
         with open(tmp, "w") as f:
             json.dump(state, f)
         os.replace(tmp, self._ckpt)
+
+    def _save_ckpt(self) -> None:
+        self._write_ckpt(self._ckpt_state())
+
+    # -- write-behind committer --------------------------------------------
+    def _submit_commit(self, fn) -> None:
+        self._raise_failed()
+        self._pending.append(self._committer.submit(fn))
+
+    def _raise_failed(self) -> None:
+        done = [f for f in self._pending if f.done()]
+        for f in done:
+            f.result()  # surfaces committer exceptions on the driver
+            self._pending.remove(f)
+
+    def flush(self) -> None:
+        """Block until every submitted durability commit has landed."""
+        for f in list(self._pending):
+            f.result()
+        self._pending.clear()
 
     @classmethod
     def resume(
@@ -430,6 +484,12 @@ class CrawlEngine:
         eng.documents.truncate_after(part)
         eng.levels.truncate_after(part)
         eng._restore_parts()
+        # pin the host-state snapshot the manifest recorded: a crash
+        # between the snapshot write and the manifest swap may have
+        # left a NEWER snapshot on disk that this run must not see
+        hs_id = state.get("host_state_snapshot")
+        if hs_id is not None:
+            eng._host_state_mem = eng.host_state.read(hs_id)
         return eng
 
     # -- bootstrap ---------------------------------------------------------
@@ -448,8 +508,8 @@ class CrawlEngine:
         # "0-bootstrap" sorts before "000000" so resume truncation
         # (drop parts > last completed superstep) never removes it.
         self.levels.append(new_rows, "0-bootstrap")
+        self._add_key_fragment(new_rows)
         new_rows.unpersist()
-        self._register_part("0-bootstrap")
         self._frontier_part = "0-bootstrap"
         self.queued_remaining = stats["DOCUMENT_QUEUED"]
         self._record_metrics(stats, "0-bootstrap")
@@ -581,10 +641,6 @@ class CrawlEngine:
         }
         self.max_seq += n_new
         self._ledger_rows += n_new
-        if self._bloom_synced:
-            # O(level) incremental bitmap maintenance over the cached rows
-            self.bloom.add_df(new_rows.select("seen_key"))
-        qtick("qp:bloom_add")
         c.unpersist()
         cand_cache.unpersist()
         if hasattr(seq_df, "_assign_seq_cache"):
@@ -600,20 +656,32 @@ class CrawlEngine:
         if cfg.max_docs is not None and self.committed_total >= cfg.max_docs:
             return None
         tick = _Tick(self.superstep)
+        self._raise_failed()
         self._set_shuffle(self.queued_remaining)
         # sched_ms/checksum are re-derived this superstep (QUEUED rows
-        # carry nulls for both). The explicit repartition-by-num pins
-        # the politeness clustering width — AQE would otherwise coalesce
-        # this slim-row shuffle into one partition and serialize the
-        # whole politeness → fetch → parse chain behind it.
-        batch = (
-            self._frontier_df()
-            .drop("sched_ms", "checksum")
-            .repartition(self._n_part(self.queued_remaining), F.col("host"))
+        # carry nulls for both). The frontier and host state are handed
+        # over in memory by the previous superstep (localCheckpoints);
+        # the parquet reads only serve a resumed run's first step. The
+        # explicit repartition-by-num pins the politeness clustering
+        # width — AQE would otherwise coalesce this slim-row shuffle
+        # into one partition and serialize the whole politeness →
+        # fetch → parse chain behind it.
+        frontier = (
+            self._frontier_mem
+            if self._frontier_mem is not None
+            else self._frontier_df()
+        )
+        batch = frontier.drop("sched_ms", "checksum").repartition(
+            self._n_part(self.queued_remaining), F.col("host")
         )
 
+        host_state = (
+            self._host_state_mem
+            if self._host_state_mem is not None
+            else self.host_state.read()
+        )
         sched = schedule_hosts(
-            batch, self.delays, self.host_state.read(), cfg.default_delay_ms
+            batch, self.delays, host_state, cfg.default_delay_ms
         )
         parsed = self._fetch_parse(sched)
 
@@ -871,7 +939,16 @@ class CrawlEngine:
             }
         )
 
-        # ---- commit: O(level) writes only, manifest swap last ----
+        # ---- commit: O(level) writes only, WRITE-BEHIND ----
+        # The next superstep depends only on in-memory state (frontier
+        # localCheckpoint, host-state localCheckpoint, key/registry
+        # fragments, Bloom bitmap, driver counters). The durable level
+        # part, documents part, host-state snapshot and manifest are
+        # handed to a single ordered committer thread: a crash before a
+        # manifest lands simply replays that superstep identically from
+        # the previous manifest. Hides the heaviest write stage (image
+        # synthesis + parquet encode) under the next superstep's
+        # latency-bound phases.
         # coalesce the union branches: without it each branch keeps its
         # own partitions and the write stage runs 2x-parallelism
         # concurrent tasks — oversubscribing the Python workers 2:1
@@ -881,13 +958,22 @@ class CrawlEngine:
         )
         sid = self.superstep + 1
         part = f"{self.superstep:06d}"
-        self.levels.append(
-            processed.unionByName(new_rows).coalesce(n_out), part
-        )
-        self._register_part(part)
-        tick("level_write")
 
-        prev_state = self.host_state.read()
+        self._add_key_fragment(new_rows)
+        # localCheckpoint for the same lineage-flattening reason as the
+        # key fragments (parsed's plan references the prior registry)
+        reg = (
+            parsed.filter(F.col("outcome").isin("NEW", "MODIFIED"))
+            .select("checksum")
+            .localCheckpoint(eager=True)
+        )
+        self._registry_parts.append(reg)
+
+        prev_state = (
+            self._host_state_mem
+            if self._host_state_mem is not None
+            else self.host_state.read()
+        )
         new_state = parsed.groupBy("host").agg(
             F.max("sched_ms").alias("last_sched_ms")
         )
@@ -897,18 +983,16 @@ class CrawlEngine:
                 .groupBy("host")
                 .agg(F.max("last_sched_ms").alias("last_sched_ms"))
             )
-        self.host_state.write(new_state, sid)
-        tick("host_state_write")
+        new_state = new_state.localCheckpoint(eager=True)
+        self._host_state_mem = new_state
 
-        # same 2-branch coalesce for the image-payload write (the most
-        # CPU-intensive stage — worker count must equal core count)
-        self.documents.append(docs.coalesce(n_out), part)
-        tick("documents_write")
+        next_frontier = (
+            new_rows.filter(F.col("status") == "QUEUED")
+            .localCheckpoint(eager=True)
+        )
+        tick("mem_state")
+
         self._record_metrics(stats, part)
-
-        parsed.unpersist()
-        new_rows.unpersist()
-
         self._frontier_part = part
         self.committed_total += stats["DOCUMENT_COMMITTED_UPSERT"]
         self.queued_remaining = (
@@ -924,7 +1008,24 @@ class CrawlEngine:
             metrics=stats,
         )
         self.superstep = sid
-        self._save_ckpt()
+        self._frontier_mem = next_frontier
+
+        level_df = processed.unionByName(new_rows).coalesce(n_out)
+        # same 2-branch coalesce for the image-payload write (the most
+        # CPU-intensive stage — worker count must equal core count)
+        docs_df = docs.coalesce(n_out)
+        ckpt_state = self._ckpt_state(host_state_snapshot=sid)
+
+        def commit():
+            self.levels.append(level_df, part)
+            self.documents.append(docs_df, part)
+            self.host_state.write(new_state, sid)
+            parsed.unpersist()
+            new_rows.unpersist()
+            self._write_ckpt(ckpt_state)
+
+        self._submit_commit(commit)
+        tick("commit_submit")
         return st
 
     def _inject_orphans(self) -> None:
@@ -932,6 +1033,7 @@ class CrawlEngine:
         (RequeueOrphansForProcessingStep analog). PROCESS requeues them
         through the normal queue pipeline in baseline-seq order;
         DELETE emits delete ops for previously committed ones."""
+        self.flush()
         orphans = self.baseline.join(
             self._ledger_keys().select("url"), "url", "left_anti"
         ).cache()
@@ -951,8 +1053,12 @@ class CrawlEngine:
             new_rows, stats = self._queue_pipeline(cand, self._ledger_keys(), n)
             stats["ORPHANS_REQUEUED"] = n
             self.levels.append(new_rows, part)
+            self._add_key_fragment(new_rows)
+            self._frontier_mem = (
+                new_rows.filter(F.col("status") == "QUEUED")
+                .localCheckpoint(eager=True)
+            )
             new_rows.unpersist()
-            self._register_part(part)
             self._frontier_part = part
             self.queued_remaining += stats["DOCUMENT_QUEUED"]
             self._record_metrics(stats, part)
@@ -993,6 +1099,7 @@ class CrawlEngine:
                     continue
                 break
             out.append(st)
+        self.flush()
         return out
 
     # -- outputs -------------------------------------------------------------
@@ -1003,6 +1110,7 @@ class CrawlEngine:
 
     def fetch_log(self) -> DataFrame:
         """(url, host, depth, scheduled_at_ms, outcome) in fetch order."""
+        self.flush()
         return (
             self.levels.read()
             .filter(F.col("status") == "PROCESSED")
@@ -1021,6 +1129,7 @@ class CrawlEngine:
         """Final per-URL state: the latest-superstep row wins (a QUEUED
         row is superseded by its PROCESSED row one level later; at the
         bootstrap/step-0 tie the higher status rank wins)."""
+        self.flush()
         rank = (
             F.when(F.col("status") == "PROCESSED", 2)
             .when(F.col("status") == "REJECTED", 1)
@@ -1037,9 +1146,11 @@ class CrawlEngine:
         )
 
     def docs_df(self) -> DataFrame | None:
+        self.flush()
         return self.documents.read()
 
     def deletes_df(self) -> DataFrame | None:
+        self.flush()
         docs = self.documents.read()
         return docs.filter(F.col("op") == "delete") if docs is not None else None
 
