@@ -1,0 +1,130 @@
+"""Command-line entry points — the reference CLI re-expressed for
+spark-submit (core/cli/CliStart.java, CliStop/CliClean/CliStoreExport
+analogs; SURVEY.md §2.14 Commands row).
+
+Usage (local mode; on a cluster replace --master and add --py-files):
+
+    spark-submit --py-files crawlspark.zip -m crawlspark.cli crawl \
+        --workdir /data/run1 --seeds seeds.txt --pages pages.parquet \
+        --robots robots.parquet --max-depth 3
+    python -m crawlspark.cli resume --workdir /data/run1 ...
+    python -m crawlspark.cli export --workdir /data/run1 --out /data/out \
+        --format parquet
+
+``crawl`` bootstraps + runs; ``resume`` continues from the last
+committed checkpoint manifest (seeds are NOT re-enqueued —
+QueueBootstrapper.java:74-79); ``export`` folds the documents op log
+into final committed state via a committer sink (storeexport analog).
+Seeds come from a text file, one URL per line (RefFileEnqueuer analog)
+or repeated --seed flags (RefListEnqueuer analog).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _build_cfg(args):
+    from .config import CrawlConfig
+
+    return CrawlConfig(
+        max_depth=args.max_depth,
+        max_docs=args.max_docs,
+        default_delay_ms=args.delay_ms,
+        include_patterns=tuple(args.include or ()),
+        exclude_patterns=tuple(args.exclude or ()),
+        stay_on_domain=args.stay_on_domain,
+        fetch_retries=args.retries,
+    )
+
+
+def _engine(spark, args, resume: bool):
+    from .plans.superstep import CrawlEngine
+
+    pages = spark.read.parquet(args.pages) if args.pages else None
+    robots = (
+        spark.read.parquet(args.robots)
+        if args.robots
+        else spark.createDataFrame([], "host string, body string")
+    )
+    cfg = _build_cfg(args)
+    if resume:
+        return CrawlEngine.resume(spark, args.workdir, cfg, pages, robots)
+    return CrawlEngine(spark, args.workdir, cfg, pages, robots)
+
+
+def _read_seeds(args) -> list[str]:
+    seeds = list(args.seed or [])
+    if args.seeds:
+        with open(args.seeds) as f:
+            seeds += [ln.strip() for ln in f if ln.strip()]
+    return seeds
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="crawlspark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name in ("crawl", "resume", "export"):
+        p = sub.add_parser(name)
+        p.add_argument("--workdir", required=True)
+        p.add_argument("--pages", help="parquet fixture web (fetch join)")
+        p.add_argument("--robots", help="parquet (host, body)")
+        p.add_argument("--seeds", help="text file, one URL per line")
+        p.add_argument("--seed", action="append")
+        p.add_argument("--max-depth", type=int, default=-1)
+        p.add_argument("--max-docs", type=int, default=None)
+        p.add_argument("--delay-ms", type=int, default=3000)
+        p.add_argument("--include", action="append")
+        p.add_argument("--exclude", action="append")
+        p.add_argument("--stay-on-domain", action="store_true")
+        p.add_argument("--retries", type=int, default=0)
+        p.add_argument("--cores", default=None)
+        if name == "export":
+            p.add_argument("--out", required=True)
+            p.add_argument(
+                "--format", choices=("parquet", "csv", "json"), default="parquet"
+            )
+    args = ap.parse_args(argv)
+
+    from .session import get_spark
+
+    spark = get_spark(f"crawlspark-{args.cmd}", cores=args.cores)
+    if args.cmd == "crawl":
+        eng = _engine(spark, args, resume=False)
+        eng.bootstrap(_read_seeds(args))
+        stats = eng.run()
+        print(
+            f"crawl done: {sum(s.fetched for s in stats)} fetched, "
+            f"{sum(s.committed for s in stats)} committed, "
+            f"{len(stats)} supersteps"
+        )
+    elif args.cmd == "resume":
+        eng = _engine(spark, args, resume=True)
+        stats = eng.run()
+        print(
+            f"resume done: {sum(s.fetched for s in stats)} fetched, "
+            f"{sum(s.committed for s in stats)} committed"
+        )
+    else:  # export
+        from .plans.ledger import AppendTable
+        from .plans.superstep import DOCS_SCHEMA
+        from .sinks import committers as C
+
+        import os
+
+        ops = AppendTable(
+            spark, os.path.join(args.workdir, "documents"), schema=DOCS_SCHEMA
+        ).read()
+        sink = {
+            "parquet": C.parquet_committer,
+            "csv": C.csv_committer,
+            "json": C.json_committer,
+        }[args.format]
+        sink(ops, args.out)
+        print(f"exported resolved documents to {args.out} ({args.format})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

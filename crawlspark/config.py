@@ -31,6 +31,22 @@ class CrawlConfig:
     # least one must match).
     include_patterns: tuple[str, ...] = ()
     exclude_patterns: tuple[str, ...] = ()
+    # ExtensionReferenceFilter analog: reject URLs whose path extension
+    # (chars after the last '.' of the last segment) is in this set.
+    blocked_extensions: tuple[str, ...] = ()
+    # SegmentCountUrlFilter analog: reject URLs with more than this
+    # many non-empty path segments (-1 = unlimited).
+    max_path_segments: int = -1
+    # UrlScopeResolver analog (GenericUrlScopeResolver.java:79-152):
+    # candidates are checked against the *referring* URL; out-of-scope
+    # links never enter the queue pipeline. Seeds are always in scope.
+    stay_on_domain: bool = False
+    include_subdomains: bool = False
+    stay_on_protocol: bool = False
+    # MultiFetcher retry policy (CrawlerConfig.java:362-369; reference
+    # default 0): transient fetch failures retried inside the fetch
+    # slot before an outcome is assigned.
+    fetch_retries: int = 0
     # redirect trail cap (WebImporterPipelineUtil.java:103-116 —
     # one re-queue allowed, third occurrence rejected).
     max_redirect_trail: int = 2
@@ -42,6 +58,17 @@ class CrawlConfig:
     # counting across >2 runs is TODO).
     orphan_strategy: str = "PROCESS"
     spoiled_delete: bool = True
+    # RecrawlableResolver analog (GenericRecrawlableResolver minimum
+    # frequency; RecrawlableResolverStage.java:38-93): a URL crawled
+    # less than this long ago (virtual-clock ms vs the previous run's
+    # fetch time) is skipped PREMATURE — no fetch, no politeness slot,
+    # cached data kept. None = always due.
+    min_recrawl_ms: int | None = None
+    # virtual wall-clock at which this run starts (each run's internal
+    # politeness clock starts at 0; a recrawl that begins an hour after
+    # the previous run sets 3_600_000). Only the PREMATURE due-check
+    # uses it: due iff prev_sched + min_recrawl <= virtual_now + avail.
+    virtual_now_ms: int = 0
     # robots physical strategy: True (default) collects+broadcasts the
     # per-host rule lists once and matches in a zero-shuffle pandas UDF;
     # False keeps rules distributed and filters via the robots_rules

@@ -88,6 +88,7 @@ class SimResult:
                 "checksum": cks.get(url),
                 "depth": e.depth,
                 "seq": e.seq,
+                "sched_ms": e.sched_ms,
             }
             for url, e in self.ledger.items()
             if e.status == "PROCESSED"
@@ -135,6 +136,52 @@ class CrawlSimulator:
 
         self._includes = [re.compile(p) for p in cfg.include_patterns]
         self._excludes = [re.compile(p) for p in cfg.exclude_patterns]
+        self._blocked_ext = {e.lower() for e in cfg.blocked_extensions}
+        self._ext_re = re.compile(r"\.([^./]+)$")
+
+    def _filtered(self, url: str) -> bool:
+        """ReferenceFilters ∪ ExtensionReferenceFilter ∪
+        SegmentCountUrlFilter — any hit rejects (FILTERED)."""
+        if any(rx.search(url) for rx in self._excludes):
+            return True
+        if self._includes and not any(
+            rx.search(url) for rx in self._includes
+        ):
+            return True
+        path = urlsplit(url).path or ""
+        if self._blocked_ext:
+            m = self._ext_re.search(path)
+            if m and m.group(1).lower() in self._blocked_ext:
+                return True
+        if self.cfg.max_path_segments >= 0:
+            if (
+                len([s for s in path.split("/") if s])
+                > self.cfg.max_path_segments
+            ):
+                return True
+        return False
+
+    def _in_scope(self, link_url: str, ref_url: str) -> bool:
+        """Stay-on-domain/protocol vs the referring URL
+        (GenericUrlScopeResolver.java:79-152); out-of-scope links are
+        dropped at extraction (LinkExtractorStage.java:118-123), never
+        entering the queue pipeline."""
+        cfg = self.cfg
+        if not (cfg.stay_on_domain or cfg.stay_on_protocol):
+            return True
+        lp, rp = urlsplit(link_url), urlsplit(ref_url)
+        if cfg.stay_on_protocol and (lp.scheme or "").lower() != (
+            rp.scheme or ""
+        ).lower():
+            return False
+        if cfg.stay_on_domain:
+            lh = (lp.hostname or "").lower()
+            rh = (rp.hostname or "").lower()
+            if lh != rh and not (
+                cfg.include_subdomains and lh.endswith("." + rh)
+            ):
+                return False
+        return True
 
     # -- queue pipeline (§2.2 stage order) --------------------------------
     def _enqueue(
@@ -161,9 +208,7 @@ class CrawlSimulator:
             res.ledger[url] = entry
             res.metrics["REJECTED_TOO_DEEP"] += 1
             return
-        if any(rx.search(url) for rx in self._excludes) or (
-            self._includes and not any(rx.search(url) for rx in self._includes)
-        ):
+        if self._filtered(url):
             entry.status, entry.outcome = "REJECTED", "FILTERED"
             res.ledger[url] = entry
             res.metrics["REJECTED_FILTER"] += 1
@@ -235,6 +280,32 @@ class CrawlSimulator:
                 batch_end = len(queue)
             e = queue[qi]
             qi += 1
+            # RecrawlableResolver runs BEFORE the delay resolver
+            # (stage order, WebDocPipelines.java:67-116): a premature
+            # URL consumes no politeness slot and is not fetched.
+            if self.cfg.min_recrawl_ms is not None:
+                b = self.baseline.get(e.url)
+                if (
+                    b is not None
+                    and b.get("sched_ms") is not None
+                    and b["sched_ms"] + self.cfg.min_recrawl_ms
+                    > self.cfg.virtual_now_ms + e.avail_ms
+                ):
+                    e.status, e.outcome = "PROCESSED", "PREMATURE"
+                    e.sched_ms = e.avail_ms
+                    res.metrics["REJECTED_PREMATURE"] += 1
+                    res.fetch_log.append(
+                        {
+                            "step": step,
+                            "url": e.url,
+                            "host": e.host,
+                            "depth": e.depth,
+                            "scheduled_at_ms": e.sched_ms,
+                            "outcome": e.outcome,
+                        }
+                    )
+                    step += 1
+                    continue
             delay = self._delays.get(e.host, self.cfg.default_delay_ms)
             prev = last_sched.get(e.host)
             sched = e.avail_ms if prev is None else max(e.avail_ms, prev + delay)
@@ -303,6 +374,9 @@ class CrawlSimulator:
                 ):
                     for lurl, _pos in extract_links(e.url, html):
                         res.metrics["URLS_EXTRACTED"] += 1
+                        if not self._in_scope(lurl, e.url):
+                            res.metrics["URLS_OUT_OF_SCOPE"] += 1
+                            continue
                         self._enqueue(res, queue, lurl, e.depth + 1, sched)
                 if noindex:
                     e.outcome = "NOINDEX"

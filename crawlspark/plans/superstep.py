@@ -574,6 +574,21 @@ class CrawlEngine:
             for pat in cfg.include_patterns:
                 any_inc = any_inc | F.col("url").rlike(pat)
             filtered = filtered | ~any_inc
+        if cfg.blocked_extensions or cfg.max_path_segments >= 0:
+            path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit(""))
+            if cfg.blocked_extensions:
+                # ExtensionReferenceFilter: extension = chars after the
+                # last '.' of the last path segment
+                ext = F.lower(F.regexp_extract(path, r"\.([^./]+)$", 1))
+                filtered = filtered | ext.isin(
+                    *[e.lower() for e in cfg.blocked_extensions]
+                )
+            if cfg.max_path_segments >= 0:
+                # SegmentCountUrlFilter: non-empty path segments
+                nseg = F.size(
+                    F.filter(F.split(path, "/"), lambda s: s != F.lit(""))
+                )
+                filtered = filtered | (nseg > cfg.max_path_segments)
 
         if cfg.honor_robots and self._robots_udf is not None:
             c = c.withColumn(
@@ -680,10 +695,67 @@ class CrawlEngine:
             if self._host_state_mem is not None
             else self.host_state.read()
         )
+        # RecrawlableResolver (PREMATURE) runs before the delay
+        # resolver: not-yet-due URLs bypass politeness and fetch
+        # entirely (RecrawlableResolverStage.java:38-93)
+        prem = None
+        if cfg.min_recrawl_ms is not None and self.baseline is not None:
+            bsched = self.baseline.select(
+                "url", F.col("sched_ms").alias("base_sched")
+            )
+            b2 = batch.join(F.broadcast(bsched), "url", "left")
+            is_prem = F.col("base_sched").isNotNull() & (
+                F.col("base_sched") + F.lit(cfg.min_recrawl_ms)
+                > F.lit(cfg.virtual_now_ms) + F.col("avail_ms")
+            )
+            prem = b2.filter(is_prem).drop("base_sched")
+            batch = b2.filter(~is_prem).drop("base_sched")
+
         sched = schedule_hosts(
             batch, self.delays, host_state, cfg.default_delay_ms
         )
-        parsed = self._fetch_parse(sched)
+        parsed = self._fetch_parse(sched).withColumn(
+            "premature", F.lit(False)
+        )
+        if prem is not None:
+            prem_rows = prem.select(
+                *[F.col(c) for c in batch.columns],
+                F.col("avail_ms").alias("sched_ms"),
+                F.lit(None).cast("int").alias("http_status"),
+                F.lit(None).cast("string").alias("redirect_to"),
+                F.lit(None).cast("string").alias("canonical"),
+                F.lit(False).alias("noindex"),
+                F.lit(False).alias("nofollow"),
+                F.lit(None).cast("string").alias("checksum"),
+                F.lit(None).cast(PARSE_FIELDS["links"].dataType).alias("links"),
+                F.lit(True).alias("premature"),
+            )
+            parsed = parsed.unionByName(prem_rows)
+
+        # stay-on-domain/protocol vs the referring page: out-of-scope
+        # links are dropped at extraction, before the queue pipeline
+        # (LinkExtractorStage.java:118-123; GenericUrlScopeResolver)
+        parsed = parsed.withColumn("links_all_n", F.size("links"))
+        if cfg.stay_on_domain or cfg.stay_on_protocol:
+            ref_host = F.col("host")
+            ref_proto = F.lower(F.parse_url(F.col("url"), F.lit("PROTOCOL")))
+
+            def _in_scope(link):
+                ok = F.lit(True)
+                if cfg.stay_on_protocol:
+                    lp = F.lower(F.parse_url(link["url"], F.lit("PROTOCOL")))
+                    ok = ok & (lp == ref_proto)
+                if cfg.stay_on_domain:
+                    lh = F.lower(F.parse_url(link["url"], F.lit("HOST")))
+                    same = lh == ref_host
+                    if cfg.include_subdomains:
+                        same = same | lh.endswith(
+                            F.concat(F.lit("."), ref_host)
+                        )
+                    ok = ok & same
+                return ok
+
+            parsed = parsed.withColumn("links", F.filter("links", _in_scope))
 
         is200 = F.col("http_status") == 200
         noncanon = (
@@ -730,7 +802,8 @@ class CrawlEngine:
         is_redirect = F.col("http_status").isin(301, 302)
         parsed = parsed.withColumn(
             "outcome",
-            F.when(F.col("http_status").isNull(), "NOT_FOUND")
+            F.when(F.col("premature"), "PREMATURE")
+            .when(F.col("http_status").isNull(), "NOT_FOUND")
             .when(F.col("http_status") == 404, "NOT_FOUND")
             .when(F.col("http_status") >= 500, "BAD_STATUS")
             .when(is_redirect, "REDIRECT")
@@ -860,6 +933,9 @@ class CrawlEngine:
             .agg(
                 F.count("*").alias("n"),
                 F.sum(F.coalesce(F.size("links"), F.lit(0))).alias("n_links"),
+                F.sum(F.coalesce(F.col("links_all_n"), F.lit(0))).alias(
+                    "n_links_all"
+                ),
                 F.sum(
                     F.when(
                         F.size("trail") >= cfg.max_redirect_trail, 1
@@ -890,6 +966,7 @@ class CrawlEngine:
         tick("parse+agg")
         out_counts = {r["outcome"]: r["n"] for r in agg_rows}
         n_links = sum(r["n_links"] for r in agg_rows)
+        n_links_all = sum(r["n_links_all"] for r in agg_rows)
         redirect_loops = sum(
             r["n_loops"] for r in agg_rows if r["outcome"] == "REDIRECT"
         )
@@ -920,10 +997,12 @@ class CrawlEngine:
             if cfg.spoiled_delete
             else 0
         )
+        n_prem = out_counts.get("PREMATURE", 0)
         stats = dict(qstats)
         stats.update(
             {
-                "DOCUMENT_FETCHED": sum(out_counts.values()),
+                "REJECTED_PREMATURE": n_prem,
+                "DOCUMENT_FETCHED": sum(out_counts.values()) - n_prem,
                 "DOCUMENT_COMMITTED_UPSERT": out_counts.get("NEW", 0)
                 + out_counts.get("MODIFIED", 0),
                 "REJECTED_UNMODIFIED": out_counts.get("UNMODIFIED", 0),
@@ -935,7 +1014,8 @@ class CrawlEngine:
                 "REJECTED_NOINDEX": out_counts.get("NOINDEX", 0),
                 "REJECTED_DUPLICATE": out_counts.get("DUPLICATE", 0),
                 "REJECTED_REDIRECT_LOOP": redirect_loops,
-                "URLS_EXTRACTED": int(n_links or 0),
+                "URLS_EXTRACTED": int(n_links_all or 0),
+                "URLS_OUT_OF_SCOPE": int((n_links_all or 0) - (n_links or 0)),
             }
         )
 
@@ -959,7 +1039,18 @@ class CrawlEngine:
         sid = self.superstep + 1
         part = f"{self.superstep:06d}"
 
-        self._add_key_fragment(new_rows)
+        # ONE localCheckpoint serves both hand-offs: the key fragment
+        # (all new rows) and the next frontier (its QUEUED subset) are
+        # lazy projections of the same flat snapshot — one job, and the
+        # level write below reuses the snapshot instead of the cache.
+        new_chk = new_rows.select(
+            *[f.name for f in LEDGER_SCHEMA.fields]
+        ).localCheckpoint(eager=True)
+        frag = new_chk.select("url", "seen_key")
+        if self._bloom_synced:
+            self.bloom.add_df(frag)
+        self._key_parts.append(frag)
+        next_frontier = new_chk.filter(F.col("status") == "QUEUED")
         # localCheckpoint for the same lineage-flattening reason as the
         # key fragments (parsed's plan references the prior registry)
         reg = (
@@ -974,8 +1065,12 @@ class CrawlEngine:
             if self._host_state_mem is not None
             else self.host_state.read()
         )
-        new_state = parsed.groupBy("host").agg(
-            F.max("sched_ms").alias("last_sched_ms")
+        # premature rows never held a politeness slot — they must not
+        # advance the per-host clock
+        new_state = (
+            parsed.filter(~F.col("premature"))
+            .groupBy("host")
+            .agg(F.max("sched_ms").alias("last_sched_ms"))
         )
         if prev_state is not None:
             new_state = (
@@ -985,11 +1080,6 @@ class CrawlEngine:
             )
         new_state = new_state.localCheckpoint(eager=True)
         self._host_state_mem = new_state
-
-        next_frontier = (
-            new_rows.filter(F.col("status") == "QUEUED")
-            .localCheckpoint(eager=True)
-        )
         tick("mem_state")
 
         self._record_metrics(stats, part)
@@ -998,6 +1088,7 @@ class CrawlEngine:
         self.queued_remaining = (
             self.queued_remaining
             - stats["DOCUMENT_FETCHED"]
+            - stats["REJECTED_PREMATURE"]
             + stats["DOCUMENT_QUEUED"]
         )
         st = StepStats(
@@ -1010,7 +1101,7 @@ class CrawlEngine:
         self.superstep = sid
         self._frontier_mem = next_frontier
 
-        level_df = processed.unionByName(new_rows).coalesce(n_out)
+        level_df = processed.unionByName(new_chk).coalesce(n_out)
         # same 2-branch coalesce for the image-payload write (the most
         # CPU-intensive stage — worker count must equal core count)
         docs_df = docs.coalesce(n_out)
@@ -1175,7 +1266,7 @@ def load_baseline(spark: SparkSession, prev_workdir: str) -> DataFrame:
         spark, os.path.join(prev_workdir, "documents"), schema=DOCS_SCHEMA
     ).read()
     base = levels.filter(F.col("status") == "PROCESSED").select(
-        "url", "depth", "seq"
+        "url", "depth", "seq", "sched_ms"
     )
     cks = (
         docs.filter(F.col("op") == "upsert")

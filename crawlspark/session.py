@@ -49,6 +49,9 @@ def get_spark(
         # map fed by it) collapses into ONE task. 8 MiB keeps slim
         # scans parallel while leaving wide binary tables reasonable.
         .config("spark.sql.files.maxPartitionBytes", "8m")
+        # single-node: every task is process-local; don't let the
+        # scheduler hold slots waiting for locality on cached blocks
+        .config("spark.locality.wait", "0s")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))

@@ -54,6 +54,11 @@ class SiteParams:
     cycle_pct: float = 0.0
     cross_pct: float = 0.05
     noindex_pct: float = 0.0
+    # transient failures: these pages answer 503 on the FIRST fetch
+    # attempt and succeed on retry — exercises the MultiFetcher retry
+    # slot (MultiFetcher.java:94-138). The pages table / oracle view
+    # carries the final-attempt response.
+    flaky_pct: float = 0.0
     n_seed_hosts: int = 1
     # politeness: per-host crawl-delay seconds = 1 + host % 3; hosts
     # divisible by 5 have no robots.txt (default delay applies).
@@ -270,10 +275,18 @@ _URL_RE = re.compile(
 )
 
 
-def fetch_one(p: SiteParams, url: str) -> tuple[int | None, str | None, str | None]:
+def _is_flaky(p: SiteParams, h: int, d: int, i: int) -> bool:
+    return d > 0 and _rng(p.seed, h, d, i, "flaky") < p.flaky_pct
+
+
+def fetch_one(
+    p: SiteParams, url: str, attempt: int = -1
+) -> tuple[int | None, str | None, str | None]:
     """(http_status, html, redirect_to) for a canonicalized URL;
     (None, None, None) when the URL resolves to no page (DNS/404 slot —
-    the engine maps a null status to NOT_FOUND)."""
+    the engine maps a null status to NOT_FOUND). ``attempt=0`` gives
+    flaky pages their transient 503; ``attempt=-1`` (default) is the
+    final-attempt view the pages table and the oracle see."""
     m = _URL_RE.match(url)
     if not m:
         return None, None, None
@@ -288,21 +301,42 @@ def fetch_one(p: SiteParams, url: str) -> tuple[int | None, str | None, str | No
         return None, None, None
     if m.group(5) is not None and not _is_variant(p, h, d, i):
         return None, None, None
+    if attempt == 0 and _is_flaky(p, h, d, i):
+        return 503, None, None
     status, redirect_to = _page_status(p, h, d, i)
     html = page_html(p, h, d, i) if status == 200 else None
     return status, html, redirect_to
 
 
-def fetch_batches(p: SiteParams):
+TRANSIENT_STATUSES = {503}
+
+
+def fetch_batches(p: SiteParams, retries: int = 0):
     """Per-batch fetch generator: pandas frames with a ``url`` column
     in, same frames + (http_status, html, redirect_to) out. The real
     async-HTTP fetcher implements this exact signature; the engine
     composes it with the parse transformer into ONE mapInPandas so
-    fetched bodies are parsed in-process and never serialized."""
+    fetched bodies are parsed in-process and never serialized.
+
+    ``retries``: MultiFetcher semantics (MultiFetcher.java:94-138) —
+    transient statuses retried up to ``retries`` times inside the
+    fetch task before the response is surfaced."""
+
+    def fetch_with_retry(u: str):
+        r = fetch_one(p, u, attempt=0)
+        attempt = 0
+        while (
+            attempt < retries
+            and r[0] is not None
+            and int(r[0]) in TRANSIENT_STATUSES
+        ):
+            attempt += 1
+            r = fetch_one(p, u, attempt=attempt)
+        return r
 
     def gen(batches):
         for pdf in batches:
-            res = [fetch_one(p, u) for u in pdf["url"]]
+            res = [fetch_with_retry(u) for u in pdf["url"]]
             out = pdf.copy()
             out["http_status"] = pd.array([r[0] for r in res], dtype="Int32")
             out["html"] = [r[1] for r in res]
@@ -312,13 +346,13 @@ def fetch_batches(p: SiteParams):
     return gen
 
 
-def make_fetcher(p: SiteParams):
+def make_fetcher(p: SiteParams, retries: int = 0):
     """Engine ``fetcher`` slot: batch DataFrame -> batch + response
     columns via mapInPandas (one Arrow batch per politeness partition,
     zero shuffle). Carries ``.batches`` — the generator form — which
     the engine prefers so it can fuse fetch+parse into a single pass."""
 
-    g = fetch_batches(p)
+    g = fetch_batches(p, retries=retries)
 
     def fetch(batch_df):
         schema = (

@@ -1,0 +1,92 @@
+"""PREMATURE recrawl parity (RecrawlableResolverStage.java:38-93 /
+GenericRecrawlableResolver minimum-frequency semantics): URLs crawled
+too recently are skipped without a fetch or a politeness slot; due URLs
+proceed normally and produce UNMODIFIED/MODIFIED as usual."""
+
+import pandas as pd
+import pytest
+
+from crawlspark.config import CrawlConfig
+from crawlspark.oracle.simulator import CrawlSimulator
+from crawlspark.plans.superstep import CrawlEngine, load_baseline
+from crawlspark.sources.webgen import SiteParams, build_site
+
+PARAMS = SiteParams(
+    seed=77, n_hosts=2, depth=2, branching=3, cross_pct=0.3, n_seed_hosts=2
+)
+CFG0 = CrawlConfig(max_depth=2, default_delay_ms=1000)
+# second run starts "3 seconds" after the virtual epoch; URLs fetched
+# later than t=1500 in run 0 are not yet due (min recrawl 1.5s)
+CFG1 = CrawlConfig(
+    max_depth=2,
+    default_delay_ms=1000,
+    min_recrawl_ms=1500,
+    virtual_now_ms=3000,
+)
+
+
+@pytest.fixture(scope="module")
+def runs(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("prem")
+    site = build_site(PARAMS)
+    seeds = [r["url"] for r in site.seeds.to_dict("records")]
+
+    sim0 = CrawlSimulator(site.pages_dict(), site.robots_dict(), CFG0).run(seeds)
+    sim1 = CrawlSimulator(
+        site.pages_dict(),
+        site.robots_dict(),
+        CFG1,
+        baseline=sim0.baseline_dict(),
+    ).run(seeds)
+
+    eng0 = CrawlEngine(
+        spark,
+        str(tmp / "r0"),
+        CFG0,
+        spark.createDataFrame(site.pages),
+        spark.createDataFrame(site.robots),
+    )
+    eng0.bootstrap(seeds)
+    eng0.run()
+    eng1 = CrawlEngine(
+        spark,
+        str(tmp / "r1"),
+        CFG1,
+        spark.createDataFrame(site.pages),
+        spark.createDataFrame(site.robots),
+        baseline_df=load_baseline(spark, str(tmp / "r0")),
+    )
+    eng1.bootstrap(seeds)
+    eng1.run()
+    return sim0, sim1, eng1
+
+
+def test_premature_actually_splits(runs):
+    _, sim1, _ = runs
+    outs = {r["outcome"] for r in sim1.fetch_log}
+    assert "PREMATURE" in outs
+    # some URLs must still be due (fetched) or the scenario is vacuous
+    assert "UNMODIFIED" in outs or "MODIFIED" in outs
+
+
+def test_premature_fetch_sequence_parity(runs):
+    _, sim1, eng1 = runs
+    got = eng1.fetch_log().toPandas()
+    want = pd.DataFrame(sim1.fetch_log)
+    assert len(got) == len(want), (len(got), len(want))
+    for col in ["url", "depth", "outcome", "scheduled_at_ms"]:
+        assert got[col].tolist() == want[col].tolist(), col
+
+
+def test_premature_metrics_and_no_politeness_slot(runs):
+    _, sim1, eng1 = runs
+    m = eng1.metrics_df().toPandas().groupby("event")["count"].sum().to_dict()
+    assert m["REJECTED_PREMATURE"] == sim1.metrics["REJECTED_PREMATURE"] > 0
+    assert m["DOCUMENT_FETCHED"] == sim1.metrics["DOCUMENT_FETCHED"]
+    # premature rows keep avail as their log time and never push a
+    # host's schedule: per-host fetched times must still be spaced
+    log = eng1.fetch_log().toPandas()
+    fetched = log[log["outcome"] != "PREMATURE"]
+    for host, grp in fetched.groupby("host"):
+        times = sorted(grp["scheduled_at_ms"])
+        assert all(b - a >= 1000 for a, b in zip(times, times[1:]))
