@@ -32,11 +32,14 @@ import time
 def _bench_site_params():
     from crawlspark.sources.webgen import SiteParams
 
+    # wide and shallow: big BFS levels are the shape a production
+    # frontier has (millions of URLs per level), scaled down — they
+    # amortize per-superstep fixed costs and feed every core
     return SiteParams(
         seed=42,
-        n_hosts=int(os.environ.get("BENCH_HOSTS", "80")),
-        depth=int(os.environ.get("BENCH_DEPTH", "3")),
-        branching=int(os.environ.get("BENCH_BRANCH", "8")),
+        n_hosts=int(os.environ.get("BENCH_HOSTS", "800")),
+        depth=int(os.environ.get("BENCH_DEPTH", "2")),
+        branching=int(os.environ.get("BENCH_BRANCH", "25")),
         dup_pct=0.10,
         redirect_pct=0.03,
         error_pct=0.02,

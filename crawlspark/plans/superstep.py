@@ -261,6 +261,9 @@ class CrawlEngine:
         self._committer = ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="crawlspark-commit"
         )
+        self._ckpt_pool = ThreadPoolExecutor(
+            max_workers=3, thread_name_prefix="crawlspark-memstate"
+        )
         self._pending = []
         self._frontier_mem: DataFrame | None = None
         self._host_state_mem: DataFrame | None = None
@@ -517,12 +520,14 @@ class CrawlEngine:
 
     # -- queue pipeline (§2.2 stage order) ---------------------------------
     def _queue_pipeline(
-        self, cand: DataFrame, ledger: DataFrame, n_cand: int
-    ) -> tuple[DataFrame, dict]:
+        self, cand: DataFrame, ledger: DataFrame, n_cand: int, collect: bool = True
+    ):
         """Candidates -> new ledger rows (QUEUED or REJECTED_*), plus
         metric counts. Stage order fixed at WebDocPipelines.java:58-65.
         ``n_cand`` is precomputed by the caller (avoids re-running the
-        candidate lineage just for a count)."""
+        candidate lineage just for a count). With ``collect=False``
+        returns (new_rows, counts_df, cleanup) so the caller can fold
+        the counts into a single shared collect action."""
         cfg = self.cfg
         qtick = _Tick(self.superstep)
         self._set_shuffle(n_cand)
@@ -554,7 +559,15 @@ class CrawlEngine:
             self._bloom_synced = True
         if self._bloom_synced:
             maybe, fresh = self.bloom.filter_candidates(c)
-            maybe_new = maybe.join(ledger_keys.select("url"), "url", "left_anti")
+            # the ledger side is large here (that's why the Bloom is
+            # on): a shuffle-hash join keeps the build distributed
+            # instead of collecting ~all ledger keys to the driver for
+            # a broadcast every superstep
+            maybe_new = maybe.join(
+                ledger_keys.select("url").hint("shuffle_hash"),
+                "url",
+                "left_anti",
+            )
             c = fresh.unionByName(maybe_new)
         else:
             c = c.join(ledger_keys.select("url"), "url", "left_anti")
@@ -640,11 +653,30 @@ class CrawlEngine:
         ).cache()
 
         qtick("qp:plan_built")
+        counts_df = new_rows.groupBy("status", "outcome").count()
+
+        def cleanup():
+            c.unpersist()
+            cand_cache.unpersist()
+            if hasattr(seq_df, "_assign_seq_cache"):
+                seq_df._assign_seq_cache.unpersist()
+
+        if not collect:
+            # caller folds counts_df into its own single collect and
+            # calls _queue_stats + cleanup afterwards
+            return new_rows, counts_df, cleanup
         by_status = {
             (r["status"], r["outcome"]): r["count"]
-            for r in new_rows.groupBy("status", "outcome").count().collect()
+            for r in counts_df.collect()
         }
         qtick("qp:materialize+count")
+        stats = self._queue_stats(by_status, n_cand)
+        cleanup()
+        return new_rows, stats
+
+    def _queue_stats(self, by_status: dict, n_cand: int) -> dict:
+        """Fold per-(status,outcome) counts into queue metrics and
+        advance the seq/ledger counters (exactly once per pipeline)."""
         n_new = sum(by_status.values())
         stats = {
             "DOCUMENT_QUEUED": by_status.get(("QUEUED", None), 0),
@@ -656,11 +688,7 @@ class CrawlEngine:
         }
         self.max_seq += n_new
         self._ledger_rows += n_new
-        c.unpersist()
-        cand_cache.unpersist()
-        if hasattr(seq_df, "_assign_seq_cache"):
-            seq_df._assign_seq_cache.unpersist()
-        return new_rows, stats
+        return stats
 
     # -- one superstep ------------------------------------------------------
     def step(self) -> StepStats | None:
@@ -923,12 +951,14 @@ class CrawlEngine:
         # physical plan); exact candidate counts come from the metrics
         # aggregation right after, which now reads the warm cache. ----
         n_est = max(1, int(self.queued_remaining * self._branch_est))
-        new_rows, qstats = self._queue_pipeline(cand, self._ledger_keys(), n_est)
-        tick("queue_pipeline")
+        new_rows, counts_df, qp_cleanup = self._queue_pipeline(
+            cand, self._ledger_keys(), n_est, collect=False
+        )
 
-        # ---- level metrics: one aggregation job over the cached slim
-        # rows (pure JVM, fast) giving exact per-outcome counts ----
-        agg_rows = (
+        # ---- ONE action materializes the whole superstep AND returns
+        # both metric aggregations: the queue-status counts and the
+        # per-outcome level metrics, unioned with a tag column ----
+        agg_df = (
             parsed.groupBy("outcome")
             .agg(
                 F.count("*").alias("n"),
@@ -961,9 +991,23 @@ class CrawlEngine:
                     F.when(F.col("base_ck").isNotNull(), 1).otherwise(0)
                 ).alias("n_had_baseline"),
             )
-            .collect()
         )
-        tick("parse+agg")
+        merged = agg_df.withColumn("__src", F.lit("agg")).unionByName(
+            counts_df.withColumnRenamed("count", "qp_count").withColumn(
+                "__src", F.lit("queue")
+            ),
+            allowMissingColumns=True,
+        )
+        rows = merged.collect()
+        agg_rows = [r for r in rows if r["__src"] == "agg"]
+        by_status = {
+            (r["status"], r["outcome"]): r["qp_count"]
+            for r in rows
+            if r["__src"] == "queue"
+        }
+        qstats = self._queue_stats(by_status, n_est)
+        qp_cleanup()
+        tick("parse+agg+queue")
         out_counts = {r["outcome"]: r["n"] for r in agg_rows}
         n_links = sum(r["n_links"] for r in agg_rows)
         n_links_all = sum(r["n_links_all"] for r in agg_rows)
@@ -1041,25 +1085,12 @@ class CrawlEngine:
 
         # ONE localCheckpoint serves both hand-offs: the key fragment
         # (all new rows) and the next frontier (its QUEUED subset) are
-        # lazy projections of the same flat snapshot — one job, and the
-        # level write below reuses the snapshot instead of the cache.
-        new_chk = new_rows.select(
-            *[f.name for f in LEDGER_SCHEMA.fields]
-        ).localCheckpoint(eager=True)
-        frag = new_chk.select("url", "seen_key")
-        if self._bloom_synced:
-            self.bloom.add_df(frag)
-        self._key_parts.append(frag)
-        next_frontier = new_chk.filter(F.col("status") == "QUEUED")
-        # localCheckpoint for the same lineage-flattening reason as the
-        # key fragments (parsed's plan references the prior registry)
-        reg = (
-            parsed.filter(F.col("outcome").isin("NEW", "MODIFIED"))
-            .select("checksum")
-            .localCheckpoint(eager=True)
-        )
-        self._registry_parts.append(reg)
-
+        # lazy projections of the same flat snapshot, and the level
+        # write below reuses the snapshot instead of the cache. The
+        # registry snapshot (parsed's plan references the prior
+        # registry — lineage-flattening) and the host-state fold are
+        # independent reads of already-materialized caches, so all
+        # three checkpoints run as CONCURRENT jobs.
         prev_state = (
             self._host_state_mem
             if self._host_state_mem is not None
@@ -1067,18 +1098,34 @@ class CrawlEngine:
         )
         # premature rows never held a politeness slot — they must not
         # advance the per-host clock
-        new_state = (
+        new_state_df = (
             parsed.filter(~F.col("premature"))
             .groupBy("host")
             .agg(F.max("sched_ms").alias("last_sched_ms"))
         )
         if prev_state is not None:
-            new_state = (
-                new_state.unionByName(prev_state)
+            new_state_df = (
+                new_state_df.unionByName(prev_state)
                 .groupBy("host")
                 .agg(F.max("last_sched_ms").alias("last_sched_ms"))
             )
-        new_state = new_state.localCheckpoint(eager=True)
+        f_chk, f_reg, f_state = (
+            self._ckpt_pool.submit(df.localCheckpoint, True)
+            for df in (
+                new_rows.select(*[f.name for f in LEDGER_SCHEMA.fields]),
+                parsed.filter(
+                    F.col("outcome").isin("NEW", "MODIFIED")
+                ).select("checksum"),
+                new_state_df,
+            )
+        )
+        new_chk, reg, new_state = f_chk.result(), f_reg.result(), f_state.result()
+        frag = new_chk.select("url", "seen_key")
+        if self._bloom_synced:
+            self.bloom.add_df(frag)
+        self._key_parts.append(frag)
+        self._registry_parts.append(reg)
+        next_frontier = new_chk.filter(F.col("status") == "QUEUED")
         self._host_state_mem = new_state
         tick("mem_state")
 
