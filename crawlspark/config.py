@@ -74,6 +74,11 @@ class CrawlConfig:
     # False keeps rules distributed and filters via the robots_rules
     # dim-table join (the path for rule sets too big to broadcast).
     robots_broadcast: bool = True
+    # SitemapResolutionStage analog: on a host's first QUEUED
+    # candidate, parse its sitemap once and enqueue the listed URLs
+    # (depth 0) ahead of the trigger. Requires a sitemaps source on
+    # the engine/oracle.
+    use_sitemaps: bool = False
     # engine-side knobs (no semantic effect):
     shuffle_partitions: int | None = None
     bloom_prefilter_min_ledger: int = 100_000

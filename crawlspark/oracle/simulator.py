@@ -113,6 +113,7 @@ class CrawlSimulator:
         robots: dict[str, str | None],
         cfg: CrawlConfig = CrawlConfig(),
         baseline: dict[str, dict] | None = None,
+        sitemaps: dict[str, str] | None = None,
     ):
         """``baseline``: previous run's ledger as url -> {checksum,
         depth, seq} (checksum None if the url was never committed) —
@@ -138,6 +139,8 @@ class CrawlSimulator:
         self._excludes = [re.compile(p) for p in cfg.exclude_patterns]
         self._blocked_ext = {e.lower() for e in cfg.blocked_extensions}
         self._ext_re = re.compile(r"\.([^./]+)$")
+        self.sitemaps = sitemaps or {}
+        self._sitemap_resolved: set[str] = set()
 
     def _filtered(self, url: str) -> bool:
         """ReferenceFilters ∪ ExtensionReferenceFilter ∪
@@ -220,6 +223,29 @@ class CrawlSimulator:
                 res.ledger[url] = entry
                 res.metrics["REJECTED_ROBOTS_TXT"] += 1
                 return
+        # SitemapResolution — once per host, triggered by its first
+        # candidate to reach this stage (i.e. past depth/filters/
+        # robots); the sitemap's URLs enqueue recursively BEFORE the
+        # trigger (SitemapResolutionStage precedes QueueReferenceStage)
+        if self.cfg.use_sitemaps and host not in self._sitemap_resolved:
+            self._sitemap_resolved.add(host)
+            xml = self.sitemaps.get(host)
+            if xml:
+                from ..functions.sitemaps import parse_sitemap
+
+                recs, _children = parse_sitemap(
+                    f"http://{host}/sitemap.xml", xml
+                )
+                for rec in recs:
+                    res.metrics["SITEMAP_URLS"] += 1
+                    self._enqueue(res, queue, rec["url"], 0, avail_ms)
+                # the sitemap may have contained this very URL — the
+                # trigger then dies at QueueReference's dedup, and its
+                # seq slot moves past the locs it revealed
+                if url in res.ledger:
+                    res.metrics["DUPLICATE_URL_SKIPPED"] += 1
+                    return
+                entry.seq = len(res.ledger)
         res.ledger[url] = entry
         queue.append(entry)
         res.metrics["DOCUMENT_QUEUED"] += 1

@@ -194,6 +194,7 @@ class CrawlEngine:
         robots_df: DataFrame,
         baseline_df: DataFrame | None = None,
         fetcher: Callable[[DataFrame], DataFrame] | None = None,
+        sitemaps_df: DataFrame | None = None,
     ):
         """``baseline_df``: previous run's ledger delta input
         (url, checksum, depth, seq) — enables NEW/MODIFIED/UNMODIFIED
@@ -251,6 +252,14 @@ class CrawlEngine:
         self._branch_est = 10.0
         self._key_parts: list[DataFrame] = []
         self._registry_parts: list[DataFrame] = []
+        # (host, [path,] xml) dim for SitemapResolution; hosts whose
+        # sitemap has been resolved (once-per-host-ever,
+        # SitemapResolutionStage.java:94-110 compute-if-absent)
+        self.sitemaps = (
+            sitemaps_df.cache() if sitemaps_df is not None else None
+        )
+        self._sitemap_resolved: set[str] = set()
+        self._last_sitemap_stats: dict = {}
         # write-behind committer: one ordered background thread owns
         # durability (level/documents/host-state/manifest); the main
         # thread owns compute and hands the next superstep its inputs
@@ -412,6 +421,7 @@ class CrawlEngine:
             "frontier_part": self._frontier_part,
             "ledger_rows": self._ledger_rows,
             "branch_est": self._branch_est,
+            "sitemap_hosts": sorted(self._sitemap_resolved),
             "host_state_snapshot": (
                 host_state_snapshot
                 if host_state_snapshot is not None
@@ -477,6 +487,7 @@ class CrawlEngine:
         eng._frontier_part = state.get("frontier_part")
         eng._ledger_rows = state.get("ledger_rows", 0)
         eng._branch_est = state.get("branch_est", 10.0)
+        eng._sitemap_resolved = set(state.get("sitemap_hosts", []))
         eng._metric_rows = [tuple(r) for r in state.get("metrics", [])]
         # drop any partial writes from a crashed superstep
         part = (
@@ -531,21 +542,116 @@ class CrawlEngine:
         cfg = self.cfg
         qtick = _Tick(self.superstep)
         self._set_shuffle(n_cand)
+        caches: list[DataFrame] = []
+        c = self._evaluate_candidates(cand, ledger, n_cand, caches)
+
+        # SitemapResolution (web/.../queue/stages/SitemapResolutionStage
+        # .java:63-231): the first QUEUED candidate of a never-seen host
+        # triggers a once-per-host sitemap parse; the sitemap's URLs are
+        # enqueued BEFORE the trigger (the stage precedes
+        # QueueReferenceStage), at depth 0, through the same evaluation.
+        # Non-lenient parsing (SitemapParser.java:103) keeps locs on the
+        # same host, bounding resolution to one round per superstep.
+        if cfg.use_sitemaps and self.sitemaps is not None:
+            c = c.cache()
+            caches.append(c)
+            locs = self._sitemap_candidates(c, caches)
+            if locs is not None:
+                c = c.unionByName(
+                    self._evaluate_candidates(locs, ledger, n_cand, caches)
+                )
+
+        # first-discovery-wins across candidates ∪ sitemap locs: the
+        # total order (parent_seq, out_pos, sub) places each host's
+        # sitemap URLs directly before their trigger
+        c = first_wins(
+            c,
+            "url",
+            ["parent_seq", "out_pos", "sub"],
+            n_part=self._n_part(n_cand),
+        )
+
+        # second cache before assign_seq: the large path's range
+        # partitioning samples its input (an extra pass), which must
+        # not re-run the join lineage
+        c = c.cache()
+        caches.append(c)
+        if n_cand <= SMALL_SEQ_ROWS:
+            seq_df = assign_seq_small(
+                c, ["parent_seq", "out_pos", "sub"], self.max_seq
+            )
+        else:
+            seq_df = assign_seq(
+                c,
+                ["parent_seq", "out_pos", "sub"],
+                self.max_seq,
+                n_part=self._n_part(n_cand),
+            )
+        new_rows = seq_df.select(
+            "url",
+            "seen_key",
+            "host",
+            "depth",
+            "seq",
+            "avail_ms",
+            F.lit(None).cast("long").alias("sched_ms"),
+            "status",
+            "outcome",
+            F.lit(None).cast("string").alias("checksum"),
+            "trail",
+            F.lit(self.superstep).cast("int").alias("superstep"),
+        ).cache()
+
+        qtick("qp:plan_built")
+        counts_df = new_rows.groupBy("status", "outcome").count()
+
+        def cleanup():
+            for df in caches:
+                df.unpersist()
+            if hasattr(seq_df, "_assign_seq_cache"):
+                seq_df._assign_seq_cache.unpersist()
+
+        if not collect:
+            # caller folds counts_df into its own single collect and
+            # calls _queue_stats + cleanup afterwards
+            return new_rows, counts_df, cleanup
+        by_status = {
+            (r["status"], r["outcome"]): r["count"]
+            for r in counts_df.collect()
+        }
+        qtick("qp:materialize+count")
+        stats = self._queue_stats(by_status, n_cand)
+        cleanup()
+        return new_rows, stats
+
+    def _evaluate_candidates(
+        self,
+        cand: DataFrame,
+        ledger: DataFrame,
+        n_cand: int,
+        caches: list,
+    ) -> DataFrame:
+        """Row-local queue-pipeline evaluation (stage order fixed at
+        WebDocPipelines.java:58-65): normalize → URL-seen anti-join →
+        depth/filters/robots → status/outcome columns. Ordering
+        (first-wins, seq) is the caller's job — all checks here are
+        order-independent, which is what lets sitemap locs evaluate
+        separately and merge by order key afterwards."""
+        cfg = self.cfg
+        if "sub" not in cand.columns:
+            cand = cand.withColumn("sub", F.lit(0))
         c = cand.withColumn("url", normalize_url_udf(F.col("raw_url"))).drop(
             "raw_url"
         )
         c = c.filter(F.col("url").isNotNull())
-        c = first_wins(
-            c, "url", ["parent_seq", "out_pos"], n_part=self._n_part(n_cand)
-        )
         c = c.withColumn("seen_key", F.xxhash64(F.col("url")))
-        # cache HERE, right after the first-wins shuffle: the Bloom
-        # split (fresh ∪ maybe) and the robots-verdict join each
-        # reference the candidate set a second time — without this
-        # cache the normalize-UDF + window lineage re-executes up to
-        # 4x per superstep (seen live in the event log as four
-        # identical wide stages).
-        c = cand_cache = c.cache()
+        # cache BEFORE the Bloom split: fresh ∪ maybe (and the
+        # robots-verdict join-back path) reference the candidate set
+        # twice — without this cache the normalize-UDF lineage
+        # re-executes up to 4x per superstep (seen in the event log as
+        # four identical wide stages).
+        c = c.cache()
+        caches.append(c)
 
         # URL-seen: Bloom prefilter (probable) + exact anti-join (exact).
         # The bitmap is synced from the full ledger once, at the
@@ -613,7 +719,7 @@ class CrawlEngine:
         else:
             c = c.withColumn("robots_ok", F.lit(True))
 
-        c = c.withColumn(
+        return c.withColumn(
             "outcome",
             F.when(too_deep, "TOO_DEEP")
             .when(filtered, "FILTERED")
@@ -622,61 +728,89 @@ class CrawlEngine:
         ).withColumn(
             "status",
             F.when(F.col("outcome").isNull(), "QUEUED").otherwise("REJECTED"),
-        )
-
-        # second cache before assign_seq: the large path's range
-        # partitioning samples its input (an extra pass), which must
-        # not re-run the join lineage
-        c = c.cache()
-        if n_cand <= SMALL_SEQ_ROWS:
-            seq_df = assign_seq_small(c, ["parent_seq", "out_pos"], self.max_seq)
-        else:
-            seq_df = assign_seq(
-                c,
-                ["parent_seq", "out_pos"],
-                self.max_seq,
-                n_part=self._n_part(n_cand),
-            )
-        new_rows = seq_df.select(
+        ).select(
             "url",
             "seen_key",
             "host",
             "depth",
-            "seq",
             "avail_ms",
-            F.lit(None).cast("long").alias("sched_ms"),
+            "trail",
+            "parent_seq",
+            "out_pos",
+            "sub",
             "status",
             "outcome",
-            F.lit(None).cast("string").alias("checksum"),
-            "trail",
-            F.lit(self.superstep).cast("int").alias("superstep"),
-        ).cache()
+        )
 
-        qtick("qp:plan_built")
-        counts_df = new_rows.groupBy("status", "outcome").count()
+    def _sitemap_candidates(
+        self, evaluated: DataFrame, caches: list
+    ) -> DataFrame | None:
+        """Sitemap locs for hosts first QUEUED this superstep.
 
-        def cleanup():
-            c.unpersist()
-            cand_cache.unpersist()
-            if hasattr(seq_df, "_assign_seq_cache"):
-                seq_df._assign_seq_cache.unpersist()
+        Trigger per new host = its min-(parent_seq, out_pos) surviving
+        candidate (the queue-pipeline stages up to SitemapResolution
+        have passed). Each loc becomes a candidate at depth 0 carrying
+        the trigger's order key with a negative ``sub`` so the whole
+        sitemap sorts directly before the trigger, in document order —
+        byte-for-byte the recursive enqueue order of the reference
+        (GenericSitemapResolver.java:84-165 urlConsumer -> queue
+        pipeline) and of the oracle simulator.
+        """
+        from ..functions.sitemaps import parse_sitemap_udf
 
-        if not collect:
-            # caller folds counts_df into its own single collect and
-            # calls _queue_stats + cleanup afterwards
-            return new_rows, counts_df, cleanup
-        by_status = {
-            (r["status"], r["outcome"]): r["count"]
-            for r in counts_df.collect()
+        triggers = (
+            evaluated.filter(F.col("status") == "QUEUED")
+            .groupBy("host")
+            .agg(
+                F.min(
+                    F.struct("parent_seq", "out_pos", "avail_ms")
+                ).alias("t")
+            )
+        )
+        if self._sitemap_resolved:
+            known = self.spark.createDataFrame(
+                [(h,) for h in sorted(self._sitemap_resolved)], "host string"
+            )
+            triggers = triggers.join(F.broadcast(known), "host", "left_anti")
+        new_hosts = [r["host"] for r in triggers.select("host").collect()]
+        if not new_hosts:
+            return None
+        self._sitemap_resolved.update(new_hosts)
+        sm = self.sitemaps
+        if "path" in sm.columns:
+            sm_url = F.concat(F.lit("http://"), F.col("host"), F.col("path"))
+        else:
+            sm_url = F.concat(
+                F.lit("http://"), F.col("host"), F.lit("/sitemap.xml")
+            )
+        locs = (
+            triggers.join(sm, "host", "inner")
+            .withColumn("recs", parse_sitemap_udf(sm_url, F.col("xml")))
+            .select("host", "t", F.posexplode("recs").alias("pos", "r"))
+            .select(
+                F.col("r.url").alias("raw_url"),
+                F.lit(0).alias("depth"),
+                F.col("t.avail_ms").alias("avail_ms"),
+                F.array().cast("array<string>").alias("trail"),
+                F.col("t.parent_seq").alias("parent_seq"),
+                F.col("t.out_pos").alias("out_pos"),
+                (F.lit(-1_000_000) + F.col("pos")).cast("int").alias("sub"),
+            )
+            .cache()
+        )
+        caches.append(locs)
+        self._last_sitemap_stats = {
+            "SITEMAP_HOSTS_RESOLVED": len(new_hosts),
+            "SITEMAP_URLS": locs.count(),
         }
-        qtick("qp:materialize+count")
-        stats = self._queue_stats(by_status, n_cand)
-        cleanup()
-        return new_rows, stats
+        return locs
 
     def _queue_stats(self, by_status: dict, n_cand: int) -> dict:
         """Fold per-(status,outcome) counts into queue metrics and
         advance the seq/ledger counters (exactly once per pipeline)."""
+        sm_stats = self._last_sitemap_stats
+        self._last_sitemap_stats = {}
+        n_cand += sm_stats.get("SITEMAP_URLS", 0)
         n_new = sum(by_status.values())
         stats = {
             "DOCUMENT_QUEUED": by_status.get(("QUEUED", None), 0),
@@ -686,6 +820,7 @@ class CrawlEngine:
             "CANDIDATES": n_cand,
             "DUPLICATE_OR_BAD_SKIPPED": n_cand - n_new,
         }
+        stats.update(sm_stats)
         self.max_seq += n_new
         self._ledger_rows += n_new
         return stats
@@ -1027,6 +1162,7 @@ class CrawlEngine:
             + qstats["REJECTED_FILTER"]
             + qstats["REJECTED_ROBOTS_TXT"]
         )
+        n_cand += qstats.get("SITEMAP_URLS", 0)
         qstats["CANDIDATES"] = n_cand
         qstats["DUPLICATE_OR_BAD_SKIPPED"] = n_cand - n_new
         fetched_n = sum(r["n"] for r in agg_rows)

@@ -241,6 +241,11 @@ class Site:
             r["host"]: r["body"] for r in self.robots.to_dict("records")
         }
 
+    def sitemaps_dict(self) -> dict[str, str]:
+        return {
+            r["host"]: r["xml"] for r in self.sitemaps.to_dict("records")
+        }
+
 
 def build_site(p: SiteParams) -> Site:
     rows: list[dict] = []
