@@ -26,6 +26,15 @@ class CrawlConfig:
     # politeness: robots crawl-delay > default (AbstractDelayResolver
     # precedence :100-115); per-site serialization (SiteDelay.java:44-58).
     default_delay_ms: int = 3000
+    # GenericDelayResolver circular time-of-day schedules: tuples of
+    # (from_hour, to_hour, delay_ms), first match wins, wrap-around
+    # when from > to (GenericDelayResolver.java:84-151). Evaluated on
+    # the virtual clock; precedence robots > schedule > pattern >
+    # default (AbstractDelayResolver.java:84-115).
+    delay_schedules: tuple[tuple[int, int, int], ...] = ()
+    # ReferenceDelayResolver per-URL-pattern delays: (regex, delay_ms),
+    # first match wins.
+    delay_patterns: tuple[tuple[str, int], ...] = ()
     # reference filters (GenericReferenceFilter / FilterGroupResolver
     # semantics: any exclude match rejects; if includes exist, at
     # least one must match).

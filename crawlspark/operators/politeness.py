@@ -22,10 +22,48 @@ semantics; the scale lever is that per-row work is ~3 numpy ops).
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+MS_PER_HOUR = 3_600_000
+
+
+def resolve_delay(
+    url: str,
+    t_probe_ms: int,
+    robots_delay_ms: int | None,
+    schedules: tuple,
+    patterns: list,
+    default_ms: int,
+) -> int:
+    """Per-request politeness delay with the reference precedence
+    (AbstractDelayResolver.java:84-115): robots crawl-delay >
+    time-of-day schedule (GenericDelayResolver.java:84-151, circular
+    windows, first match wins) > per-URL-pattern delay
+    (ReferenceDelayResolver.java, first match wins) > default.
+
+    ``t_probe_ms``: the virtual wall time the request is considered
+    (the reference evaluates its schedule at 'now' before sleeping).
+    ``patterns``: [(compiled_regex, delay_ms)].
+    """
+    if robots_delay_ms is not None:
+        return int(robots_delay_ms)
+    if schedules:
+        hour = (t_probe_ms // MS_PER_HOUR) % 24
+        for f_h, t_h, d in schedules:
+            hit = (f_h <= hour < t_h) if f_h <= t_h else (
+                hour >= f_h or hour < t_h
+            )
+            if hit:
+                return int(d)
+    for rx, d in patterns:
+        if rx.search(url):
+            return int(d)
+    return int(default_ms)
 
 
 def schedule_hosts(
@@ -33,16 +71,20 @@ def schedule_hosts(
     host_delays: DataFrame,
     host_state: DataFrame | None,
     default_delay_ms: int,
+    schedules: tuple = (),
+    patterns: tuple = (),
 ) -> DataFrame:
     """Add ``sched_ms`` to a QUEUED batch.
 
     ``host_delays``: (host, crawl_delay_ms nullable) — small dim,
     broadcast. ``host_state``: (host, last_sched_ms) carried across
-    supersteps (None on the first).
+    supersteps (None on the first). ``schedules``/``patterns``:
+    time-of-day and per-URL delay resolvers — when configured, hosts
+    WITHOUT a robots crawl-delay take an O(n)-python per-row path
+    (the delay varies per request, so the recurrence has no closed
+    form); everything else stays on the vectorized numpy path.
     """
-    b = batch.join(F.broadcast(host_delays), "host", "left").withColumn(
-        "__delay", F.coalesce(F.col("crawl_delay_ms"), F.lit(default_delay_ms))
-    )
+    b = batch.join(F.broadcast(host_delays), "host", "left")
     if host_state is not None:
         b = b.join(F.broadcast(host_state), "host", "left")
     else:
@@ -52,16 +94,35 @@ def schedule_hosts(
         [], batch.schema
     ).withColumn("sched_ms", F.lit(0).cast("long")).schema
     out_cols = [f.name for f in out_schema.fields]
+    compiled = [(re.compile(p), d) for p, d in patterns]
+    varying = bool(schedules or compiled)
 
     def sched_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("seq").reset_index(drop=True)
-        delay = int(pdf["__delay"].iloc[0])
+        robots_d = pdf["crawl_delay_ms"].iloc[0]
+        robots_d = None if pd.isna(robots_d) else int(robots_d)
         last = pdf["last_sched_ms"].iloc[0]
+        last = None if pd.isna(last) else int(last)
         avail = pdf["avail_ms"].to_numpy(dtype="int64")
+        if varying and robots_d is None:
+            urls = pdf["url"].tolist()
+            out = np.empty(len(pdf), dtype="int64")
+            for i, a in enumerate(avail):
+                t_probe = a if last is None else max(int(a), last)
+                d = resolve_delay(
+                    urls[i], t_probe, None, schedules, compiled,
+                    default_delay_ms,
+                )
+                sched = a if last is None else max(int(a), last + d)
+                out[i] = sched
+                last = int(sched)
+            pdf["sched_ms"] = out
+            return pdf[out_cols]
+        delay = robots_d if robots_d is not None else int(default_delay_ms)
         idx = np.arange(len(pdf), dtype="int64")
         v = avail - idx * delay
         run = np.maximum.accumulate(v)
-        if not pd.isna(last):
+        if last is not None:
             run = np.maximum(run, np.int64(last) + delay)
         pdf["sched_ms"] = run + idx * delay
         return pdf[out_cols]

@@ -41,6 +41,7 @@ from ..config import CrawlConfig
 from ..functions.links import extract_canonical, extract_links, extract_robots_meta
 from ..functions.robots import RobotsMatcher, parse_robots_txt
 from ..functions.urls import normalize_url, url_host
+from ..operators.politeness import resolve_delay
 
 
 def match_target(url: str) -> str:
@@ -124,15 +125,22 @@ class CrawlSimulator:
         self.cfg = cfg
         self.baseline = baseline or {}
         self._matchers: dict[str, RobotsMatcher] = {}
-        self._delays: dict[str, int] = {}
+        # robots crawl-delay per host; None = no directive (schedule/
+        # pattern/default resolvers apply per request)
+        self._robots_delays: dict[str, int | None] = {}
         for host, body in robots.items():
             rules = parse_robots_txt(body, cfg.user_agent)
             self._matchers[host] = RobotsMatcher(rules)
-            self._delays[host] = (
+            self._robots_delays[host] = (
                 int(rules.crawl_delay * 1000)
                 if rules.crawl_delay is not None
-                else cfg.default_delay_ms
+                else None
             )
+        import re as _re
+
+        self._delay_patterns = [
+            (_re.compile(p), d) for p, d in cfg.delay_patterns
+        ]
         import re
 
         self._includes = [re.compile(p) for p in cfg.include_patterns]
@@ -332,8 +340,16 @@ class CrawlSimulator:
                     )
                     step += 1
                     continue
-            delay = self._delays.get(e.host, self.cfg.default_delay_ms)
             prev = last_sched.get(e.host)
+            t_probe = e.avail_ms if prev is None else max(e.avail_ms, prev)
+            delay = resolve_delay(
+                e.url,
+                t_probe,
+                self._robots_delays.get(e.host),
+                self.cfg.delay_schedules,
+                self._delay_patterns,
+                self.cfg.default_delay_ms,
+            )
             sched = e.avail_ms if prev is None else max(e.avail_ms, prev + delay)
             last_sched[e.host] = sched
             e.sched_ms = sched

@@ -875,7 +875,12 @@ class CrawlEngine:
             batch = b2.filter(~is_prem).drop("base_sched")
 
         sched = schedule_hosts(
-            batch, self.delays, host_state, cfg.default_delay_ms
+            batch,
+            self.delays,
+            host_state,
+            cfg.default_delay_ms,
+            schedules=cfg.delay_schedules,
+            patterns=cfg.delay_patterns,
         )
         parsed = self._fetch_parse(sched).withColumn(
             "premature", F.lit(False)
