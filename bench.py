@@ -47,7 +47,7 @@ def _bench_site_params():
         variant_pct=0.05,
         cycle_pct=0.05,
         cross_pct=0.10,
-        n_seed_hosts=int(os.environ.get("BENCH_HOSTS", "80")),
+        n_seed_hosts=int(os.environ.get("BENCH_HOSTS", "800")),
     )
 
 
