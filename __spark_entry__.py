@@ -16,6 +16,21 @@ operator families are each represented here.
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+# make crawlspark importable on the driver AND in Python UDF workers
+# regardless of the launching process's cwd (workers inherit PYTHONPATH
+# from the JVM, which inherits it from the driver process if set before
+# the session starts — importing this module early enough suffices)
+_REPO = _os.path.dirname(_os.path.abspath(__file__))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
+if _REPO not in _os.environ.get("PYTHONPATH", ""):
+    _os.environ["PYTHONPATH"] = (
+        _REPO + _os.pathsep + _os.environ.get("PYTHONPATH", "")
+    ).rstrip(_os.pathsep)
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
