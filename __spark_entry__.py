@@ -63,10 +63,12 @@ def q_pricing_summary(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
-                "sum_base_price"
-            ),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -113,7 +115,7 @@ def q_dedup_first_wins(spark, sf_dir):
         .select(
             "o_custkey",
             F.col("o_orderkey").alias("first_orderkey"),
-            F.col("o_totalprice").cast("decimal(18,2)").alias("first_price"),
+            F.col("o_totalprice").cast("double").alias("first_price"),
         )
     )
 
@@ -407,8 +409,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
-       sum(l_quantity::DECIMAL(18,2)) AS sum_qty,
-       sum(l_extendedprice::DECIMAL(18,2)) AS sum_base_price,
+       sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+       sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus ORDER BY 1, 2
@@ -427,7 +429,7 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         "q_dedup_first_wins": """
 SELECT o_custkey, first_orderkey, first_price FROM (
   SELECT o_custkey, o_orderkey AS first_orderkey,
-         o_totalprice::DECIMAL(18,2) AS first_price,
+         o_totalprice::DOUBLE AS first_price,
          row_number() OVER (PARTITION BY o_custkey
                             ORDER BY o_orderdate, o_orderkey) AS rk
   FROM orders) WHERE rk = 1
