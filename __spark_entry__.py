@@ -92,10 +92,15 @@ def q_frontier_topk_per_host(spark, sf_dir):
 
 
 def q_urlseen_antijoin(spark, sf_dir):
-    """URL-seen exact dedup shape: left_anti
-    (CrawlerEntryLedger.java:361 exact-key check)."""
+    """URL-seen exact dedup shape: left_anti against the "already
+    seen" side (CrawlerEntryLedger.java:361 exact-key check).
+    The seen side is date-restricted so the result is a NON-EMPTY
+    proper subset at every SF (r1's variant returned 0 rows, a
+    vacuous green)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1996-01-01"
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
@@ -189,7 +194,15 @@ def q_doc_fingerprints(spark, sf_dir):
 
 
 def q_exact_dup_groups(spark, sf_dir):
-    return X.exact_dup_groups(_t(spark, sf_dir, "documents"))
+    """documents has no exact-duplicate texts at test SFs (r1's green
+    was vacuous: 0 == 0 rows); deterministically inject duplicates of
+    the first 20 docs under shifted ids so first-wins grouping is
+    actually exercised. Oracle injects identically."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = d.filter(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100000)
+    )
+    return X.exact_dup_groups(d.unionByName(injected))
 
 
 def q_token_stats(spark, sf_dir):
@@ -235,6 +248,12 @@ def q_cosine_topk(spark, sf_dir):
     return S.cosine_topk(_t(spark, sf_dir, "embeddings")).select(
         "query_id", "neighbor_id", "cos", F.col("rk").cast("long").alias("rk")
     )
+
+
+def q_lsh_ann(spark, sf_dir):
+    """Bucketed ANN top-k (equi-join on LSH bucket, no cross product)
+    — r1 left this unit-tested only; now oracle-gated."""
+    return S.lsh_ann(_t(spark, sf_dir, "embeddings"))
 
 
 def q_lsh_bucket_stats(spark, sf_dir):
@@ -283,8 +302,8 @@ def q_crawl_microsite(spark, sf_dir):
         spark,
         tempfile.mkdtemp(prefix="crawl_entry_"),
         cfg,
-        spark.createDataFrame(site.pages),
-        spark.createDataFrame(site.robots),
+        site.spark_pages_df(spark),
+        site.spark_robots_df(spark),
     )
     eng.bootstrap([r["url"] for r in site.seeds.to_dict("records")])
     eng.run()
@@ -315,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": q_simhash,
         "q_jaccard_next": q_jaccard_next,
         "q_cosine_topk": q_cosine_topk,
+        "q_lsh_ann": q_lsh_ann,
         "q_lsh_bucket_stats": q_lsh_bucket_stats,
         "q_image_payload": q_image_payload,
         "q_crawl_microsite": q_crawl_microsite,
@@ -404,6 +424,17 @@ def _lsh_sig_expr(n_planes: int) -> str:
 _EN = "[" + ", ".join(f"'{s}'" for s in LANG_STOPWORDS["en"]) + "]"
 
 
+def _cos_fold(a: str, b: str) -> str:
+    """Cosine as the identical fold arithmetic Spark's
+    similarity._dot/_norm run (verified bit-for-bit vs F.aggregate)."""
+    dot = (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+    )
+    nrm = "sqrt(list_sum(list_transform({v}, x -> x::DOUBLE * x::DOUBLE)))"
+    return f"({dot} / ({nrm.format(v=a)} * {nrm.format(v=b)}))"
+
+
 def oracle_sql() -> dict[str, str]:
     w = _WORDS.format(t="text")
     return {
@@ -424,7 +455,8 @@ SELECT l_suppkey, l_orderkey, l_linenumber, rk FROM (
 """,
         "q_urlseen_antijoin": """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
 """,
         "q_dedup_first_wins": """
 SELECT o_custkey, first_orderkey, first_price FROM (
@@ -461,10 +493,15 @@ SELECT doc_id,
 FROM documents
 """,
         "q_exact_dup_groups": """
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20
+)
 SELECT fingerprint, count(*) AS n_dups, min(doc_id) AS keeper_doc_id
 FROM (SELECT doc_id,
              md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
-      FROM documents)
+      FROM docs2)
 GROUP BY fingerprint HAVING count(*) > 1
 """,
         "q_token_stats": f"""
@@ -524,12 +561,16 @@ SELECT a.doc_id,
          AS jaccard_next
 FROM ws a JOIN ws b ON b.doc_id = a.doc_id + 1
 """,
-        "q_cosine_topk": """
+        # cosine spelled as the IDENTICAL left-fold Spark runs
+        # (similarity._dot/_norm): 0.0-seeded sequential double adds,
+        # dot/(sqrt(nq)*sqrt(ne)) — bit-for-bit equal, so round(.,6)
+        # can't diverge (r1's list_cosine_similarity flipped last bits)
+        "q_cosine_topk": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
            WHERE vec_id < 5),
 scored AS (
   SELECT query_id, e.vec_id AS neighbor_id,
-         list_cosine_similarity(qv, e.embedding) AS c
+         {_cos_fold('qv', 'e.embedding')} AS c
   FROM q, embeddings e WHERE e.vec_id != query_id),
 ranked AS (
   SELECT query_id, neighbor_id, c,
@@ -538,6 +579,23 @@ ranked AS (
   FROM scored)
 SELECT query_id, neighbor_id, round(c, 6) AS cos, rk
 FROM ranked WHERE rk <= 5
+""",
+        "q_lsh_ann": f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {_lsh_sig_expr(8)} AS lsh_sig FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, lsh_sig
+      FROM sigs WHERE vec_id < 5),
+scored AS (
+  SELECT query_id, s.vec_id AS neighbor_id,
+         {_cos_fold('qv', 's.embedding')} AS c
+  FROM q JOIN sigs s USING (lsh_sig) WHERE s.vec_id != query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, c,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, neighbor_id) AS rk
+  FROM scored)
+SELECT query_id, neighbor_id, round(c, 6) AS cos
+FROM ranked WHERE rk <= 3
 """,
         "q_lsh_bucket_stats": f"""
 SELECT {_lsh_sig_expr(8)} AS lsh_sig,

@@ -163,10 +163,13 @@ def shingles_col(text_col, k: int = 2):
     )
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, i, minhash) — N_MINHASH universal-hash minima over
-    distinct word-2-shingles. Long format so the oracle compare is
-    column-type-agnostic."""
+def minhash_wide(docs: DataFrame) -> DataFrame:
+    """(doc_id, h0..h{N-1}) — N_MINHASH universal-hash minima over
+    distinct word-2-shingles. ONE shuffle over the exploded shingles
+    with map-side-combined mins; every downstream MinHash consumer
+    (long-format signatures, LSH bucketing, pair verification) derives
+    from this frame so the shingle lineage exists exactly once in a
+    plan and self-joins hit ReusedExchange."""
     sh = docs.select(
         "doc_id",
         F.explode(F.array_distinct(shingles_col(F.col("text")))).alias("sh"),
@@ -177,27 +180,51 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
         )
         for i in range(N_MINHASH)
     ]
-    wide = sh.groupBy("doc_id").agg(*mins)
-    pairs = []
-    for i in range(N_MINHASH):
-        pairs.append(F.struct(F.lit(i).alias("i"), F.col(f"h{i}").alias("minhash")))
-    return wide.select(
-        "doc_id", F.explode(F.array(*pairs)).alias("s")
-    ).select("doc_id", F.col("s.i").alias("i"), F.col("s.minhash").alias("minhash"))
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, i, minhash) — long format so the oracle compare is
+    column-type-agnostic."""
+    pairs = [
+        F.struct(F.lit(i).alias("i"), F.col(f"h{i}").alias("minhash"))
+        for i in range(N_MINHASH)
+    ]
+    return (
+        minhash_wide(docs)
+        .select("doc_id", F.explode(F.array(*pairs)).alias("s"))
+        .select(
+            "doc_id", F.col("s.i").alias("i"), F.col("s.minhash").alias("minhash")
+        )
+    )
 
 
 def minhash_dup_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """LSH candidate pairs (band-bucket join, no all-pairs) with
-    estimated Jaccard >= threshold. (a, b, est_jaccard), a < b."""
-    sig = minhash_signatures(docs)
-    band = sig.withColumn("band", (F.col("i") / ROWS_PER_BAND).cast("int"))
-    buckets = band.groupBy("doc_id", "band").agg(
-        # polynomial combine of the band's minhashes in i order
-        F.sum(
-            F.col("minhash")
-            * F.pow(F.lit(31.0), (F.col("i") % ROWS_PER_BAND)).cast("long")
-        ).alias("bucket")
-    )
+    estimated Jaccard >= threshold. (a, b, est_jaccard), a < b.
+
+    Single-lineage shape: the wide signature frame is built once;
+    band buckets explode from its 16 columns, and the estimate is a
+    row-local expression over the two joined wide rows — no 16x
+    signature join, no re-derived shingle aggregation (the r1 plan
+    recomputed it 3x and was the slowest bench query)."""
+    wide = minhash_wide(docs)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            sum(
+                (
+                    F.col(f"h{b * ROWS_PER_BAND + r}")
+                    * F.lit(31 ** r).cast("long")
+                )
+                for r in range(ROWS_PER_BAND)
+            ).alias("bucket"),
+        )
+        for b in range(N_BANDS)
+    ]
+    buckets = wide.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
@@ -212,33 +239,29 @@ def minhash_dup_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         )
         .distinct()
     )
-    s1 = minhash_signatures(docs).alias("s1")
-    est = (
-        cand.join(s1, F.col("da") == F.col("s1.doc_id"))
-        .join(
-            minhash_signatures(docs).alias("s2"),
-            (F.col("db") == F.col("s2.doc_id"))
-            & (F.col("s1.i") == F.col("s2.i")),
-        )
-        .groupBy("da", "db")
-        .agg(
-            (
-                F.sum(
-                    F.when(
-                        F.col("s1.minhash") == F.col("s2.minhash"), 1
-                    ).otherwise(0)
-                )
-                / F.lit(float(N_MINHASH))
-            ).alias("est_jaccard")
-        )
-        .filter(F.col("est_jaccard") >= threshold)
+    w1 = wide.select(
+        F.col("doc_id").alias("da"),
+        *[F.col(f"h{i}").alias(f"x{i}") for i in range(N_MINHASH)],
+    )
+    w2 = wide.select(
+        F.col("doc_id").alias("db"),
+        *[F.col(f"h{i}").alias(f"y{i}") for i in range(N_MINHASH)],
+    )
+    matches = sum(
+        F.when(F.col(f"x{i}") == F.col(f"y{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    return (
+        cand.join(w1, "da")
+        .join(w2, "db")
         .select(
             F.col("da").alias("a"),
             F.col("db").alias("b"),
-            F.round("est_jaccard", 4).alias("est_jaccard"),
+            (matches / F.lit(float(N_MINHASH))).alias("ej"),
         )
+        .filter(F.col("ej") >= threshold)
+        .select("a", "b", F.round("ej", 4).alias("est_jaccard"))
     )
-    return est
 
 
 def simhash(docs: DataFrame) -> DataFrame:

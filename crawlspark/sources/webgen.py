@@ -233,6 +233,25 @@ class Site:
     robots: pd.DataFrame = field(repr=False, default=None)
     sitemaps: pd.DataFrame = field(repr=False, default=None)
 
+    # Spark frames with EXPLICIT schemas: inference over the pandas
+    # frames is environment-dependent (all-None object columns, e.g.
+    # redirect_to at redirect_pct=0, fail [CANNOT_DETERMINE_TYPE]
+    # without Arrow) — the entry contract must not depend on it.
+    def spark_pages_df(self, spark):
+        return spark.createDataFrame(
+            self.pages[PAGES_COLUMNS], schema=PAGES_SCHEMA
+        )
+
+    def spark_robots_df(self, spark):
+        return spark.createDataFrame(
+            self.robots[["host", "body"]], schema=ROBOTS_SCHEMA
+        )
+
+    def spark_sitemaps_df(self, spark):
+        return spark.createDataFrame(
+            self.sitemaps[["host", "path", "xml"]], schema=SITEMAPS_SCHEMA
+        )
+
     def pages_dict(self) -> dict[str, dict]:
         return {r["url"]: r for r in self.pages.to_dict("records")}
 
@@ -384,6 +403,11 @@ PAGES_SCHEMA = (
     "url string, host string, status int, redirect_to string, "
     "html string, depth_from_seed int"
 )
+PAGES_COLUMNS = [
+    "url", "host", "status", "redirect_to", "html", "depth_from_seed",
+]
+ROBOTS_SCHEMA = "host string, body string"
+SITEMAPS_SCHEMA = "host string, path string, xml string"
 
 
 def _unrank(p: SiteParams, gidx: int) -> tuple[int, int, int]:

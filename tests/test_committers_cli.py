@@ -60,9 +60,9 @@ def test_cli_crawl_and_export(spark, tmp_path):
     from crawlspark.sources.webgen import SiteParams, build_site
 
     site = build_site(SiteParams(seed=5, n_hosts=2, depth=1, branching=3))
-    site_pages = spark.createDataFrame(site.pages)
+    site_pages = site.spark_pages_df(spark)
     site_pages.write.mode("overwrite").parquet(str(tmp_path / "pages"))
-    spark.createDataFrame(site.robots).write.mode("overwrite").parquet(
+    site.spark_robots_df(spark).write.mode("overwrite").parquet(
         str(tmp_path / "robots")
     )
     seeds_file = tmp_path / "seeds.txt"

@@ -39,8 +39,8 @@ def run_both(spark, tmp_path, params: SiteParams, cfg: CrawlConfig):
     seeds = [r["url"] for r in site.seeds.to_dict("records")]
     sim = CrawlSimulator(site.pages_dict(), site.robots_dict(), cfg).run(seeds)
 
-    pages_df = spark.createDataFrame(site.pages)
-    robots_df = spark.createDataFrame(site.robots)
+    pages_df = site.spark_pages_df(spark)
+    robots_df = site.spark_robots_df(spark)
     eng = CrawlEngine(spark, str(tmp_path / "crawl"), cfg, pages_df, robots_df)
     eng.bootstrap(seeds)
     eng.run()

@@ -54,8 +54,8 @@ def both(spark, tmp_path_factory):
         spark,
         str(tmp / "crawl"),
         CFG,
-        spark.createDataFrame(site.pages),
-        spark.createDataFrame(site.robots),
+        site.spark_pages_df(spark),
+        site.spark_robots_df(spark),
     )
     eng.bootstrap(seeds)
     eng.run()

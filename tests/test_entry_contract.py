@@ -69,8 +69,10 @@ def test_query_matches_oracle(spark, duck, name):
         if np.issubdtype(g.dtype, np.floating) or np.issubdtype(
             w.dtype, np.floating
         ):
+            # the driver hash-compares exact values — mirror that
+            # (atol tolerance here masked r1's q_cosine_topk mismatch)
             assert np.allclose(
-                g.astype(float), w.astype(float), atol=1e-9, equal_nan=True
+                g.astype(float), w.astype(float), rtol=0, atol=0, equal_nan=True
             ), f"{name}.{c}: max diff {np.abs(g.astype(float) - w.astype(float)).max()}"
         else:
             assert g.astype(str).tolist() == w.astype(str).tolist(), (
@@ -88,3 +90,27 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = E.entry(spark)
     assert df.limit(5).count() > 0
+
+
+def test_site_frames_without_arrow(spark):
+    """The driver's session does NOT enable Arrow; all-None object
+    columns (redirect_to/html at redirect_pct=0) must still convert —
+    i.e. the Site helpers pass explicit schemas, never infer.
+    Regression for CORRECTNESS_r01 q_crawl_microsite."""
+    from crawlspark.sources.webgen import SiteParams, build_site
+
+    site = build_site(SiteParams(seed=42, n_hosts=2, depth=1, branching=2))
+    assert site.pages["redirect_to"].isna().all()
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        pages = site.spark_pages_df(spark)
+        robots = site.spark_robots_df(spark)
+        maps = site.spark_sitemaps_df(spark)
+        assert pages.count() == len(site.pages)
+        assert dict(pages.dtypes)["redirect_to"] == "string"
+        assert robots.count() == len(site.robots)
+        assert maps.count() == len(site.sitemaps)
+    finally:
+        spark.conf.set(key, prev)

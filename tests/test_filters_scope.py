@@ -25,8 +25,8 @@ def run_both(spark, tmp_path, params, cfg, fetcher_retries=None):
             spark,
             str(tmp_path / "crawl"),
             cfg,
-            spark.createDataFrame(site.pages),
-            spark.createDataFrame(site.robots),
+            site.spark_pages_df(spark),
+            site.spark_robots_df(spark),
         )
     else:
         eng = CrawlEngine(
@@ -34,7 +34,7 @@ def run_both(spark, tmp_path, params, cfg, fetcher_retries=None):
             str(tmp_path / "crawl"),
             cfg,
             None,
-            spark.createDataFrame(site.robots),
+            site.spark_robots_df(spark),
             fetcher=make_fetcher(params, retries=fetcher_retries),
         )
     eng.bootstrap(seeds)
@@ -139,7 +139,7 @@ def test_no_retry_surfaces_transient(spark, tmp_path):
         str(tmp_path / "crawl0"),
         cfg,
         None,
-        spark.createDataFrame(site.robots),
+        site.spark_robots_df(spark),
         fetcher=make_fetcher(params, retries=0),
     )
     eng.bootstrap(seeds)

@@ -50,8 +50,8 @@ def two_runs(spark, tmp_path_factory):
             spark,
             str(workdir),
             CFG,
-            spark.createDataFrame(site.pages),
-            spark.createDataFrame(site.robots),
+            site.spark_pages_df(spark),
+            site.spark_robots_df(spark),
             baseline_df=baseline,
         )
         eng.bootstrap(seeds)

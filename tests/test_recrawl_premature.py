@@ -43,8 +43,8 @@ def runs(spark, tmp_path_factory):
         spark,
         str(tmp / "r0"),
         CFG0,
-        spark.createDataFrame(site.pages),
-        spark.createDataFrame(site.robots),
+        site.spark_pages_df(spark),
+        site.spark_robots_df(spark),
     )
     eng0.bootstrap(seeds)
     eng0.run()
@@ -52,8 +52,8 @@ def runs(spark, tmp_path_factory):
         spark,
         str(tmp / "r1"),
         CFG1,
-        spark.createDataFrame(site.pages),
-        spark.createDataFrame(site.robots),
+        site.spark_pages_df(spark),
+        site.spark_robots_df(spark),
         baseline_df=load_baseline(spark, str(tmp / "r0")),
     )
     eng1.bootstrap(seeds)

@@ -40,9 +40,9 @@ def both(spark, tmp_path_factory):
         spark,
         str(tmp / "crawl"),
         CFG,
-        spark.createDataFrame(site.pages),
-        spark.createDataFrame(site.robots),
-        sitemaps_df=spark.createDataFrame(site.sitemaps),
+        site.spark_pages_df(spark),
+        site.spark_robots_df(spark),
+        sitemaps_df=site.spark_sitemaps_df(spark),
     )
     eng.bootstrap(seeds)
     eng.run()
