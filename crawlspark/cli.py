@@ -87,6 +87,16 @@ def main(argv: list[str] | None = None) -> int:
             )
     args = ap.parse_args(argv)
 
+    if getattr(args, "retries", 0):
+        # retries live in the fetch slot (webgen.make_fetcher /
+        # MultiFetcher.java:94-138); the CLI only drives the pages-table
+        # join path, which has no transient failures to retry.
+        print(
+            "warning: --retries only applies when a fetcher is "
+            "supplied programmatically; the --pages join path ignores it",
+            file=sys.stderr,
+        )
+
     from .session import get_spark
 
     spark = get_spark(f"crawlspark-{args.cmd}", cores=args.cores)

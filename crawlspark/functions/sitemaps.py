@@ -137,3 +137,48 @@ def parse_sitemap_udf(sitemap_url: pd.Series, xml: pd.Series) -> pd.Series:
         [parse_sitemap(u, x)[0] for u, x in zip(sitemap_url, xml)],
         dtype=object,
     )
+
+
+def resolve_sitemap_tree(
+    root_url: str,
+    xml_by_url: dict[str, str],
+    max_depth: int = 3,
+    lenient: bool = False,
+) -> list[dict]:
+    """DFS the ``<sitemapindex>`` tree from ``root_url``
+    (GenericSitemapResolver.java:84-165: parse the current sitemap —
+    its url records enqueue during the parse, in document order — then
+    recurse into child sitemaps in document order; each location is
+    resolved at most once via the resolvedIndices set). Depth-capped:
+    real indices nest one level, the cap only guards pathological
+    self-referencing trees. Returns the flattened records."""
+    seen: set[str] = set()
+    out: list[dict] = []
+
+    def go(url: str, depth: int) -> None:
+        if url in seen or depth > max_depth:
+            return
+        seen.add(url)
+        recs, children = parse_sitemap(url, xml_by_url.get(url), lenient)
+        out.extend(recs)
+        for child in children:
+            go(child, depth + 1)
+
+    go(root_url, 0)
+    return out
+
+
+@F.pandas_udf(SITEMAP_RECORDS_TYPE)
+def resolve_sitemap_tree_udf(
+    host: pd.Series, paths: pd.Series, xmls: pd.Series
+) -> pd.Series:
+    """Per-host tree resolution over the host's full sitemap set
+    (paths/xmls: the collected dim rows — child 'fetches' are local
+    lookups, matching the fixture-supplied sitemap model)."""
+    out = []
+    for h, ps, xs in zip(host, paths, xmls):
+        lookup = {
+            f"http://{h}{p}": x for p, x in zip(list(ps), list(xs))
+        }
+        out.append(resolve_sitemap_tree(f"http://{h}/sitemap.xml", lookup))
+    return pd.Series(out, dtype=object)

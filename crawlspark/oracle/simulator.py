@@ -70,6 +70,9 @@ class SimEntry:
     status: str = "QUEUED"
     outcome: str | None = None
     sched_ms: int | None = None
+    # carried-forward content checksum for PREMATURE rows (the prior
+    # run's cached doc state — GenericRecrawlableResolver keeps it)
+    checksum: str | None = None
 
 
 @dataclass
@@ -83,10 +86,12 @@ class SimResult:
     def baseline_dict(self) -> dict[str, dict]:
         """This run's ledger as the next run's incremental baseline
         (mirrors plans.superstep.load_baseline)."""
-        cks = {c["image_id"]: c["checksum"] for c in self.committed}
         return {
             url: {
-                "checksum": cks.get(url),
+                # the cached checksum: set for NEW/MODIFIED/UNMODIFIED/
+                # DUPLICATE at the checksum stage, carried forward on
+                # PREMATURE; None for rows that never reached it
+                "checksum": e.checksum,
                 "depth": e.depth,
                 "seq": e.seq,
                 "sched_ms": e.sched_ms,
@@ -147,7 +152,12 @@ class CrawlSimulator:
         self._excludes = [re.compile(p) for p in cfg.exclude_patterns]
         self._blocked_ext = {e.lower() for e in cfg.blocked_extensions}
         self._ext_re = re.compile(r"\.([^./]+)$")
-        self.sitemaps = sitemaps or {}
+        # host -> {path: xml}; a bare host -> xml mapping is normalized
+        # to the flat single-file layout
+        self.sitemaps: dict[str, dict[str, str]] = {
+            h: (v if isinstance(v, dict) else {"/sitemap.xml": v})
+            for h, v in (sitemaps or {}).items()
+        }
         self._sitemap_resolved: set[str] = set()
 
     def _filtered(self, url: str) -> bool:
@@ -237,12 +247,13 @@ class CrawlSimulator:
         # trigger (SitemapResolutionStage precedes QueueReferenceStage)
         if self.cfg.use_sitemaps and host not in self._sitemap_resolved:
             self._sitemap_resolved.add(host)
-            xml = self.sitemaps.get(host)
-            if xml:
-                from ..functions.sitemaps import parse_sitemap
+            files = self.sitemaps.get(host)
+            if files:
+                from ..functions.sitemaps import resolve_sitemap_tree
 
-                recs, _children = parse_sitemap(
-                    f"http://{host}/sitemap.xml", xml
+                recs = resolve_sitemap_tree(
+                    f"http://{host}/sitemap.xml",
+                    {f"http://{host}{p}": x for p, x in files.items()},
                 )
                 for rec in recs:
                     res.metrics["SITEMAP_URLS"] += 1
@@ -326,7 +337,10 @@ class CrawlSimulator:
                     > self.cfg.virtual_now_ms + e.avail_ms
                 ):
                     e.status, e.outcome = "PROCESSED", "PREMATURE"
-                    e.sched_ms = e.avail_ms
+                    # keep the prior fetch time + cached checksum so a
+                    # 3rd run still sees the original due-time and delta
+                    e.sched_ms = b["sched_ms"]
+                    e.checksum = b["checksum"]
                     res.metrics["REJECTED_PREMATURE"] += 1
                     res.fetch_log.append(
                         {
@@ -425,6 +439,12 @@ class CrawlSimulator:
                     res.metrics["REJECTED_NOINDEX"] += 1
                 else:
                     ck = content_checksum(html)
+                    # every row reaching the checksum stage caches its
+                    # checksum for the next run's baseline (the
+                    # reference stores docChecksum on the entry even
+                    # when rejected UNMODIFIED/DUPLICATE —
+                    # DocumentChecksumStage precedes DocumentDedupStage)
+                    e.checksum = ck
                     if base_ck is not None and base_ck == ck:
                         # unchanged since last run: rejected before the
                         # dedup stage, checksum NOT registered

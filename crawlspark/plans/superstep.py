@@ -756,7 +756,7 @@ class CrawlEngine:
         (GenericSitemapResolver.java:84-165 urlConsumer -> queue
         pipeline) and of the oracle simulator.
         """
-        from ..functions.sitemaps import parse_sitemap_udf
+        from ..functions.sitemaps import resolve_sitemap_tree_udf
 
         triggers = (
             evaluated.filter(F.col("status") == "QUEUED")
@@ -777,16 +777,30 @@ class CrawlEngine:
             return None
         self._sitemap_resolved.update(new_hosts)
         sm = self.sitemaps
-        if "path" in sm.columns:
-            sm_url = F.concat(F.lit("http://"), F.col("host"), F.col("path"))
-        else:
-            sm_url = F.concat(
-                F.lit("http://"), F.col("host"), F.lit("/sitemap.xml")
-            )
+        if "path" not in sm.columns:
+            sm = sm.withColumn("path", F.lit("/sitemap.xml"))
+        # the host's full sitemap set rides into ONE udf call which
+        # walks the <sitemapindex> tree from /sitemap.xml (child
+        # "fetches" are lookups into the collected dim rows) — DFS
+        # document order, matching GenericSitemapResolver.java:84-165
+        smg = sm.groupBy("host").agg(
+            F.collect_list("path").alias("paths"),
+            F.collect_list("xml").alias("xmls"),
+        )
         locs = (
-            triggers.join(sm, "host", "inner")
-            .withColumn("recs", parse_sitemap_udf(sm_url, F.col("xml")))
-            .select("host", "t", F.posexplode("recs").alias("pos", "r"))
+            triggers.join(smg, "host", "inner")
+            .withColumn(
+                "recs",
+                resolve_sitemap_tree_udf(
+                    F.col("host"), F.col("paths"), F.col("xmls")
+                ),
+            )
+            .select(
+                "host",
+                "t",
+                F.size("recs").alias("n_locs"),
+                F.posexplode("recs").alias("pos", "r"),
+            )
             .select(
                 F.col("r.url").alias("raw_url"),
                 F.lit(0).alias("depth"),
@@ -794,7 +808,10 @@ class CrawlEngine:
                 F.array().cast("array<string>").alias("trail"),
                 F.col("t.parent_seq").alias("parent_seq"),
                 F.col("t.out_pos").alias("out_pos"),
-                (F.lit(-1_000_000) + F.col("pos")).cast("int").alias("sub"),
+                # always negative (sorts before the sub=0 trigger)
+                # regardless of sitemap size — no fixed -1e6 base to
+                # overflow past the trigger on million-entry sitemaps
+                (F.col("pos") - F.col("n_locs")).cast("int").alias("sub"),
             )
             .cache()
         )
@@ -864,15 +881,21 @@ class CrawlEngine:
         prem = None
         if cfg.min_recrawl_ms is not None and self.baseline is not None:
             bsched = self.baseline.select(
-                "url", F.col("sched_ms").alias("base_sched")
+                "url",
+                F.col("sched_ms").alias("base_sched"),
+                F.col("checksum").alias("base_ck_prem"),
             )
             b2 = batch.join(F.broadcast(bsched), "url", "left")
             is_prem = F.col("base_sched").isNotNull() & (
                 F.col("base_sched") + F.lit(cfg.min_recrawl_ms)
                 > F.lit(cfg.virtual_now_ms) + F.col("avail_ms")
             )
-            prem = b2.filter(is_prem).drop("base_sched")
-            batch = b2.filter(~is_prem).drop("base_sched")
+            # PREMATURE keeps the baseline's fetch time and checksum in
+            # its ledger row (GenericRecrawlableResolver preserves the
+            # prior fetch date + cached doc) so a 3rd-run chain still
+            # sees the original due-time and UNMODIFIED/MODIFIED delta.
+            prem = b2.filter(is_prem)
+            batch = b2.filter(~is_prem).drop("base_sched", "base_ck_prem")
 
         sched = schedule_hosts(
             batch,
@@ -888,13 +911,13 @@ class CrawlEngine:
         if prem is not None:
             prem_rows = prem.select(
                 *[F.col(c) for c in batch.columns],
-                F.col("avail_ms").alias("sched_ms"),
+                F.col("base_sched").alias("sched_ms"),
                 F.lit(None).cast("int").alias("http_status"),
                 F.lit(None).cast("string").alias("redirect_to"),
                 F.lit(None).cast("string").alias("canonical"),
                 F.lit(False).alias("noindex"),
                 F.lit(False).alias("nofollow"),
-                F.lit(None).cast("string").alias("checksum"),
+                F.col("base_ck_prem").alias("checksum"),
                 F.lit(None).cast(PARSE_FIELDS["links"].dataType).alias("links"),
                 F.lit(True).alias("premature"),
             )
@@ -1295,6 +1318,12 @@ class CrawlEngine:
         docs_df = docs.coalesce(n_out)
         ckpt_state = self._ckpt_state(host_state_snapshot=sid)
 
+        # level_df/docs_df read the `parsed` cache (MEMORY_AND_DISK —
+        # Spark SQL's .cache() default): eviction spills to disk rather
+        # than recomputing the fetch lineage, so the background write
+        # cannot silently re-fetch; the per-superstep shuffle-partition
+        # mutation only affects *new* shuffles, and both writes are
+        # shuffle-free (coalesce of cached partitions).
         def commit():
             self.levels.append(level_df, part)
             self.documents.append(docs_df, part)
@@ -1443,22 +1472,39 @@ class CrawlEngine:
 
 def load_baseline(spark: SparkSession, prev_workdir: str) -> DataFrame:
     """Previous run's ledger as the incremental baseline:
-    (url, checksum, depth, seq) — checksum only for urls whose last
-    document op was an upsert (the ledger_a->baseline flip of
-    CrawlerEntryLedger.java:619-658 re-expressed as reading the prior
-    run's final state)."""
-    levels = AppendTable(
-        spark, os.path.join(prev_workdir, "ledger_levels"), schema=LEDGER_SCHEMA
-    ).read()
-    docs = AppendTable(
-        spark, os.path.join(prev_workdir, "documents"), schema=DOCS_SCHEMA
-    ).read()
-    base = levels.filter(F.col("status") == "PROCESSED").select(
-        "url", "depth", "seq", "sched_ms"
+    (url, checksum, depth, seq, sched_ms) — the ledger_a->baseline flip
+    of CrawlerEntryLedger.java:619-658 re-expressed as reading the
+    prior run's final state.
+
+    The checksum is the *cached* one: present for every row that
+    reached the checksum stage (NEW/MODIFIED/UNMODIFIED/DUPLICATE —
+    DocumentChecksumStage stores it on the entry even when the row is
+    then rejected) and carried forward on PREMATURE; null for rows
+    rejected earlier (NOINDEX/NONCANONICAL/errors)."""
+    ledger_dir = os.path.join(prev_workdir, "ledger_levels")
+    table = AppendTable(spark, ledger_dir, schema=LEDGER_SCHEMA)
+    if not table.parts():
+        # a prev_workdir with no committed level parts is a wrong path
+        # or an incompatible layout — silently returning an empty
+        # baseline would degrade the recrawl into a full crawl
+        raise FileNotFoundError(
+            f"no ledger level parts under {ledger_dir}; "
+            "not a completed crawlspark workdir"
+        )
+    levels = table.read()
+    cached = F.col("outcome").isin(
+        "NEW", "MODIFIED", "UNMODIFIED", "DUPLICATE", "PREMATURE"
     )
-    cks = (
-        docs.filter(F.col("op") == "upsert")
-        .select(F.col("image_id").alias("url"), "checksum")
-        .dropDuplicates(["url"])
+    w = Window.partitionBy("url").orderBy(F.desc("seq"))
+    return (
+        levels.filter(F.col("status") == "PROCESSED")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)  # latest row wins (redirect requeue)
+        .select(
+            "url",
+            "depth",
+            "seq",
+            "sched_ms",
+            F.when(cached, F.col("checksum")).alias("checksum"),
+        )
     )
-    return base.join(cks, "url", "left")

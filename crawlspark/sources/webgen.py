@@ -69,6 +69,9 @@ class SiteParams:
     revision: int = 0
     mutate_pct: float = 0.0
     gone_pct: float = 0.0
+    # fraction of hosts whose /sitemap.xml is a <sitemapindex> over
+    # /sitemap_{0,1}.xml children instead of a flat <urlset>
+    sitemap_index_pct: float = 0.0
 
     def host(self, h: int) -> str:
         return f"site{h:04d}.example.test"
@@ -194,8 +197,7 @@ def robots_body(p: SiteParams, h: int) -> str | None:
     return "\n".join(lines) + "\n"
 
 
-def sitemap_xml(p: SiteParams, h: int) -> str:
-    """Small <urlset> listing the host's depth-1 pages."""
+def _sitemap_url_entries(p: SiteParams, h: int) -> list[str]:
     urls = []
     for i in range(min(p.branching, p.n_at_depth(min(1, p.depth)))):
         d = min(1, p.depth)
@@ -205,12 +207,54 @@ def sitemap_xml(p: SiteParams, h: int) -> str:
                 page_url(p, h, d, i), 1 + (h + i) % 28, 5 + i % 5
             )
         )
+    return urls
+
+
+def _urlset(entries: list[str]) -> str:
     return (
         '<?xml version="1.0" encoding="UTF-8"?>'
         '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
-        + "".join(urls)
+        + "".join(entries)
         + "</urlset>"
     )
+
+
+def sitemap_xml(p: SiteParams, h: int) -> str:
+    """Small <urlset> listing the host's depth-1 pages."""
+    return _urlset(_sitemap_url_entries(p, h))
+
+
+def _host_uses_index(p: SiteParams, h: int) -> bool:
+    return _rng(p.seed, h, "smidx") < p.sitemap_index_pct
+
+
+def sitemap_rows(p: SiteParams, h: int) -> list[dict]:
+    """All sitemap files for one host. Flat layout: /sitemap.xml is a
+    <urlset>. Index layout (sitemap_index_pct draw): /sitemap.xml is a
+    <sitemapindex> pointing at /sitemap_0.xml and /sitemap_1.xml which
+    split the same url list (index-of-sitemaps, the large-site layout
+    GenericSitemapResolver.java:84-165 recurses into)."""
+    host = p.host(h)
+    entries = _sitemap_url_entries(p, h)
+    if not _host_uses_index(p, h):
+        return [{"host": host, "path": "/sitemap.xml", "xml": _urlset(entries)}]
+    half = (len(entries) + 1) // 2
+    chunks = [entries[:half], entries[half:]]
+    index = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        + "".join(
+            f"<sitemap><loc>{p.base(h)}/sitemap_{k}.xml</loc></sitemap>"
+            for k in range(len(chunks))
+        )
+        + "</sitemapindex>"
+    )
+    rows = [{"host": host, "path": "/sitemap.xml", "xml": index}]
+    rows.extend(
+        {"host": host, "path": f"/sitemap_{k}.xml", "xml": _urlset(chunk)}
+        for k, chunk in enumerate(chunks)
+    )
+    return rows
 
 
 def seed_rows(p: SiteParams) -> list[dict]:
@@ -260,10 +304,13 @@ class Site:
             r["host"]: r["body"] for r in self.robots.to_dict("records")
         }
 
-    def sitemaps_dict(self) -> dict[str, str]:
-        return {
-            r["host"]: r["xml"] for r in self.sitemaps.to_dict("records")
-        }
+    def sitemaps_dict(self) -> dict[str, dict[str, str]]:
+        """host -> {path: xml} (multiple files per host under the
+        index-of-sitemaps layout)."""
+        out: dict[str, dict[str, str]] = {}
+        for r in self.sitemaps.to_dict("records"):
+            out.setdefault(r["host"], {})[r["path"]] = r["xml"]
+        return out
 
 
 def build_site(p: SiteParams) -> Site:
@@ -275,10 +322,7 @@ def build_site(p: SiteParams) -> Site:
     robots = [
         {"host": p.host(h), "body": robots_body(p, h)} for h in range(p.n_hosts)
     ]
-    sitemaps = [
-        {"host": p.host(h), "path": "/sitemap.xml", "xml": sitemap_xml(p, h)}
-        for h in range(p.n_hosts)
-    ]
+    sitemaps = [row for h in range(p.n_hosts) for row in sitemap_rows(p, h)]
     return Site(
         params=p,
         pages=pd.DataFrame(rows),

@@ -78,6 +78,40 @@ def test_premature_fetch_sequence_parity(runs):
         assert got[col].tolist() == want[col].tolist(), col
 
 
+def test_three_run_chain_carries_premature_state(runs, spark, tmp_path_factory):
+    """A URL skipped PREMATURE in run 1 must keep its run-0 fetch time
+    and checksum in run 1's baseline, so run 2 (everything due) sees
+    UNMODIFIED — not NEW — for it (GenericRecrawlableResolver keeps the
+    prior fetch date + cached doc)."""
+    sim0, sim1, eng1 = runs
+    b1 = sim1.baseline_dict()
+    b0 = sim0.baseline_dict()
+    prem_urls = [r["url"] for r in sim1.fetch_log if r["outcome"] == "PREMATURE"]
+    assert prem_urls
+    for u in prem_urls:
+        assert b1[u]["sched_ms"] == b0[u]["sched_ms"], u
+        assert b1[u]["checksum"] == b0[u]["checksum"], u
+    # engine baseline agrees row-for-row on the premature urls
+    eb1 = {
+        r["url"]: r
+        for r in load_baseline(spark, str(eng1.workdir)).collect()
+    }
+    for u in prem_urls:
+        assert eb1[u]["sched_ms"] == b1[u]["sched_ms"], u
+        assert eb1[u]["checksum"] == b1[u]["checksum"], u
+    # run 2 far in the future: every url due again; premature-in-run-1
+    # urls with unchanged content must come back UNMODIFIED, never NEW
+    cfg2 = CrawlConfig(max_depth=2, default_delay_ms=1000, virtual_now_ms=10**9)
+    site = build_site(PARAMS)
+    seeds = [r["url"] for r in site.seeds.to_dict("records")]
+    sim2 = CrawlSimulator(
+        site.pages_dict(), site.robots_dict(), cfg2, baseline=b1
+    ).run(seeds)
+    out2 = {r["url"]: r["outcome"] for r in sim2.fetch_log}
+    assert not any(out2.get(u) == "NEW" for u in prem_urls)
+    assert any(out2.get(u) == "UNMODIFIED" for u in prem_urls)
+
+
 def test_premature_metrics_and_no_politeness_slot(runs):
     _, sim1, eng1 = runs
     m = eng1.metrics_df().toPandas().groupby("event")["count"].sum().to_dict()
