@@ -26,12 +26,18 @@ class CrawlConfig:
     # politeness: robots crawl-delay > default (AbstractDelayResolver
     # precedence :100-115); per-site serialization (SiteDelay.java:44-58).
     default_delay_ms: int = 3000
-    # GenericDelayResolver circular time-of-day schedules: tuples of
-    # (from_hour, to_hour, delay_ms), first match wins, wrap-around
-    # when from > to (GenericDelayResolver.java:84-151). Evaluated on
-    # the virtual clock; precedence robots > schedule > pattern >
-    # default (AbstractDelayResolver.java:84-115).
-    delay_schedules: tuple[tuple[int, int, int], ...] = ()
+    # GenericDelayResolver circular schedules, first match wins,
+    # wrap-around when from > to (GenericDelayResolver.java:84-151).
+    # Two forms per entry:
+    #   (from_hour, to_hour, delay_ms)            — time-of-day only
+    #   (dow_range, dom_range, hour_range, delay_ms)
+    #     dow_range:  (from, to) ISO weekday 1=Mon..7=Sun, or None
+    #     dom_range:  (from, to) day of month 1..31, or None
+    #     hour_range: (from, to) inclusive hours, or None
+    # Evaluated on the virtual clock (ms treated as Unix epoch — day 0
+    # is a Thursday); precedence robots > schedule > pattern > default
+    # (AbstractDelayResolver.java:84-115).
+    delay_schedules: tuple[tuple, ...] = ()
     # ReferenceDelayResolver per-URL-pattern delays: (regex, delay_ms),
     # first match wins.
     delay_patterns: tuple[tuple[str, int], ...] = ()
@@ -52,6 +58,12 @@ class CrawlConfig:
     stay_on_domain: bool = False
     include_subdomains: bool = False
     stay_on_protocol: bool = False
+    # resolved-port comparison (default 80/http, 443/https)
+    stay_on_port: bool = False
+    # when the referring host's sitemap resolved PRESENT, only
+    # sitemap-listed URLs stay in scope — extracted links are dropped
+    # (GenericUrlScopeResolver.java:121-127). Needs use_sitemaps.
+    stay_on_sitemap: bool = False
     # MultiFetcher retry policy (CrawlerConfig.java:362-369; reference
     # default 0): transient fetch failures retried inside the fetch
     # slot before an outcome is assigned.
@@ -59,6 +71,13 @@ class CrawlConfig:
     # redirect trail cap (WebImporterPipelineUtil.java:103-116 —
     # one re-queue allowed, third occurrence rejected).
     max_redirect_trail: int = 2
+    # the one-requeue rule (WebImporterPipelineUtil.java:103-160): a
+    # redirect whose target was already PROCESSED with a BAD outcome
+    # (not NEW/MODIFIED/UNMODIFIED/PREMATURE — ProcessingOutcome
+    # .isGoodState) and is NOT in the current redirect trail is queued
+    # once more, bypassing the queue pipeline (requeueEntry). False
+    # restores the r1 blanket URL-seen rejection.
+    redirect_requeue: bool = True
     honor_robots: bool = True
     # incremental crawl: orphan strategy PROCESS (default,
     # CrawlerConfig.java:281) / DELETE / IGNORE; spoiled (previously
@@ -67,17 +86,74 @@ class CrawlConfig:
     # counting across >2 runs is TODO).
     orphan_strategy: str = "PROCESS"
     spoiled_delete: bool = True
+    # GenericSpoiledReferenceStrategizer.java:69 state->strategy map:
+    # DELETE (drop the committed doc now), GRACE_ONCE (keep it unless
+    # the PREVIOUS run was also spoiled), IGNORE. Unlisted outcomes
+    # fall back to IGNORE. spoiled_delete=False disables all deletes.
+    spoiled_strategies: tuple[tuple[str, str], ...] = (
+        ("NOT_FOUND", "DELETE"),
+        ("BAD_STATUS", "GRACE_ONCE"),
+    )
     # RecrawlableResolver analog (GenericRecrawlableResolver minimum
     # frequency; RecrawlableResolverStage.java:38-93): a URL crawled
     # less than this long ago (virtual-clock ms vs the previous run's
     # fetch time) is skipped PREMATURE — no fetch, no politeness slot,
     # cached data kept. None = always due.
     min_recrawl_ms: int | None = None
+    # full GenericRecrawlableResolver (web/.../recrawl/impl/
+    # GenericRecrawlableResolver.java:98-244): per-URL-pattern minimum
+    # frequencies (first match wins; value in ms) checked after the
+    # sitemap directives under the FIRST support mode, before them
+    # under LAST. min_recrawl_ms above acts as the catch-all frequency
+    # when no pattern matches.
+    recrawl_min_frequencies: tuple[tuple[str, int], ...] = ()
+    # sitemap lastmod/changefreq support: "first" (default — sitemap
+    # directives beat min frequencies), "last", "never"
+    recrawl_sitemap_support: str = "first"
+    # opt-in: consult the baseline's sitemap lastmod/changefreq at all
+    # (keeps the resolver inert for configs that never set one, so no
+    # baseline join is added to their supersteps)
+    recrawl_sitemap_check: bool = False
+    # real epoch-ms of the virtual clock's zero — only the sitemap
+    # lastmod comparison (a real calendar date vs the virtual crawl
+    # time) needs the mapping
+    virtual_epoch_ms: int = 0
     # virtual wall-clock at which this run starts (each run's internal
     # politeness clock starts at 0; a recrawl that begins an hour after
     # the previous run sets 3_600_000). Only the PREMATURE due-check
     # uses it: due iff prev_sched + min_recrawl <= virtual_now + avail.
     virtual_now_ms: int = 0
+    # metadata checksum band (core/.../importer/stages/
+    # MetadataChecksumStage.java + MetadataDedupStage.java): a checksum
+    # over response HEADERS decides UNMODIFIED before the body is
+    # parsed. Kinds: "last_modified" (the reference web default,
+    # WebCrawlerConfig.java:557 / LastModifiedMetadataChecksummer),
+    # "etag", "generic" (md5 over metadata_checksum_fields). None
+    # disables the band (this port's default — opt-in, unlike the
+    # reference, to keep content-checksum-only configs byte-stable).
+    metadata_checksummer: str | None = None
+    metadata_checksum_fields: tuple[str, ...] = ("last_modified", "etag")
+    # post-fetch filter stages (core/.../importer/stages/
+    # MetadataFiltersStage.java:40-70, DocumentFiltersStage.java):
+    # metadata filters match named header/reference fields
+    # ((field, pattern, on_match), field in url/last_modified/etag);
+    # document filters match the body text ((pattern, on_match)).
+    # on_match: "exclude" rejects on hit; with any "include" present at
+    # least one include must hit. Rejection outcome: FILTERED. In HEAD
+    # mode metadata filters run before the GET (no links extracted).
+    metadata_filters: tuple[tuple[str, str, str], ...] = ()
+    document_filters: tuple[tuple[str, str], ...] = ()
+    # within-run first-wins dedup on the metadata checksum
+    # (MetadataDedupStage.java:40-70; "not 100% fool-proof" per the
+    # reference — off by default there too)
+    metadata_dedup: bool = False
+    # HEAD-before-GET (WebDocPipelines.java:89-99 METADATA directive):
+    # the metadata stages run on a headers-only fetch and a
+    # meta-UNMODIFIED row skips the body fetch+parse entirely (no link
+    # extraction). In the dataflow engine the "HEAD" is a column-pruned
+    # scan of the fetch table (html never read). False = metadata
+    # stages run after the GET, links already extracted.
+    head_before_get: bool = False
     # robots physical strategy: True (default) collects+broadcasts the
     # per-host rule lists once and matches in a zero-shuffle pandas UDF;
     # False keeps rules distributed and filters via the robots_rules

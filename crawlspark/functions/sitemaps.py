@@ -49,6 +49,18 @@ CHANGEFREQS = (
     "never",
 )
 
+# changefreq -> minimum re-crawl period in ms for the recrawlable
+# resolver (GenericRecrawlableResolver.java:244-263). The reference
+# uses calendar arithmetic (plusMonths/plusYears); fixed 30/365-day
+# periods here — deterministic on both engines, documented deviation.
+CHANGEFREQ_PERIOD_MS = {
+    "hourly": 3_600_000,
+    "daily": 86_400_000,
+    "weekly": 7 * 86_400_000,
+    "monthly": 30 * 86_400_000,
+    "yearly": 365 * 86_400_000,
+}
+
 
 def sitemap_locations(host_root: str, robots_sitemaps: list[str] | None) -> list[str]:
     """Candidate sitemap URLs for a host: robots directives first

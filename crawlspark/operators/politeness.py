@@ -32,6 +32,12 @@ from pyspark.sql import functions as F
 MS_PER_HOUR = 3_600_000
 
 
+def _in_circular(v, lo, hi) -> bool:
+    """Inclusive circular-range containment (CircularRange.contains):
+    wraps when lo > hi."""
+    return (lo <= v <= hi) if lo <= hi else (v >= lo or v <= hi)
+
+
 def resolve_delay(
     url: str,
     t_probe_ms: int,
@@ -54,12 +60,34 @@ def resolve_delay(
         return int(robots_delay_ms)
     if schedules:
         hour = (t_probe_ms // MS_PER_HOUR) % 24
-        for f_h, t_h, d in schedules:
-            hit = (f_h <= hour < t_h) if f_h <= t_h else (
-                hour >= f_h or hour < t_h
-            )
-            if hit:
-                return int(d)
+        for sch in schedules:
+            if len(sch) == 3:  # legacy (from_hour, to_hour, delay)
+                f_h, t_h, d = sch
+                hit = (f_h <= hour < t_h) if f_h <= t_h else (
+                    hour >= f_h or hour < t_h
+                )
+                if hit:
+                    return int(d)
+                continue
+            # (dow_range, dom_range, hour_range, delay) — circular
+            # inclusive ranges, any None matches (GenericDelayResolver
+            # CircularSchedule.isDateTimeInSchedule)
+            dow_r, dom_r, hod_r, d = sch
+            if dow_r is not None:
+                dow = ((t_probe_ms // 86_400_000) + 3) % 7 + 1  # 1=Mon
+                if not _in_circular(dow, *dow_r):
+                    continue
+            if dom_r is not None:
+                from datetime import datetime, timezone
+
+                dom = datetime.fromtimestamp(
+                    t_probe_ms / 1000, tz=timezone.utc
+                ).day
+                if not _in_circular(dom, *dom_r):
+                    continue
+            if hod_r is not None and not _in_circular(hour, *hod_r):
+                continue
+            return int(d)
     for rx, d in patterns:
         if rx.search(url):
             return int(d)

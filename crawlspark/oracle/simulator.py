@@ -73,6 +73,12 @@ class SimEntry:
     # carried-forward content checksum for PREMATURE rows (the prior
     # run's cached doc state — GenericRecrawlableResolver keeps it)
     checksum: str | None = None
+    # metadata checksum, set where the metadata stages ran (before the
+    # body in HEAD mode, after noindex/canonical in GET mode)
+    meta_ck: str | None = None
+    # sitemap directives recorded at discovery (recrawlable resolver)
+    sm_lastmod: str | None = None
+    sm_changefreq: str | None = None
 
 
 @dataclass
@@ -82,6 +88,15 @@ class SimResult:
     committed: list[dict] = field(default_factory=list)
     deletes: list[str] = field(default_factory=list)
     metrics: Counter = field(default_factory=Counter)
+    # dense row counter: seq of the next ledger ROW (a redirect requeue
+    # adds a second row for an existing url, so len(ledger) no longer
+    # tracks it)
+    next_seq: int = 0
+
+    def commit_entry(self, entry: SimEntry) -> None:
+        entry.seq = self.next_seq
+        self.next_seq += 1
+        self.ledger[entry.url] = entry
 
     def baseline_dict(self) -> dict[str, dict]:
         """This run's ledger as the next run's incremental baseline
@@ -92,6 +107,9 @@ class SimResult:
                 # DUPLICATE at the checksum stage, carried forward on
                 # PREMATURE; None for rows that never reached it
                 "checksum": e.checksum,
+                "meta_ck": e.meta_ck,
+                "sm_lastmod": e.sm_lastmod,
+                "sm_changefreq": e.sm_changefreq,
                 "depth": e.depth,
                 "seq": e.seq,
                 "sched_ms": e.sched_ms,
@@ -159,6 +177,63 @@ class CrawlSimulator:
             for h, v in (sitemaps or {}).items()
         }
         self._sitemap_resolved: set[str] = set()
+        self._recrawl_active = bool(self.baseline) and (
+            cfg.min_recrawl_ms is not None
+            or cfg.recrawl_min_frequencies
+            or cfg.recrawl_sitemap_check
+        )
+        self._recrawl_patterns = [
+            (re.compile(p), int(v)) for p, v in cfg.recrawl_min_frequencies
+        ]
+
+    def _recrawlable(self, b: dict, e: SimEntry) -> bool:
+        """GenericRecrawlableResolver.java:98-244 (mirrors the engine's
+        _recrawlable_col exactly): sitemap directives under FIRST,
+        then first-matching min frequency (min_recrawl_ms catch-all),
+        sitemap under LAST, else recrawlable."""
+        from ..functions.sitemaps import CHANGEFREQ_PERIOD_MS
+
+        cfg = self.cfg
+        now = cfg.virtual_now_ms + e.avail_ms
+        sched0 = b["sched_ms"]
+        sm_lastmod = b.get("sm_lastmod")
+        sm_freq = (b.get("sm_changefreq") or "").lower() or None
+
+        def sm_recrawl() -> bool:
+            if sm_lastmod is not None:
+                from datetime import datetime, timezone
+
+                dt = datetime.fromisoformat(sm_lastmod)
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=timezone.utc)
+                lastmod_ms = int(dt.timestamp() * 1000)
+                return lastmod_ms > cfg.virtual_epoch_ms + sched0
+            if sm_freq == "always":
+                return True
+            if sm_freq == "never":
+                return False
+            period = CHANGEFREQ_PERIOD_MS.get(sm_freq)
+            if period is not None:
+                return sched0 + period <= now
+            return True
+
+        has_sm = sm_lastmod is not None or sm_freq is not None
+        if cfg.recrawl_sitemap_check and cfg.recrawl_sitemap_support == "first":
+            if has_sm:
+                return sm_recrawl()
+        freq_ms = None
+        for rx, v in self._recrawl_patterns:
+            if rx.search(e.url):
+                freq_ms = v
+                break
+        if freq_ms is None and cfg.min_recrawl_ms is not None:
+            freq_ms = cfg.min_recrawl_ms
+        if freq_ms is not None:
+            return sched0 + freq_ms <= now
+        if cfg.recrawl_sitemap_check and cfg.recrawl_sitemap_support == "last":
+            if has_sm:
+                return sm_recrawl()
+        return True
 
     def _filtered(self, url: str) -> bool:
         """ReferenceFilters ∪ ExtensionReferenceFilter ∪
@@ -213,32 +288,61 @@ class CrawlSimulator:
         depth: int,
         avail_ms: int,
         trail: tuple[str, ...] = (),
+        redirect: bool = False,
+        sm_lastmod: str | None = None,
+        sm_changefreq: str | None = None,
     ) -> None:
         url = normalize_url(raw_url)
         if url is None:
             res.metrics["REJECTED_BAD_URL"] += 1
             return
         if url in res.ledger:
+            ex = res.ledger[url]
+            if (
+                redirect
+                and self.cfg.redirect_requeue
+                and ex.status == "PROCESSED"
+            ):
+                # one-requeue rule (WebImporterPipelineUtil.java:
+                # 103-160): in the trail = 3rd encounter, loop ->
+                # reject; good prior state -> reject; else requeue
+                # once, bypassing the queue pipeline (requeueEntry)
+                from ..functions.checksums import GOOD_OUTCOMES
+
+                if url not in trail and ex.outcome not in GOOD_OUTCOMES:
+                    entry = SimEntry(url, ex.host, depth, 0, avail_ms, trail)
+                    res.commit_entry(entry)
+                    queue.append(entry)
+                    res.metrics["DOCUMENT_QUEUED"] += 1
+                    return
             res.metrics["DUPLICATE_URL_SKIPPED"] += 1
             return
         host = url_host(url)
-        seq = len(res.ledger)
-        entry = SimEntry(url, host, depth, seq, avail_ms, trail)
+        entry = SimEntry(
+            url,
+            host,
+            depth,
+            0,
+            avail_ms,
+            trail,
+            sm_lastmod=sm_lastmod,
+            sm_changefreq=sm_changefreq,
+        )
         if self.cfg.max_depth >= 0 and depth > self.cfg.max_depth:
             entry.status, entry.outcome = "REJECTED", "TOO_DEEP"
-            res.ledger[url] = entry
+            res.commit_entry(entry)
             res.metrics["REJECTED_TOO_DEEP"] += 1
             return
         if self._filtered(url):
             entry.status, entry.outcome = "REJECTED", "FILTERED"
-            res.ledger[url] = entry
+            res.commit_entry(entry)
             res.metrics["REJECTED_FILTER"] += 1
             return
         if self.cfg.honor_robots:
             m = self._matchers.get(host)
             if m is not None and not m.allowed(match_target(url)):
                 entry.status, entry.outcome = "REJECTED", "ROBOTS_TXT"
-                res.ledger[url] = entry
+                res.commit_entry(entry)
                 res.metrics["REJECTED_ROBOTS_TXT"] += 1
                 return
         # SitemapResolution — once per host, triggered by its first
@@ -257,15 +361,22 @@ class CrawlSimulator:
                 )
                 for rec in recs:
                     res.metrics["SITEMAP_URLS"] += 1
-                    self._enqueue(res, queue, rec["url"], 0, avail_ms)
+                    self._enqueue(
+                        res,
+                        queue,
+                        rec["url"],
+                        0,
+                        avail_ms,
+                        sm_lastmod=rec.get("lastmod"),
+                        sm_changefreq=rec.get("changefreq"),
+                    )
                 # the sitemap may have contained this very URL — the
                 # trigger then dies at QueueReference's dedup, and its
                 # seq slot moves past the locs it revealed
                 if url in res.ledger:
                     res.metrics["DUPLICATE_URL_SKIPPED"] += 1
                     return
-                entry.seq = len(res.ledger)
-        res.ledger[url] = entry
+        res.commit_entry(entry)
         queue.append(entry)
         res.metrics["DOCUMENT_QUEUED"] += 1
 
@@ -278,6 +389,10 @@ class CrawlSimulator:
 
         last_sched: dict[str, int] = {}
         seen_checksums: dict[str, int] = {}
+        # MetadataDedupStage's findOrTrackMetadata store
+        seen_meta: set[str] = set()
+        meta_kind = self.cfg.metadata_checksummer
+        meta_fields = self.cfg.metadata_checksum_fields
         qi = 0
         step = 0
         # max_docs is evaluated at superstep (BFS batch) boundaries,
@@ -328,19 +443,25 @@ class CrawlSimulator:
             # RecrawlableResolver runs BEFORE the delay resolver
             # (stage order, WebDocPipelines.java:67-116): a premature
             # URL consumes no politeness slot and is not fetched.
-            if self.cfg.min_recrawl_ms is not None:
+            if self._recrawl_active:
                 b = self.baseline.get(e.url)
                 if (
                     b is not None
                     and b.get("sched_ms") is not None
-                    and b["sched_ms"] + self.cfg.min_recrawl_ms
-                    > self.cfg.virtual_now_ms + e.avail_ms
+                    and not self._recrawlable(b, e)
                 ):
                     e.status, e.outcome = "PROCESSED", "PREMATURE"
-                    # keep the prior fetch time + cached checksum so a
+                    # keep the prior fetch time + cached checksums so a
                     # 3rd run still sees the original due-time and delta
                     e.sched_ms = b["sched_ms"]
                     e.checksum = b["checksum"]
+                    e.meta_ck = b.get("meta_ck")
+                    # sitemap directives: this run's enqueue-time
+                    # values when present, else the cached ones
+                    e.sm_lastmod = e.sm_lastmod or b.get("sm_lastmod")
+                    e.sm_changefreq = (
+                        e.sm_changefreq or b.get("sm_changefreq")
+                    )
                     res.metrics["REJECTED_PREMATURE"] += 1
                     res.fetch_log.append(
                         {
@@ -390,11 +511,58 @@ class CrawlSimulator:
                 trail = e.trail + (e.url,)
                 if len(trail) <= self.cfg.max_redirect_trail:
                     self._enqueue(
-                        res, queue, row["redirect_to"], e.depth, sched, trail
+                        res,
+                        queue,
+                        row["redirect_to"],
+                        e.depth,
+                        sched,
+                        trail,
+                        redirect=True,
                     )
                 else:
                     res.metrics["REJECTED_REDIRECT_LOOP"] += 1
             else:
+                mck = None
+                if meta_kind is not None:
+                    from ..functions.checksums import meta_checksum
+
+                    mck = meta_checksum(row, meta_kind, meta_fields)
+                base_meta = base.get("meta_ck") if base else None
+                if meta_kind is not None and self.cfg.head_before_get:
+                    # HEAD phase (WebDocPipelines.java:89-99): the
+                    # metadata stages run on headers alone; rejected
+                    # rows never fetch the body — no links extracted
+                    e.meta_ck = mck
+                    rejected = None
+                    if (
+                        mck is not None
+                        and base_meta is not None
+                        and mck == base_meta
+                    ):
+                        rejected = "UNMODIFIED"
+                        res.metrics["REJECTED_UNMODIFIED"] += 1
+                    elif self.cfg.metadata_dedup and mck is not None:
+                        if mck in seen_meta:
+                            rejected = "DUPLICATE"
+                            res.metrics["REJECTED_DUPLICATE"] += 1
+                        else:
+                            seen_meta.add(mck)
+                    if rejected is not None:
+                        e.outcome = rejected
+                        # the cached doc state stays the baseline's
+                        e.checksum = base_ck
+                        res.fetch_log.append(
+                            {
+                                "step": step,
+                                "url": e.url,
+                                "host": e.host,
+                                "depth": e.depth,
+                                "scheduled_at_ms": sched,
+                                "outcome": e.outcome,
+                            }
+                        )
+                        step += 1
+                        continue
                 html = row["html"] or ""
                 canonical_raw = extract_canonical(e.url, html)
                 canonical = (
@@ -438,6 +606,49 @@ class CrawlSimulator:
                     e.outcome = "NOINDEX"
                     res.metrics["REJECTED_NOINDEX"] += 1
                 else:
+                    if meta_kind is not None and not self.cfg.head_before_get:
+                        # GET mode: the metadata stages run after
+                        # noindex/canonical rejection (stage order,
+                        # WebDocPipelines.java) — links already out
+                        e.meta_ck = mck
+                        if (
+                            mck is not None
+                            and base_meta is not None
+                            and mck == base_meta
+                        ):
+                            e.outcome = "UNMODIFIED"
+                            e.checksum = base_ck
+                            res.metrics["REJECTED_UNMODIFIED"] += 1
+                            res.fetch_log.append(
+                                {
+                                    "step": step,
+                                    "url": e.url,
+                                    "host": e.host,
+                                    "depth": e.depth,
+                                    "scheduled_at_ms": sched,
+                                    "outcome": e.outcome,
+                                }
+                            )
+                            step += 1
+                            continue
+                        if self.cfg.metadata_dedup and mck is not None:
+                            if mck in seen_meta:
+                                e.outcome = "DUPLICATE"
+                                e.checksum = base_ck
+                                res.metrics["REJECTED_DUPLICATE"] += 1
+                                res.fetch_log.append(
+                                    {
+                                        "step": step,
+                                        "url": e.url,
+                                        "host": e.host,
+                                        "depth": e.depth,
+                                        "scheduled_at_ms": sched,
+                                        "outcome": e.outcome,
+                                    }
+                                )
+                                step += 1
+                                continue
+                            seen_meta.add(mck)
                     ck = content_checksum(html)
                     # every row reaching the checksum stage caches its
                     # checksum for the next run's baseline (the

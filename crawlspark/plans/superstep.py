@@ -146,11 +146,26 @@ LEDGER_SCHEMA = T.StructType(
         T.StructField("host", T.StringType()),
         T.StructField("depth", T.IntegerType()),
         T.StructField("seq", T.LongType()),
+        # seq of the row whose processing enqueued this one (-1 for
+        # seeds/orphans): the enqueue-time event order, needed by the
+        # redirect one-requeue rule and useful as referrer lineage
+        T.StructField("parent_seq", T.LongType()),
         T.StructField("avail_ms", T.LongType()),
         T.StructField("sched_ms", T.LongType()),
         T.StructField("status", T.StringType()),
         T.StructField("outcome", T.StringType()),
         T.StructField("checksum", T.StringType()),
+        T.StructField("meta_ck", T.StringType()),
+        # True iff this row registered its meta_ck with the dedup
+        # service (metadata_dedup) — resume rebuilds the registry from
+        # it; distinguishable from cached-meta_ck rows (meta-UNMODIFIED
+        # rows cache but never track)
+        T.StructField("meta_tracked", T.BooleanType()),
+        # sitemap directives recorded at discovery (SitemapRecord ->
+        # WebCrawlerEntry), consumed by the next run's recrawlable
+        # resolver (GenericRecrawlableResolver sitemap support)
+        T.StructField("sm_lastmod", T.StringType()),
+        T.StructField("sm_changefreq", T.StringType()),
         T.StructField("trail", T.ArrayType(T.StringType())),
         T.StructField("superstep", T.IntegerType()),
     ]
@@ -173,6 +188,75 @@ DOCS_SCHEMA = T.StructType(
 )
 
 CAND_COLS = ["raw_url", "depth", "avail_ms", "trail", "parent_seq", "out_pos"]
+
+def _recrawlable_col(cfg: CrawlConfig):
+    """GenericRecrawlableResolver.java:98-244 as one Column over a
+    batch joined with its baseline (base_sched / base_sm_lastmod /
+    base_sm_changefreq): sitemap directives (FIRST/LAST support), then
+    first-matching per-pattern minimum frequency, min_recrawl_ms as
+    the catch-all, recrawlable otherwise. now = virtual clock at this
+    row's availability; sitemap lastmod (a real date) maps onto the
+    virtual clock via cfg.virtual_epoch_ms."""
+    from ..functions.sitemaps import CHANGEFREQ_PERIOD_MS
+
+    now = F.lit(cfg.virtual_now_ms) + F.col("avail_ms")
+    sched0 = F.col("base_sched")
+    lastmod_ms = F.unix_millis(F.to_timestamp(F.col("base_sm_lastmod")))
+    freq = F.lower(F.col("base_sm_changefreq"))
+    period = None
+    for name, ms in CHANGEFREQ_PERIOD_MS.items():
+        w = F.when(freq == name, F.lit(ms))
+        period = w if period is None else period.when(freq == name, F.lit(ms))
+    sm_recrawl = (
+        F.when(
+            F.col("base_sm_lastmod").isNotNull(),
+            lastmod_ms > F.lit(cfg.virtual_epoch_ms) + sched0,
+        )
+        .when(freq == "always", F.lit(True))
+        .when(freq == "never", F.lit(False))
+        .when(period.isNotNull(), sched0 + period <= now)
+        .otherwise(F.lit(True))
+    )
+    has_sm = (
+        F.col("base_sm_lastmod").isNotNull()
+        | F.col("base_sm_changefreq").isNotNull()
+    )
+    freq_ms = None
+    for pat, v in cfg.recrawl_min_frequencies:
+        cond = F.col("url").rlike(pat)
+        freq_ms = (
+            F.when(cond, F.lit(int(v)))
+            if freq_ms is None
+            else freq_ms.when(cond, F.lit(int(v)))
+        )
+    if cfg.min_recrawl_ms is not None:
+        catch = F.lit(int(cfg.min_recrawl_ms))
+        freq_ms = catch if freq_ms is None else freq_ms.otherwise(catch)
+    if freq_ms is None:
+        freq_ms = F.lit(None).cast("long")
+
+    out = F.when(sched0.isNull(), F.lit(True))
+    if cfg.recrawl_sitemap_check and cfg.recrawl_sitemap_support == "first":
+        out = out.when(has_sm, sm_recrawl)
+    out = out.when(freq_ms.isNotNull(), sched0 + freq_ms <= now)
+    if cfg.recrawl_sitemap_check and cfg.recrawl_sitemap_support == "last":
+        out = out.when(has_sm, sm_recrawl)
+    return out.otherwise(F.lit(True))
+
+
+def _event_proj():
+    """Ledger row -> event row for the redirect one-requeue rule: an
+    enqueue event (QUEUED/REJECTED row) happened at its parent's
+    processing turn; a process event (PROCESSED row) at its own seq.
+    (A function: Columns can't build before a SparkContext exists.)"""
+    return (
+        F.col("url"),
+        F.when(F.col("status") == "PROCESSED", F.col("seq"))
+        .otherwise(F.col("parent_seq"))
+        .alias("turn"),
+        F.col("status").alias("kind"),
+        F.col("outcome").alias("ev_outcome"),
+    )
 
 
 @dataclass
@@ -226,6 +310,28 @@ class CrawlEngine:
             ).cache()
         else:
             self.pages = None
+        # metadata checksum band (MetadataChecksumStage/-DedupStage +
+        # the HEAD directive): a headers-only projection of the fetch
+        # table — no html column, so the parquet scan prunes the body
+        # (the dataflow equivalent of an HTTP HEAD)
+        self.headers = None
+        if cfg.metadata_checksummer is not None:
+            if pages_df is None:
+                raise ValueError(
+                    "metadata_checksummer needs pages_df response "
+                    "headers (a fetcher would have to expose a "
+                    "headers-only batch form)"
+                )
+            hdr = pages_df
+            for c in ("last_modified", "etag"):
+                if c not in hdr.columns:
+                    hdr = hdr.withColumn(c, F.lit(None).cast("string"))
+            self.headers = hdr.select(
+                "url",
+                F.col("status").alias("h_status"),
+                "last_modified",
+                "etag",
+            ).cache()
         self.rules = build_robots_rules(robots_df, cfg.user_agent).cache()
         self.delays = host_delays(self.rules).cache()
         self._robots_udf = None
@@ -252,6 +358,15 @@ class CrawlEngine:
         self._branch_est = 10.0
         self._key_parts: list[DataFrame] = []
         self._registry_parts: list[DataFrame] = []
+        self._meta_registry_parts: list[DataFrame] = []
+        # ledger EVENTS for the redirect one-requeue rule: what state
+        # was url X in at sequential turn T? enqueue events carry
+        # turn=parent_seq (the enqueuing row's processing turn) with
+        # the enqueue-time status; process events carry turn=seq with
+        # the final outcome. The latest event before a redirect
+        # source's own seq reproduces the reference's (and oracle's)
+        # sequential ledger-lookup exactly.
+        self._event_parts: list[DataFrame] = []
         # (host, [path,] xml) dim for SitemapResolution; hosts whose
         # sitemap has been resolved (once-per-host-ever,
         # SitemapResolutionStage.java:94-110 compute-if-absent)
@@ -318,6 +433,14 @@ class CrawlEngine:
             .select("checksum")
             .cache()
         )
+        if self.cfg.metadata_dedup:
+            self._meta_registry_parts.append(
+                pdf.filter(F.col("meta_tracked")).select("meta_ck").cache()
+            )
+        if self.cfg.redirect_requeue:
+            self._event_parts.append(
+                pdf.select(*_event_proj()).cache()
+            )
 
     def _add_key_fragment(self, new_rows: DataFrame) -> None:
         """Live path: snapshot this superstep's ledger keys off the
@@ -332,6 +455,10 @@ class CrawlEngine:
         if self._bloom_synced:
             self.bloom.add_df(frag)
         self._key_parts.append(frag)
+        if self.cfg.redirect_requeue:
+            self._event_parts.append(
+                new_rows.select(*_event_proj()).localCheckpoint(eager=True)
+            )
 
     def _restore_parts(self) -> None:
         for name in self.levels.parts():
@@ -405,6 +532,30 @@ class CrawlEngine:
             for p in self._registry_parts[1:]:
                 base = base.unionByName(p)
         return base.select("checksum", F.lit(True).alias("ck_seen"))
+
+    def _events(self) -> DataFrame:
+        """(url, turn, kind, ev_outcome) ledger events across all
+        committed supersteps (fragment union, like ``_ledger_keys``)."""
+        if not self._event_parts:
+            return self.spark.createDataFrame(
+                [], "url string, turn long, kind string, ev_outcome string"
+            )
+        out = self._event_parts[0]
+        for p in self._event_parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _meta_registry(self) -> DataFrame:
+        """(meta_ck, mk_seen) of meta checksums tracked by the dedup
+        service in prior supersteps (MetadataDedupStage's
+        findOrTrackMetadata store, served like the content registry)."""
+        if not self._meta_registry_parts:
+            base = self.spark.createDataFrame([], "meta_ck string")
+        else:
+            base = self._meta_registry_parts[0]
+            for p in self._meta_registry_parts[1:]:
+                base = base.unionByName(p)
+        return base.select("meta_ck", F.lit(True).alias("mk_seen"))
 
     # -- checkpoint manifest (per-run lineage) -----------------------------
     @property
@@ -531,7 +682,12 @@ class CrawlEngine:
 
     # -- queue pipeline (§2.2 stage order) ---------------------------------
     def _queue_pipeline(
-        self, cand: DataFrame, ledger: DataFrame, n_cand: int, collect: bool = True
+        self,
+        cand: DataFrame,
+        ledger: DataFrame,
+        n_cand: int,
+        collect: bool = True,
+        extra_evaluated: DataFrame | None = None,
     ):
         """Candidates -> new ledger rows (QUEUED or REJECTED_*), plus
         metric counts. Stage order fixed at WebDocPipelines.java:58-65.
@@ -560,6 +716,12 @@ class CrawlEngine:
                 c = c.unionByName(
                     self._evaluate_candidates(locs, ledger, n_cand, caches)
                 )
+
+        # requeued redirect targets enter pre-evaluated (requeueEntry
+        # bypasses the queue pipeline) but share the total order so a
+        # later duplicate requeue of the same target first-wins away
+        if extra_evaluated is not None:
+            c = c.unionByName(extra_evaluated)
 
         # first-discovery-wins across candidates ∪ sitemap locs: the
         # total order (parent_seq, out_pos, sub) places each host's
@@ -593,11 +755,16 @@ class CrawlEngine:
             "host",
             "depth",
             "seq",
+            F.col("parent_seq").cast("long").alias("parent_seq"),
             "avail_ms",
             F.lit(None).cast("long").alias("sched_ms"),
             "status",
             "outcome",
             F.lit(None).cast("string").alias("checksum"),
+            F.lit(None).cast("string").alias("meta_ck"),
+            F.lit(False).alias("meta_tracked"),
+            "sm_lastmod",
+            "sm_changefreq",
             "trail",
             F.lit(self.superstep).cast("int").alias("superstep"),
         ).cache()
@@ -640,6 +807,9 @@ class CrawlEngine:
         cfg = self.cfg
         if "sub" not in cand.columns:
             cand = cand.withColumn("sub", F.lit(0))
+        for c_ in ("sm_lastmod", "sm_changefreq"):
+            if c_ not in cand.columns:
+                cand = cand.withColumn(c_, F.lit(None).cast("string"))
         c = cand.withColumn("url", normalize_url_udf(F.col("raw_url"))).drop(
             "raw_url"
         )
@@ -738,6 +908,8 @@ class CrawlEngine:
             "parent_seq",
             "out_pos",
             "sub",
+            "sm_lastmod",
+            "sm_changefreq",
             "status",
             "outcome",
         )
@@ -812,6 +984,8 @@ class CrawlEngine:
                 # regardless of sitemap size — no fixed -1e6 base to
                 # overflow past the trigger on million-entry sitemaps
                 (F.col("pos") - F.col("n_locs")).cast("int").alias("sub"),
+                F.col("r.lastmod").alias("sm_lastmod"),
+                F.col("r.changefreq").alias("sm_changefreq"),
             )
             .cache()
         )
@@ -866,7 +1040,9 @@ class CrawlEngine:
             if self._frontier_mem is not None
             else self._frontier_df()
         )
-        batch = frontier.drop("sched_ms", "checksum").repartition(
+        batch = frontier.drop(
+            "sched_ms", "checksum", "meta_ck", "meta_tracked"
+        ).repartition(
             self._n_part(self.queued_remaining), F.col("host")
         )
 
@@ -879,23 +1055,43 @@ class CrawlEngine:
         # resolver: not-yet-due URLs bypass politeness and fetch
         # entirely (RecrawlableResolverStage.java:38-93)
         prem = None
-        if cfg.min_recrawl_ms is not None and self.baseline is not None:
+        recrawl_active = self.baseline is not None and (
+            cfg.min_recrawl_ms is not None
+            or cfg.recrawl_min_frequencies
+            or cfg.recrawl_sitemap_check
+        )
+        if recrawl_active:
+            def _bcol(name):
+                return (
+                    F.col(name)
+                    if name in self.baseline.columns
+                    else F.lit(None).cast("string")
+                )
+
             bsched = self.baseline.select(
                 "url",
                 F.col("sched_ms").alias("base_sched"),
                 F.col("checksum").alias("base_ck_prem"),
+                _bcol("meta_ck").alias("base_meta_prem"),
+                _bcol("sm_lastmod").alias("base_sm_lastmod"),
+                _bcol("sm_changefreq").alias("base_sm_changefreq"),
             )
             b2 = batch.join(F.broadcast(bsched), "url", "left")
-            is_prem = F.col("base_sched").isNotNull() & (
-                F.col("base_sched") + F.lit(cfg.min_recrawl_ms)
-                > F.lit(cfg.virtual_now_ms) + F.col("avail_ms")
+            is_prem = F.col("base_sched").isNotNull() & ~_recrawlable_col(
+                cfg
             )
             # PREMATURE keeps the baseline's fetch time and checksum in
             # its ledger row (GenericRecrawlableResolver preserves the
             # prior fetch date + cached doc) so a 3rd-run chain still
             # sees the original due-time and UNMODIFIED/MODIFIED delta.
             prem = b2.filter(is_prem)
-            batch = b2.filter(~is_prem).drop("base_sched", "base_ck_prem")
+            batch = b2.filter(~is_prem).drop(
+                "base_sched",
+                "base_ck_prem",
+                "base_meta_prem",
+                "base_sm_lastmod",
+                "base_sm_changefreq",
+            )
 
         sched = schedule_hosts(
             batch,
@@ -905,12 +1101,90 @@ class CrawlEngine:
             schedules=cfg.delay_schedules,
             patterns=cfg.delay_patterns,
         )
-        parsed = self._fetch_parse(sched).withColumn(
-            "premature", F.lit(False)
+
+        # -- metadata checksum band (MetadataChecksumStage + the HEAD
+        # directive, WebDocPipelines.java:89-99): join the headers-only
+        # projection (no html — the "HEAD") and compute meta_ck. In
+        # head_before_get mode a meta-UNMODIFIED row skips the body
+        # fetch+parse entirely (no link extraction); otherwise meta_ck
+        # rides through the parse as a passthrough column and the
+        # decision happens in the outcome ladder after noindex.
+        head_rows_src = None
+        head_mode = (
+            cfg.metadata_checksummer is not None and cfg.head_before_get
         )
-        if prem is not None:
-            prem_rows = prem.select(
+        if cfg.metadata_checksummer is not None:
+            from ..functions.checksums import meta_checksum_col
+
+            hj = (
+                sched.join(self.headers, "url", "left")
+                .withColumn(
+                    "meta_ck",
+                    meta_checksum_col(
+                        cfg.metadata_checksummer,
+                        cfg.metadata_checksum_fields,
+                    ),
+                )
+                .drop("last_modified", "etag")
+            )
+            if head_mode and self.baseline is not None:
+                base_meta = self.baseline.select(
+                    "url", F.col("meta_ck").alias("base_meta_head")
+                )
+                hj = hj.join(F.broadcast(base_meta), "url", "left")
+                head_unmod = (
+                    (F.col("h_status") == 200)
+                    & F.col("base_meta_head").isNotNull()
+                    & (F.col("meta_ck") == F.col("base_meta_head"))
+                )
+                head_rows_src = hj.filter(head_unmod).drop("base_meta_head")
+                sched = hj.filter(~head_unmod).drop(
+                    "base_meta_head", "h_status"
+                )
+            else:
+                sched = hj.drop("h_status")
+
+        parsed = (
+            self._fetch_parse(sched)
+            .withColumn("premature", F.lit(False))
+            .withColumn("head_unmod", F.lit(False))
+        )
+        if cfg.metadata_checksummer is None:
+            parsed = parsed.withColumn(
+                "meta_ck", F.lit(None).cast("string")
+            )
+        if head_rows_src is not None:
+            head_rows = head_rows_src.select(
                 *[F.col(c) for c in batch.columns],
+                "sched_ms",
+                F.lit(200).alias("http_status"),
+                F.lit(None).cast("string").alias("redirect_to"),
+                F.lit(None).cast("string").alias("canonical"),
+                F.lit(False).alias("noindex"),
+                F.lit(False).alias("nofollow"),
+                F.lit(None).cast("string").alias("checksum"),
+                F.lit(None).cast(PARSE_FIELDS["links"].dataType).alias("links"),
+                F.lit(False).alias("premature"),
+                F.lit(True).alias("head_unmod"),
+                "meta_ck",
+            )
+            parsed = parsed.unionByName(head_rows)
+        if prem is not None:
+            base_meta_prem = (
+                F.col("base_meta_prem")
+                if "base_meta_prem" in prem.columns
+                else F.lit(None).cast("string")
+            )
+            # sitemap directives: this run's enqueue-time values when
+            # present (fresh sitemap resolution), else the cached ones
+            prem_cols = [
+                F.coalesce(F.col(c), F.col(f"base_{c}")).alias(c)
+                if c in ("sm_lastmod", "sm_changefreq")
+                else F.col(c)
+                for c in batch.columns
+            ]
+            prem_rows = prem.select(
+                *prem_cols,
                 F.col("base_sched").alias("sched_ms"),
                 F.lit(None).cast("int").alias("http_status"),
                 F.lit(None).cast("string").alias("redirect_to"),
@@ -920,6 +1194,8 @@ class CrawlEngine:
                 F.col("base_ck_prem").alias("checksum"),
                 F.lit(None).cast(PARSE_FIELDS["links"].dataType).alias("links"),
                 F.lit(True).alias("premature"),
+                F.lit(False).alias("head_unmod"),
+                base_meta_prem.alias("meta_ck"),
             )
             parsed = parsed.unionByName(prem_rows)
 
@@ -961,22 +1237,94 @@ class CrawlEngine:
         # UNMODIFIED, different => MODIFIED)
         committable = is200 & ~noncanon & ~noindex
         if self.baseline is not None:
+            has_meta = "meta_ck" in self.baseline.columns
             parsed = parsed.join(
-                self.baseline.select("url", F.col("checksum").alias("base_ck")),
+                self.baseline.select(
+                    "url",
+                    F.col("checksum").alias("base_ck"),
+                    (
+                        F.col("meta_ck")
+                        if has_meta
+                        else F.lit(None).cast("string")
+                    ).alias("base_meta"),
+                ),
                 "url",
                 "left",
             )
         else:
-            parsed = parsed.withColumn("base_ck", F.lit(None).cast("string"))
-        unmod = F.col("base_ck").isNotNull() & (
-            F.col("base_ck") == F.col("checksum")
+            parsed = parsed.withColumn(
+                "base_ck", F.lit(None).cast("string")
+            ).withColumn("base_meta", F.lit(None).cast("string"))
+
+        # metadata checksum/dedup stages. meta_stage_ok = "the metadata
+        # stages ran for this row": before the body in HEAD mode, after
+        # noindex/canonical rejection in GET mode (WebDocPipelines.java
+        # stage order).
+        if cfg.metadata_checksummer is not None:
+            meta_stage_ok = (
+                is200 if head_mode else (is200 & ~noncanon & ~noindex)
+            )
+        else:
+            meta_stage_ok = F.lit(False)
+        meta_unmod = F.col("head_unmod") | (
+            meta_stage_ok
+            & F.col("base_meta").isNotNull()
+            & (F.col("meta_ck") == F.col("base_meta"))
         )
+        parsed = parsed.withColumn("meta_unmod", meta_unmod)
+        meta_eligible = (
+            meta_stage_ok
+            & ~F.col("meta_unmod")
+            & F.col("meta_ck").isNotNull()
+        )
+        if cfg.metadata_dedup and cfg.metadata_checksummer is not None:
+            wm = (
+                Window.partitionBy("meta_ck")
+                .orderBy("seq")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            parsed = parsed.withColumn(
+                "meta_rank",
+                F.when(
+                    meta_eligible,
+                    F.sum(F.when(meta_eligible, 1).otherwise(0)).over(wm),
+                ),
+            ).join(self._meta_registry(), "meta_ck", "left")
+            parsed = parsed.withColumn(
+                "meta_dup",
+                meta_eligible
+                & (
+                    F.coalesce(F.col("mk_seen"), F.lit(False))
+                    | (F.col("meta_rank") > 1)
+                ),
+            )
+        else:
+            parsed = parsed.withColumn("meta_dup", F.lit(False))
+        parsed = parsed.withColumn(
+            "meta_tracked", meta_eligible & ~F.col("meta_dup")
+        )
+        if head_mode:
+            # a meta-duplicate is rejected BEFORE the GET in HEAD mode:
+            # its body is never fetched, so no links may spawn (the
+            # fixture join did parse it — a real two-phase fetcher
+            # skips the GET; semantics are what matter here)
+            parsed = parsed.withColumn(
+                "links",
+                F.when(F.col("meta_dup"), F.lit(None).cast(
+                    PARSE_FIELDS["links"].dataType
+                )).otherwise(F.col("links")),
+            )
+
+        unmod = (
+            F.col("base_ck").isNotNull()
+            & (F.col("base_ck") == F.col("checksum"))
+        ) | F.col("meta_unmod")
 
         # first-reference-wins content dedup (DedupService.java:88-99):
         # rank only rows that would register a checksum — noindex,
-        # noncanonical, and UNMODIFIED rows never register, so they
-        # must not occupy a rank slot.
-        registers = committable & ~unmod
+        # noncanonical, UNMODIFIED and meta-duplicate rows never
+        # register, so they must not occupy a rank slot.
+        registers = committable & ~unmod & ~F.col("meta_dup")
         w = (
             Window.partitionBy("checksum")
             .orderBy("seq")
@@ -998,9 +1346,12 @@ class CrawlEngine:
             .when(F.col("http_status") == 404, "NOT_FOUND")
             .when(F.col("http_status") >= 500, "BAD_STATUS")
             .when(is_redirect, "REDIRECT")
+            # HEAD mode: the metadata stages precede the body stages
+            .when(F.lit(head_mode) & F.col("meta_dup"), "DUPLICATE")
             .when(noncanon, "NONCANONICAL")
             .when(noindex, "NOINDEX")
             .when(unmod, "UNMODIFIED")
+            .when(F.col("meta_dup"), "DUPLICATE")
             .when(
                 F.coalesce(F.col("ck_seen"), F.lit(False))
                 | (F.col("dup_rank") > 1),
@@ -1008,6 +1359,22 @@ class CrawlEngine:
             )
             .when(F.col("base_ck").isNotNull(), "MODIFIED")
             .otherwise("NEW"),
+        )
+        # rows rejected by the metadata stages never reach the document
+        # checksum stage: their cached checksum is the baseline's
+        # (PREMATURE rows already carry theirs in `checksum`)
+        parsed = parsed.withColumn(
+            "checksum",
+            F.when(
+                F.col("meta_unmod") | F.col("meta_dup"), F.col("base_ck")
+            ).otherwise(F.col("checksum")),
+        ).withColumn(
+            # cache meta_ck only where its stage ran (or carried on
+            # PREMATURE) — mirrors the oracle's e.meta_ck rule
+            "meta_ck",
+            F.when(
+                meta_stage_ok | F.col("premature"), F.col("meta_ck")
+            ),
         ).cache()
 
         # ---- outputs of this level ----
@@ -1017,11 +1384,16 @@ class CrawlEngine:
             "host",
             "depth",
             "seq",
+            "parent_seq",
             "avail_ms",
             "sched_ms",
             F.lit("PROCESSED").alias("status"),
             "outcome",
             "checksum",
+            "meta_ck",
+            "meta_tracked",
+            "sm_lastmod",
+            "sm_changefreq",
             "trail",
             F.lit(self.superstep).cast("int").alias("superstep"),
         )
@@ -1106,6 +1478,64 @@ class CrawlEngine:
         )
         cand = redirects.unionByName(canonicals).unionByName(links)
 
+        # redirect one-requeue rule (WebImporterPipelineUtil.java:
+        # 103-160): a redirect target already PROCESSED with a bad
+        # outcome and not in the current trail is queued once more via
+        # requeueEntry — BYPASSING the queue pipeline (so it skips the
+        # URL-seen anti-join and filters). The sequential ledger lookup
+        # is reproduced by the event stream: latest event before the
+        # redirecting source's own turn decides the target's state.
+        requeue_eval = None
+        if cfg.redirect_requeue:
+            from ..functions.checksums import GOOD_OUTCOMES
+
+            rq = redirects.withColumn(
+                "url", normalize_url_udf(F.col("raw_url"))
+            ).filter(F.col("url").isNotNull())
+            cur_ev = parsed.select(
+                "url",
+                F.col("seq").alias("turn"),
+                F.lit("PROCESSED").alias("kind"),
+                F.col("outcome").alias("ev_outcome"),
+            )
+            ev = self._events().unionByName(cur_ev)
+            j = rq.join(ev, "url", "inner").filter(
+                F.col("turn") < F.col("parent_seq")
+            )
+            last = j.groupBy("url", "parent_seq").agg(
+                F.first("depth").alias("depth"),
+                F.first("avail_ms").alias("avail_ms"),
+                F.first("trail").alias("trail"),
+                F.first("out_pos").alias("out_pos"),
+                F.max_by(
+                    F.struct(F.col("kind"), F.col("ev_outcome")),
+                    F.col("turn"),
+                ).alias("last"),
+            )
+            matched = last.filter(
+                (F.col("last.kind") == "PROCESSED")
+                & ~F.coalesce(
+                    F.col("last.ev_outcome").isin(*GOOD_OUTCOMES),
+                    F.lit(False),
+                )
+                & ~F.array_contains(F.col("trail"), F.col("url"))
+            )
+            requeue_eval = matched.select(
+                "url",
+                F.xxhash64(F.col("url")).alias("seen_key"),
+                url_host_udf(F.col("url")).alias("host"),
+                "depth",
+                "avail_ms",
+                "trail",
+                "parent_seq",
+                "out_pos",
+                F.lit(0).alias("sub"),
+                F.lit(None).cast("string").alias("sm_lastmod"),
+                F.lit(None).cast("string").alias("sm_changefreq"),
+                F.lit("QUEUED").alias("status"),
+                F.lit(None).cast("string").alias("outcome"),
+            )
+
         # ---- queue pipeline FIRST: its count action materializes the
         # whole superstep (politeness/fetch/parse cache + candidate
         # lineage) as ONE job with no barrier between parse and queue
@@ -1115,7 +1545,11 @@ class CrawlEngine:
         # aggregation right after, which now reads the warm cache. ----
         n_est = max(1, int(self.queued_remaining * self._branch_est))
         new_rows, counts_df, qp_cleanup = self._queue_pipeline(
-            cand, self._ledger_keys(), n_est, collect=False
+            cand,
+            self._ledger_keys(),
+            n_est,
+            collect=False,
+            extra_evaluated=requeue_eval,
         )
 
         # ---- ONE action materializes the whole superstep AND returns
@@ -1273,22 +1707,42 @@ class CrawlEngine:
                 .groupBy("host")
                 .agg(F.max("last_sched_ms").alias("last_sched_ms"))
             )
-        f_chk, f_reg, f_state = (
-            self._ckpt_pool.submit(df.localCheckpoint, True)
-            for df in (
-                new_rows.select(*[f.name for f in LEDGER_SCHEMA.fields]),
-                parsed.filter(
-                    F.col("outcome").isin("NEW", "MODIFIED")
-                ).select("checksum"),
-                new_state_df,
+        ckpt_dfs = {
+            "ledger": new_rows.select(*[f.name for f in LEDGER_SCHEMA.fields]),
+            "registry": parsed.filter(
+                F.col("outcome").isin("NEW", "MODIFIED")
+            ).select("checksum"),
+            "host_state": new_state_df,
+        }
+        if cfg.metadata_dedup:
+            ckpt_dfs["meta_registry"] = parsed.filter(
+                F.col("meta_tracked")
+            ).select("meta_ck")
+        if cfg.redirect_requeue:
+            # this superstep's process events (the enqueue events are a
+            # free lazy projection of the ledger checkpoint below)
+            ckpt_dfs["events"] = parsed.select(
+                "url",
+                F.col("seq").alias("turn"),
+                F.lit("PROCESSED").alias("kind"),
+                F.col("outcome").alias("ev_outcome"),
             )
-        )
-        new_chk, reg, new_state = f_chk.result(), f_reg.result(), f_state.result()
+        futs = {
+            k: self._ckpt_pool.submit(df.localCheckpoint, True)
+            for k, df in ckpt_dfs.items()
+        }
+        new_chk = futs["ledger"].result()
+        new_state = futs["host_state"].result()
         frag = new_chk.select("url", "seen_key")
         if self._bloom_synced:
             self.bloom.add_df(frag)
         self._key_parts.append(frag)
-        self._registry_parts.append(reg)
+        self._registry_parts.append(futs["registry"].result())
+        if cfg.metadata_dedup:
+            self._meta_registry_parts.append(futs["meta_registry"].result())
+        if cfg.redirect_requeue:
+            self._event_parts.append(futs["events"].result())
+            self._event_parts.append(new_chk.select(*_event_proj()))
         next_frontier = new_chk.filter(F.col("status") == "QUEUED")
         self._host_state_mem = new_state
         tick("mem_state")
@@ -1492,9 +1946,9 @@ def load_baseline(spark: SparkSession, prev_workdir: str) -> DataFrame:
             "not a completed crawlspark workdir"
         )
     levels = table.read()
-    cached = F.col("outcome").isin(
-        "NEW", "MODIFIED", "UNMODIFIED", "DUPLICATE", "PREMATURE"
-    )
+    from ..functions.checksums import CACHED_OUTCOMES
+
+    cached = F.col("outcome").isin(*CACHED_OUTCOMES)
     w = Window.partitionBy("url").orderBy(F.desc("seq"))
     return (
         levels.filter(F.col("status") == "PROCESSED")
@@ -1506,5 +1960,9 @@ def load_baseline(spark: SparkSession, prev_workdir: str) -> DataFrame:
             "seq",
             "sched_ms",
             F.when(cached, F.col("checksum")).alias("checksum"),
+            # meta_ck is already stage-gated at write time
+            "meta_ck",
+            "sm_lastmod",
+            "sm_changefreq",
         )
     )

@@ -72,6 +72,11 @@ class SiteParams:
     # fraction of hosts whose /sitemap.xml is a <sitemapindex> over
     # /sitemap_{0,1}.xml children instead of a flat <urlset>
     sitemap_index_pct: float = 0.0
+    # revision > 0: fraction of pages whose Last-Modified header is
+    # bumped WITHOUT a content change ("touched") — the false-positive
+    # path for metadata checksummers (header says modified, content
+    # checksum then says UNMODIFIED)
+    touch_pct: float = 0.0
 
     def host(self, h: int) -> str:
         return f"site{h:04d}.example.test"
@@ -160,6 +165,21 @@ def page_html(p: SiteParams, h: int, d: int, i: int) -> str:
     return _own_html(p, h, d, i)
 
 
+def page_last_modified(p: SiteParams, h: int, d: int, i: int) -> str:
+    """Deterministic Last-Modified header. Bumps exactly when the body
+    mutates (the honest-server case) or on a revision "touch" draw
+    (header-only change — metadata checksummers see modified, the
+    content checksum then says UNMODIFIED)."""
+    day = 1 + (h * 7 + d * 3 + i) % 28
+    stamp = f"Mon, {day:02d} Jan 2024 00:00:00 GMT"
+    if p.revision > 0 and (
+        _rng(p.seed, h, d, i, "mut") < p.mutate_pct
+        or _rng(p.seed, h, d, i, "touch") < p.touch_pct
+    ):
+        stamp = f"Tue, {day:02d} Mar 2026 00:00:0{p.revision % 10} GMT"
+    return stamp
+
+
 def page_rows(p: SiteParams, h: int, d: int, i: int) -> list[dict]:
     """All ``pages`` rows for one page id (base + optional variant)."""
     url = page_url(p, h, d, i)
@@ -172,6 +192,16 @@ def page_rows(p: SiteParams, h: int, d: int, i: int) -> list[dict]:
         "redirect_to": redirect_to,
         "html": html,
         "depth_from_seed": d,
+        # response headers (the HEAD-fetch surface): Last-Modified and
+        # a content-derived ETag (changes iff the body changes)
+        "last_modified": (
+            page_last_modified(p, h, d, i) if status == 200 else None
+        ),
+        "etag": (
+            hashlib.md5(html.encode()).hexdigest()[:16]
+            if html is not None
+            else None
+        ),
     }
     rows = [row]
     if _is_variant(p, h, d, i):
@@ -201,10 +231,17 @@ def _sitemap_url_entries(p: SiteParams, h: int) -> list[str]:
     urls = []
     for i in range(min(p.branching, p.n_at_depth(min(1, p.depth)))):
         d = min(1, p.depth)
+        # every third entry omits <lastmod> so the recrawlable
+        # resolver's changefreq branch is reachable
+        lastmod = (
+            ""
+            if (h + i) % 3 == 0
+            else f"<lastmod>2024-01-{1 + (h + i) % 28:02d}</lastmod>"
+        )
         urls.append(
-            "<url><loc>{}</loc><lastmod>2024-01-{:02d}</lastmod>"
+            "<url><loc>{}</loc>{}"
             "<changefreq>daily</changefreq><priority>0.{}</priority></url>".format(
-                page_url(p, h, d, i), 1 + (h + i) % 28, 5 + i % 5
+                page_url(p, h, d, i), lastmod, 5 + i % 5
             )
         )
     return urls
@@ -445,10 +482,11 @@ def make_fetcher(p: SiteParams, retries: int = 0):
 
 PAGES_SCHEMA = (
     "url string, host string, status int, redirect_to string, "
-    "html string, depth_from_seed int"
+    "html string, depth_from_seed int, last_modified string, etag string"
 )
 PAGES_COLUMNS = [
     "url", "host", "status", "redirect_to", "html", "depth_from_seed",
+    "last_modified", "etag",
 ]
 ROBOTS_SCHEMA = "host string, body string"
 SITEMAPS_SCHEMA = "host string, path string, xml string"
@@ -480,16 +518,6 @@ def spark_pages(spark, p: SiteParams, num_partitions: int | None = None):
             for gidx in pdf["id"].tolist():
                 h, d, i = _unrank(p, int(gidx))
                 out.extend(page_rows(p, h, d, i))
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "url",
-                    "host",
-                    "status",
-                    "redirect_to",
-                    "html",
-                    "depth_from_seed",
-                ],
-            )
+            yield pd.DataFrame(out, columns=PAGES_COLUMNS)
 
     return rng.mapInPandas(gen, schema=PAGES_SCHEMA)

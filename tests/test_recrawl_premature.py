@@ -112,6 +112,98 @@ def test_three_run_chain_carries_premature_state(runs, spark, tmp_path_factory):
     assert any(out2.get(u) == "UNMODIFIED" for u in prem_urls)
 
 
+# between the fixture's lastmod dates (Jan 2 and Jan 3 2024), so both
+# the premature and the due branch of the lastmod comparison fire
+RECRAWL_EPOCH_MS = 1704196800000  # 2024-01-02T12:00:00Z
+CFG_SM0 = CrawlConfig(max_depth=2, default_delay_ms=1000, use_sitemaps=True)
+CFG_SM1 = CrawlConfig(
+    max_depth=2,
+    default_delay_ms=1000,
+    use_sitemaps=True,
+    recrawl_sitemap_check=True,
+    recrawl_min_frequencies=(("/d2/", 10**12),),
+    virtual_epoch_ms=RECRAWL_EPOCH_MS,
+    virtual_now_ms=2 * 86_400_000,
+)
+
+
+@pytest.fixture(scope="module")
+def sitemap_runs(spark, tmp_path_factory):
+    """Full GenericRecrawlableResolver: sitemap lastmod decides for
+    sitemap-discovered URLs (FIRST support), changefreq for entries
+    without lastmod, the per-pattern minimum frequency for /d2/ pages,
+    and everything else is due."""
+    tmp = tmp_path_factory.mktemp("recrawl_sm")
+    site = build_site(PARAMS)
+    seeds = [r["url"] for r in site.seeds.to_dict("records")]
+    maps = site.sitemaps_dict()
+
+    sim0 = CrawlSimulator(
+        site.pages_dict(), site.robots_dict(), CFG_SM0, sitemaps=maps
+    ).run(seeds)
+    sim1 = CrawlSimulator(
+        site.pages_dict(),
+        site.robots_dict(),
+        CFG_SM1,
+        baseline=sim0.baseline_dict(),
+        sitemaps=maps,
+    ).run(seeds)
+
+    eng0 = CrawlEngine(
+        spark, str(tmp / "r0"), CFG_SM0,
+        site.spark_pages_df(spark), site.spark_robots_df(spark),
+        sitemaps_df=site.spark_sitemaps_df(spark),
+    )
+    eng0.bootstrap(seeds)
+    eng0.run()
+    eng1 = CrawlEngine(
+        spark, str(tmp / "r1"), CFG_SM1,
+        site.spark_pages_df(spark), site.spark_robots_df(spark),
+        baseline_df=load_baseline(spark, str(tmp / "r0")),
+        sitemaps_df=site.spark_sitemaps_df(spark),
+    )
+    eng1.bootstrap(seeds)
+    eng1.run()
+    return sim0, sim1, eng1
+
+
+def test_sitemap_resolver_branches_fire(sitemap_runs):
+    sim0, sim1, _ = sitemap_runs
+    base = sim0.baseline_dict()
+    out1 = {r["url"]: r["outcome"] for r in sim1.fetch_log}
+    lastmod_prem = lastmod_due = freq_pattern_prem = 0
+    for url, b in base.items():
+        if url not in out1:
+            continue
+        if b.get("sm_lastmod") is not None:
+            # lastmod vs epoch Jan 15: later dates -> due (recrawled)
+            if out1[url] == "PREMATURE":
+                lastmod_prem += 1
+            else:
+                lastmod_due += 1
+        elif "/d2/" in url:
+            if out1[url] == "PREMATURE":
+                freq_pattern_prem += 1
+    assert lastmod_prem > 0, "some sitemap lastmod dates predate the epoch"
+    assert lastmod_due > 0, "some sitemap lastmod dates postdate the epoch"
+    assert freq_pattern_prem > 0, "/d2/ min-frequency must hold pages back"
+    # changefreq-only entries (daily) are due at virtual_now = 2 days
+    cf_only = [
+        u for u, b in base.items()
+        if b.get("sm_changefreq") and not b.get("sm_lastmod") and u in out1
+    ]
+    assert cf_only and all(out1[u] != "PREMATURE" for u in cf_only)
+
+
+def test_sitemap_resolver_parity(sitemap_runs):
+    _, sim1, eng1 = sitemap_runs
+    got = eng1.fetch_log().toPandas()
+    want = pd.DataFrame(sim1.fetch_log)
+    assert len(got) == len(want), (len(got), len(want))
+    for col in ["url", "depth", "outcome", "scheduled_at_ms"]:
+        assert got[col].tolist() == want[col].tolist(), col
+
+
 def test_premature_metrics_and_no_politeness_slot(runs):
     _, sim1, eng1 = runs
     m = eng1.metrics_df().toPandas().groupby("event")["count"].sum().to_dict()
