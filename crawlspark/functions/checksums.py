@@ -34,8 +34,20 @@ HEADER_FIELDS = ("last_modified", "etag")
 # ledger outcomes whose cached checksums (content + metadata) carry
 # into the next run's baseline: rows that reached their checksum stage
 # (UNMODIFIED/DUPLICATE are rejected *after* the checksum is stored on
-# the entry) plus PREMATURE rows, which keep the prior cached state
-CACHED_OUTCOMES = ("NEW", "MODIFIED", "UNMODIFIED", "DUPLICATE", "PREMATURE")
+# the entry), PREMATURE rows (prior cached state kept), FILTERED and
+# graced spoiled rows (the committed doc still exists; the ledger
+# writes null when it was actually deleted). NONCANONICAL/NOINDEX stay
+# excluded — they reject before any checksum stage.
+CACHED_OUTCOMES = (
+    "NEW",
+    "MODIFIED",
+    "UNMODIFIED",
+    "DUPLICATE",
+    "PREMATURE",
+    "FILTERED",
+    "NOT_FOUND",
+    "BAD_STATUS",
+)
 
 # ProcessingOutcome.isGoodState (core/.../ledger/ProcessingOutcome
 # .java:110-112): outcomes that leave the entry in a good state — a

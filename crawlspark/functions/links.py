@@ -174,11 +174,14 @@ PARSE_FIELDS = T.StructType(
         T.StructField("nofollow", T.BooleanType()),
         T.StructField("checksum", T.StringType()),
         T.StructField("links", LINKS_TYPE),
+        # DocumentFiltersStage verdict over the body (computed while
+        # the html is in memory — it never leaves the parse pass)
+        T.StructField("doc_filtered", T.BooleanType()),
     ]
 )
 
 
-def make_parse_transformer(max_depth: int):
+def make_parse_transformer(max_depth: int, document_filters: tuple = ()):
     """Fused per-batch parser: html in, parse fields out, html dropped.
 
     One Arrow crossing instead of one per extractor UDF — the ~KBs/row
@@ -195,6 +198,7 @@ def make_parse_transformer(max_depth: int):
     """
     import hashlib
 
+    from .filters import content_reject
     from .urls import normalize_url
 
     def parse(batches):
@@ -205,6 +209,7 @@ def make_parse_transformer(max_depth: int):
             nofol = [False] * n
             ck = [None] * n
             links = [None] * n
+            docf = [False] * n
             it = zip(
                 pdf["url"].tolist(),
                 pdf["html"].tolist(),
@@ -220,6 +225,8 @@ def make_parse_transformer(max_depth: int):
                 ni, nf = extract_robots_meta(h)
                 noidx[i], nofol[i] = ni, nf
                 ck[i] = hashlib.md5(h.encode()).hexdigest()
+                if document_filters:
+                    docf[i] = content_reject(h, document_filters)
                 if (
                     (c is None or c == u)
                     and not nf
@@ -232,6 +239,7 @@ def make_parse_transformer(max_depth: int):
             out["nofollow"] = nofol
             out["checksum"] = ck
             out["links"] = pd.Series(links, dtype=object, index=out.index)
+            out["doc_filtered"] = docf
             yield out
 
     return parse

@@ -110,6 +110,7 @@ class SimResult:
                 "meta_ck": e.meta_ck,
                 "sm_lastmod": e.sm_lastmod,
                 "sm_changefreq": e.sm_changefreq,
+                "outcome": e.outcome,
                 "depth": e.depth,
                 "seq": e.seq,
                 "sched_ms": e.sched_ms,
@@ -258,12 +259,17 @@ class CrawlSimulator:
         return False
 
     def _in_scope(self, link_url: str, ref_url: str) -> bool:
-        """Stay-on-domain/protocol vs the referring URL
+        """Stay-on-domain/protocol/port/sitemap vs the referring URL
         (GenericUrlScopeResolver.java:79-152); out-of-scope links are
         dropped at extraction (LinkExtractorStage.java:118-123), never
         entering the queue pipeline."""
         cfg = self.cfg
-        if not (cfg.stay_on_domain or cfg.stay_on_protocol):
+        if not (
+            cfg.stay_on_domain
+            or cfg.stay_on_protocol
+            or cfg.stay_on_port
+            or cfg.stay_on_sitemap
+        ):
             return True
         lp, rp = urlsplit(link_url), urlsplit(ref_url)
         if cfg.stay_on_protocol and (lp.scheme or "").lower() != (
@@ -277,7 +283,43 @@ class CrawlSimulator:
                 cfg.include_subdomains and lh.endswith("." + rh)
             ):
                 return False
+        if cfg.stay_on_port:
+            def resolved_port(parts):
+                if parts.port is not None:
+                    return parts.port
+                return {"http": 80, "https": 443}.get(
+                    (parts.scheme or "").lower(), -1
+                )
+
+            if resolved_port(lp) != resolved_port(rp):
+                return False
+        if cfg.stay_on_sitemap and cfg.use_sitemaps:
+            # site has a (present) sitemap: extracted links are never
+            # sitemap records, so they are all out of scope
+            rh = (rp.hostname or "").lower()
+            if rh in self.sitemaps:
+                return False
         return True
+
+    def _apply_spoiled(self, res: SimResult, e, base, base_ck) -> None:
+        """GenericSpoiledReferenceStrategizer state->strategy mapping:
+        DELETE drops the committed doc; GRACE_ONCE only when the
+        previous run was also spoiled (ProcessFinalize.java:192); a
+        graced row keeps the cached checksum (the doc still exists)."""
+        from ..functions.checksums import GOOD_OUTCOMES
+
+        strat = dict(self.cfg.spoiled_strategies).get(e.outcome)
+        prev_out = base.get("outcome") if base else None
+        prev_bad = prev_out is not None and prev_out not in GOOD_OUTCOMES
+        if (
+            self.cfg.spoiled_delete
+            and base_ck is not None
+            and (strat == "DELETE" or (strat == "GRACE_ONCE" and prev_bad))
+        ):
+            res.deletes.append(e.url)
+            res.metrics["DOCUMENT_COMMITTED_DELETE"] += 1
+        else:
+            e.checksum = base_ck
 
     # -- queue pipeline (§2.2 stage order) --------------------------------
     def _enqueue(
@@ -497,14 +539,11 @@ class CrawlSimulator:
             if row is None or row["status"] == 404:
                 e.outcome = "NOT_FOUND"
                 res.metrics["REJECTED_NOTFOUND"] += 1
-                # spoiled: previously committed, now gone -> delete op
-                # (GenericSpoiledReferenceStrategizer NOT_FOUND->DELETE)
-                if base_ck is not None and self.cfg.spoiled_delete:
-                    res.deletes.append(e.url)
-                    res.metrics["DOCUMENT_COMMITTED_DELETE"] += 1
+                self._apply_spoiled(res, e, base, base_ck)
             elif row["status"] >= 500:
                 e.outcome = "BAD_STATUS"
                 res.metrics["REJECTED_BAD_STATUS"] += 1
+                self._apply_spoiled(res, e, base, base_ck)
             elif row["status"] in (301, 302):
                 e.outcome = "REDIRECT"
                 res.metrics["DOCUMENT_REDIRECTED"] += 1
@@ -528,25 +567,49 @@ class CrawlSimulator:
 
                     mck = meta_checksum(row, meta_kind, meta_fields)
                 base_meta = base.get("meta_ck") if base else None
-                if meta_kind is not None and self.cfg.head_before_get:
+                meta_band = (
+                    meta_kind is not None or bool(self.cfg.metadata_filters)
+                )
+
+                def _meta_filtered() -> bool:
+                    if not self.cfg.metadata_filters:
+                        return False
+                    from ..functions.filters import filters_reject
+
+                    return filters_reject(
+                        {
+                            "url": e.url,
+                            "last_modified": row.get("last_modified"),
+                            "etag": row.get("etag"),
+                        },
+                        self.cfg.metadata_filters,
+                    )
+
+                if meta_band and self.cfg.head_before_get:
                     # HEAD phase (WebDocPipelines.java:89-99): the
                     # metadata stages run on headers alone; rejected
-                    # rows never fetch the body — no links extracted
-                    e.meta_ck = mck
+                    # rows never fetch the body — no links extracted.
+                    # MetadataFiltersStage precedes the checksum.
                     rejected = None
-                    if (
-                        mck is not None
-                        and base_meta is not None
-                        and mck == base_meta
-                    ):
-                        rejected = "UNMODIFIED"
-                        res.metrics["REJECTED_UNMODIFIED"] += 1
-                    elif self.cfg.metadata_dedup and mck is not None:
-                        if mck in seen_meta:
-                            rejected = "DUPLICATE"
-                            res.metrics["REJECTED_DUPLICATE"] += 1
-                        else:
-                            seen_meta.add(mck)
+                    if _meta_filtered():
+                        rejected = "FILTERED"
+                        e.checksum = base_ck
+                        res.metrics["REJECTED_FILTER_IMPORT"] += 1
+                    else:
+                        e.meta_ck = mck
+                        if (
+                            mck is not None
+                            and base_meta is not None
+                            and mck == base_meta
+                        ):
+                            rejected = "UNMODIFIED"
+                            res.metrics["REJECTED_UNMODIFIED"] += 1
+                        elif self.cfg.metadata_dedup and mck is not None:
+                            if mck in seen_meta:
+                                rejected = "DUPLICATE"
+                                res.metrics["REJECTED_DUPLICATE"] += 1
+                            else:
+                                seen_meta.add(mck)
                     if rejected is not None:
                         e.outcome = rejected
                         # the cached doc state stays the baseline's
@@ -606,10 +669,26 @@ class CrawlSimulator:
                     e.outcome = "NOINDEX"
                     res.metrics["REJECTED_NOINDEX"] += 1
                 else:
-                    if meta_kind is not None and not self.cfg.head_before_get:
+                    if meta_band and not self.cfg.head_before_get:
                         # GET mode: the metadata stages run after
                         # noindex/canonical rejection (stage order,
                         # WebDocPipelines.java) — links already out
+                        if _meta_filtered():
+                            e.outcome = "FILTERED"
+                            e.checksum = base_ck
+                            res.metrics["REJECTED_FILTER_IMPORT"] += 1
+                            res.fetch_log.append(
+                                {
+                                    "step": step,
+                                    "url": e.url,
+                                    "host": e.host,
+                                    "depth": e.depth,
+                                    "scheduled_at_ms": sched,
+                                    "outcome": e.outcome,
+                                }
+                            )
+                            step += 1
+                            continue
                         e.meta_ck = mck
                         if (
                             mck is not None
@@ -649,6 +728,27 @@ class CrawlSimulator:
                                 step += 1
                                 continue
                             seen_meta.add(mck)
+                    if self.cfg.document_filters:
+                        from ..functions.filters import content_reject
+
+                        # DocumentFiltersStage: after the metadata
+                        # stages, before the document checksum
+                        if content_reject(html, self.cfg.document_filters):
+                            e.outcome = "FILTERED"
+                            e.checksum = base_ck
+                            res.metrics["REJECTED_FILTER_IMPORT"] += 1
+                            res.fetch_log.append(
+                                {
+                                    "step": step,
+                                    "url": e.url,
+                                    "host": e.host,
+                                    "depth": e.depth,
+                                    "scheduled_at_ms": sched,
+                                    "outcome": e.outcome,
+                                }
+                            )
+                            step += 1
+                            continue
                     ck = content_checksum(html)
                     # every row reaching the checksum stage caches its
                     # checksum for the next run's baseline (the

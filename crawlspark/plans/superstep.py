@@ -315,12 +315,12 @@ class CrawlEngine:
         # table — no html column, so the parquet scan prunes the body
         # (the dataflow equivalent of an HTTP HEAD)
         self.headers = None
-        if cfg.metadata_checksummer is not None:
+        if cfg.metadata_checksummer is not None or cfg.metadata_filters:
             if pages_df is None:
                 raise ValueError(
-                    "metadata_checksummer needs pages_df response "
-                    "headers (a fetcher would have to expose a "
-                    "headers-only batch form)"
+                    "metadata_checksummer/metadata_filters need "
+                    "pages_df response headers (a fetcher would have "
+                    "to expose a headers-only batch form)"
                 )
             hdr = pages_df
             for c in ("last_modified", "etag"):
@@ -491,7 +491,9 @@ class CrawlEngine:
         ``pages``-table join (MockWebsite analog), each followed by the
         parse transformer (html crosses once, then is dropped).
         """
-        parse = make_parse_transformer(self.cfg.max_depth)
+        parse = make_parse_transformer(
+            self.cfg.max_depth, self.cfg.document_filters
+        )
         parse_names = {f.name for f in PARSE_FIELDS.fields}
         out_fields = [
             f
@@ -1110,36 +1112,60 @@ class CrawlEngine:
         # rides through the parse as a passthrough column and the
         # decision happens in the outcome ladder after noindex.
         head_rows_src = None
-        head_mode = (
-            cfg.metadata_checksummer is not None and cfg.head_before_get
+        meta_band = cfg.metadata_checksummer is not None or bool(
+            cfg.metadata_filters
         )
-        if cfg.metadata_checksummer is not None:
+        head_mode = bool(meta_band and cfg.head_before_get)
+        if meta_band:
             from ..functions.checksums import meta_checksum_col
+            from ..functions.filters import filters_reject_col
 
-            hj = (
-                sched.join(self.headers, "url", "left")
-                .withColumn(
-                    "meta_ck",
+            hj = sched.join(self.headers, "url", "left").withColumn(
+                "meta_ck",
+                (
                     meta_checksum_col(
                         cfg.metadata_checksummer,
                         cfg.metadata_checksum_fields,
-                    ),
-                )
-                .drop("last_modified", "etag")
+                    )
+                    if cfg.metadata_checksummer is not None
+                    else F.lit(None).cast("string")
+                ),
             )
-            if head_mode and self.baseline is not None:
-                base_meta = self.baseline.select(
-                    "url", F.col("meta_ck").alias("base_meta_head")
-                )
-                hj = hj.join(F.broadcast(base_meta), "url", "left")
-                head_unmod = (
+            # MetadataFiltersStage (before the metadata checksum in
+            # stage order) over the header fields + reference
+            mf = (
+                filters_reject_col(cfg.metadata_filters)
+                if cfg.metadata_filters
+                else F.lit(False)
+            )
+            hj = hj.withColumn(
+                "meta_filtered", mf & (F.col("h_status") == 200)
+            ).drop("last_modified", "etag")
+            if head_mode:
+                if self.baseline is not None:
+                    base_meta = self.baseline.select(
+                        "url", F.col("meta_ck").alias("base_meta_head")
+                    )
+                    hj = hj.join(F.broadcast(base_meta), "url", "left")
+                    unmod_cond = (
+                        F.col("base_meta_head").isNotNull()
+                        & (F.col("meta_ck") == F.col("base_meta_head"))
+                    )
+                else:
+                    hj = hj.withColumn(
+                        "base_meta_head", F.lit(None).cast("string")
+                    )
+                    unmod_cond = F.lit(False)
+                hj = hj.withColumn(
+                    "head_unmod",
                     (F.col("h_status") == 200)
-                    & F.col("base_meta_head").isNotNull()
-                    & (F.col("meta_ck") == F.col("base_meta_head"))
+                    & ~F.col("meta_filtered")
+                    & unmod_cond,
                 )
-                head_rows_src = hj.filter(head_unmod).drop("base_meta_head")
-                sched = hj.filter(~head_unmod).drop(
-                    "base_meta_head", "h_status"
+                head_skip = F.col("meta_filtered") | F.col("head_unmod")
+                head_rows_src = hj.filter(head_skip).drop("base_meta_head")
+                sched = hj.filter(~head_skip).drop(
+                    "base_meta_head", "h_status", "head_unmod"
                 )
             else:
                 sched = hj.drop("h_status")
@@ -1149,10 +1175,10 @@ class CrawlEngine:
             .withColumn("premature", F.lit(False))
             .withColumn("head_unmod", F.lit(False))
         )
-        if cfg.metadata_checksummer is None:
+        if not meta_band:
             parsed = parsed.withColumn(
                 "meta_ck", F.lit(None).cast("string")
-            )
+            ).withColumn("meta_filtered", F.lit(False))
         if head_rows_src is not None:
             head_rows = head_rows_src.select(
                 *[F.col(c) for c in batch.columns],
@@ -1164,9 +1190,11 @@ class CrawlEngine:
                 F.lit(False).alias("nofollow"),
                 F.lit(None).cast("string").alias("checksum"),
                 F.lit(None).cast(PARSE_FIELDS["links"].dataType).alias("links"),
+                F.lit(False).cast("boolean").alias("doc_filtered"),
                 F.lit(False).alias("premature"),
-                F.lit(True).alias("head_unmod"),
+                "head_unmod",
                 "meta_ck",
+                "meta_filtered",
             )
             parsed = parsed.unionByName(head_rows)
         if prem is not None:
@@ -1193,9 +1221,11 @@ class CrawlEngine:
                 F.lit(False).alias("nofollow"),
                 F.col("base_ck_prem").alias("checksum"),
                 F.lit(None).cast(PARSE_FIELDS["links"].dataType).alias("links"),
+                F.lit(False).cast("boolean").alias("doc_filtered"),
                 F.lit(True).alias("premature"),
                 F.lit(False).alias("head_unmod"),
                 base_meta_prem.alias("meta_ck"),
+                F.lit(False).alias("meta_filtered"),
             )
             parsed = parsed.unionByName(prem_rows)
 
@@ -1203,14 +1233,47 @@ class CrawlEngine:
         # links are dropped at extraction, before the queue pipeline
         # (LinkExtractorStage.java:118-123; GenericUrlScopeResolver)
         parsed = parsed.withColumn("links_all_n", F.size("links"))
-        if cfg.stay_on_domain or cfg.stay_on_protocol:
+        scope_sitemap = (
+            cfg.stay_on_sitemap
+            and cfg.use_sitemaps
+            and self.sitemaps is not None
+        )
+        if scope_sitemap:
+            # sitemapPresence == PRESENT for the referring site
+            # (GenericUrlScopeResolver.java:121-127, siteHasSitemap):
+            # the fixture dim lists exactly the hosts whose sitemap
+            # resolves, and resolution always precedes a host's fetches
+            presence = self.sitemaps.select("host").distinct().withColumn(
+                "__has_sm", F.lit(True)
+            )
+            parsed = parsed.join(F.broadcast(presence), "host", "left")
+        if (
+            cfg.stay_on_domain
+            or cfg.stay_on_protocol
+            or cfg.stay_on_port
+            or scope_sitemap
+        ):
             ref_host = F.col("host")
             ref_proto = F.lower(F.parse_url(F.col("url"), F.lit("PROTOCOL")))
 
+            def _res_port(ucol, proto):
+                auth = F.parse_url(ucol, F.lit("AUTHORITY"))
+                port = F.regexp_extract(
+                    F.coalesce(auth, F.lit("")), r":(\d+)$", 1
+                )
+                return (
+                    F.when(port != "", port.cast("int"))
+                    .when(proto == "http", F.lit(80))
+                    .when(proto == "https", F.lit(443))
+                    .otherwise(F.lit(-1))
+                )
+
+            ref_port = _res_port(F.col("url"), ref_proto)
+
             def _in_scope(link):
                 ok = F.lit(True)
+                lp = F.lower(F.parse_url(link["url"], F.lit("PROTOCOL")))
                 if cfg.stay_on_protocol:
-                    lp = F.lower(F.parse_url(link["url"], F.lit("PROTOCOL")))
                     ok = ok & (lp == ref_proto)
                 if cfg.stay_on_domain:
                     lh = F.lower(F.parse_url(link["url"], F.lit("HOST")))
@@ -1220,6 +1283,12 @@ class CrawlEngine:
                             F.concat(F.lit("."), ref_host)
                         )
                     ok = ok & same
+                if cfg.stay_on_port:
+                    ok = ok & (_res_port(link["url"], lp) == ref_port)
+                if scope_sitemap:
+                    # extracted links are never sitemap-listed records;
+                    # on a site with a present sitemap they all drop
+                    ok = ok & ~F.coalesce(F.col("__has_sm"), F.lit(False))
                 return ok
 
             parsed = parsed.withColumn("links", F.filter("links", _in_scope))
@@ -1247,21 +1316,25 @@ class CrawlEngine:
                         if has_meta
                         else F.lit(None).cast("string")
                     ).alias("base_meta"),
+                    F.col("outcome").alias("base_outcome"),
                 ),
                 "url",
                 "left",
             )
         else:
-            parsed = parsed.withColumn(
-                "base_ck", F.lit(None).cast("string")
-            ).withColumn("base_meta", F.lit(None).cast("string"))
+            parsed = (
+                parsed.withColumn("base_ck", F.lit(None).cast("string"))
+                .withColumn("base_meta", F.lit(None).cast("string"))
+                .withColumn("base_outcome", F.lit(None).cast("string"))
+            )
 
         # metadata checksum/dedup stages. meta_stage_ok = "the metadata
         # stages ran for this row": before the body in HEAD mode, after
         # noindex/canonical rejection in GET mode (WebDocPipelines.java
-        # stage order).
+        # stage order). MetadataFiltersStage precedes the checksum, so
+        # a meta-filtered row never reaches it.
         if cfg.metadata_checksummer is not None:
-            meta_stage_ok = (
+            meta_stage_ok = ~F.col("meta_filtered") & (
                 is200 if head_mode else (is200 & ~noncanon & ~noindex)
             )
         else:
@@ -1320,11 +1393,30 @@ class CrawlEngine:
             & (F.col("base_ck") == F.col("checksum"))
         ) | F.col("meta_unmod")
 
+        # importer-stage FILTERED verdicts: metadata filters (position
+        # depends on the fetch directive), document filters (after the
+        # meta stages, before the document checksum)
+        meta_filtered_here = F.col("meta_filtered") & (
+            F.lit(True) if head_mode else (is200 & ~noncanon & ~noindex)
+        )
+        doc_filtered_here = (
+            F.coalesce(F.col("doc_filtered"), F.lit(False))
+            & is200
+            & ~noncanon
+            & ~noindex
+        )
+
         # first-reference-wins content dedup (DedupService.java:88-99):
         # rank only rows that would register a checksum — noindex,
-        # noncanonical, UNMODIFIED and meta-duplicate rows never
-        # register, so they must not occupy a rank slot.
-        registers = committable & ~unmod & ~F.col("meta_dup")
+        # noncanonical, UNMODIFIED, meta-duplicate and filtered rows
+        # never register, so they must not occupy a rank slot.
+        registers = (
+            committable
+            & ~unmod
+            & ~F.col("meta_dup")
+            & ~meta_filtered_here
+            & ~doc_filtered_here
+        )
         w = (
             Window.partitionBy("checksum")
             .orderBy("seq")
@@ -1338,6 +1430,38 @@ class CrawlEngine:
         )
         parsed = parsed.join(self._checksum_registry(), "checksum", "left")
 
+        content_unmod = F.col("base_ck").isNotNull() & (
+            F.col("base_ck") == F.col("checksum")
+        )
+
+        # spoiled strategy (GenericSpoiledReferenceStrategizer.java:69):
+        # DELETE drops the committed doc now; GRACE_ONCE only when the
+        # PREVIOUS run was also spoiled (ProcessFinalize.java:192)
+        strat_map = dict(cfg.spoiled_strategies)
+        spoiled_out = (
+            F.when(F.col("http_status").isNull(), "NOT_FOUND")
+            .when(F.col("http_status") == 404, "NOT_FOUND")
+            .when(F.col("http_status") >= 500, "BAD_STATUS")
+        )
+        strat = F.lit(None).cast("string")
+        for o, s in strat_map.items():
+            strat = F.when(spoiled_out == o, s).otherwise(strat)
+        from ..functions.checksums import GOOD_OUTCOMES
+
+        prev_bad = F.col("base_outcome").isNotNull() & ~F.col(
+            "base_outcome"
+        ).isin(*GOOD_OUTCOMES)
+        spoiled_del = (
+            F.lit(bool(cfg.spoiled_delete))
+            & F.col("base_ck").isNotNull()
+            & ~F.col("premature")
+            & (
+                (strat == "DELETE")
+                | ((strat == "GRACE_ONCE") & prev_bad)
+            )
+        )
+        parsed = parsed.withColumn("spoiled_del", spoiled_del)
+
         is_redirect = F.col("http_status").isin(301, 302)
         parsed = parsed.withColumn(
             "outcome",
@@ -1347,11 +1471,18 @@ class CrawlEngine:
             .when(F.col("http_status") >= 500, "BAD_STATUS")
             .when(is_redirect, "REDIRECT")
             # HEAD mode: the metadata stages precede the body stages
+            .when(F.lit(head_mode) & meta_filtered_here, "FILTERED")
+            .when(F.lit(head_mode) & F.col("meta_unmod"), "UNMODIFIED")
             .when(F.lit(head_mode) & F.col("meta_dup"), "DUPLICATE")
             .when(noncanon, "NONCANONICAL")
             .when(noindex, "NOINDEX")
-            .when(unmod, "UNMODIFIED")
+            .when(meta_filtered_here, "FILTERED")
+            .when(F.col("meta_unmod"), "UNMODIFIED")
             .when(F.col("meta_dup"), "DUPLICATE")
+            # DocumentFiltersStage sits between the metadata stages and
+            # the document checksum (WebDocPipelines stage order)
+            .when(doc_filtered_here, "FILTERED")
+            .when(content_unmod, "UNMODIFIED")
             .when(
                 F.coalesce(F.col("ck_seen"), F.lit(False))
                 | (F.col("dup_rank") > 1),
@@ -1360,13 +1491,25 @@ class CrawlEngine:
             .when(F.col("base_ck").isNotNull(), "MODIFIED")
             .otherwise("NEW"),
         )
-        # rows rejected by the metadata stages never reach the document
-        # checksum stage: their cached checksum is the baseline's
-        # (PREMATURE rows already carry theirs in `checksum`)
+        # rows rejected before the document checksum stage never cache
+        # a fresh checksum: metadata-stage rejects and graced spoiled
+        # rows keep the baseline's (the committed doc still exists);
+        # deleted spoiled rows keep none. PREMATURE rows already carry
+        # theirs in `checksum`.
+        spoiled_graced = (
+            spoiled_out.isNotNull()
+            & ~F.col("premature")
+            & ~F.col("spoiled_del")
+        )
         parsed = parsed.withColumn(
             "checksum",
             F.when(
-                F.col("meta_unmod") | F.col("meta_dup"), F.col("base_ck")
+                F.col("meta_unmod")
+                | F.col("meta_dup")
+                | meta_filtered_here
+                | doc_filtered_here
+                | spoiled_graced,
+                F.col("base_ck"),
             ).otherwise(F.col("checksum")),
         ).withColumn(
             # cache meta_ck only where its stage ran (or carried on
@@ -1415,12 +1558,11 @@ class CrawlEngine:
             "depth",
             F.lit("upsert").alias("op"),
         )
-        # spoiled: previously committed, now NOT_FOUND -> delete op
-        # (GenericSpoiledReferenceStrategizer NOT_FOUND->DELETE mapping)
+        # spoiled: previously committed, now spoiled with a DELETE (or
+        # triggered GRACE_ONCE) strategy -> delete op
+        # (GenericSpoiledReferenceStrategizer state->strategy mapping)
         if cfg.spoiled_delete:
-            spoiled = parsed.filter(
-                (F.col("outcome") == "NOT_FOUND") & F.col("base_ck").isNotNull()
-            ).select(
+            spoiled = parsed.filter(F.col("spoiled_del")).select(
                 F.col("url").alias("image_id"),
                 F.lit(None).cast("binary").alias("bytes"),
                 F.lit(None).cast("int").alias("w"),
@@ -1587,6 +1729,9 @@ class CrawlEngine:
                 F.sum(
                     F.when(F.col("base_ck").isNotNull(), 1).otherwise(0)
                 ).alias("n_had_baseline"),
+                F.sum(
+                    F.when(F.col("spoiled_del"), 1).otherwise(0)
+                ).alias("n_spoiled_del"),
             )
         )
         merged = agg_df.withColumn("__src", F.lit("agg")).unionByName(
@@ -1631,11 +1776,7 @@ class CrawlEngine:
         self._branch_est = max(1.0, n_cand / max(1, fetched_n))
 
         spoiled_deletes = (
-            sum(
-                r["n_had_baseline"]
-                for r in agg_rows
-                if r["outcome"] == "NOT_FOUND"
-            )
+            sum(r["n_spoiled_del"] for r in agg_rows)
             if cfg.spoiled_delete
             else 0
         )
@@ -1654,6 +1795,7 @@ class CrawlEngine:
                 "DOCUMENT_REDIRECTED": out_counts.get("REDIRECT", 0),
                 "REJECTED_NONCANONICAL": out_counts.get("NONCANONICAL", 0),
                 "REJECTED_NOINDEX": out_counts.get("NOINDEX", 0),
+                "REJECTED_FILTER_IMPORT": out_counts.get("FILTERED", 0),
                 "REJECTED_DUPLICATE": out_counts.get("DUPLICATE", 0),
                 "REJECTED_REDIRECT_LOOP": redirect_loops,
                 "URLS_EXTRACTED": int(n_links_all or 0),
@@ -1964,5 +2106,7 @@ def load_baseline(spark: SparkSession, prev_workdir: str) -> DataFrame:
             "meta_ck",
             "sm_lastmod",
             "sm_changefreq",
+            # prior outcome drives the GRACE_ONCE spoiled strategy
+            "outcome",
         )
     )

@@ -69,6 +69,9 @@ class SiteParams:
     revision: int = 0
     mutate_pct: float = 0.0
     gone_pct: float = 0.0
+    # revision > 0: fraction of pages that answer 500 (server broke) —
+    # stays broken in later revisions, exercising GRACE_ONCE spoiling
+    bad_pct: float = 0.0
     # fraction of hosts whose /sitemap.xml is a <sitemapindex> over
     # /sitemap_{0,1}.xml children instead of a flat <urlset>
     sitemap_index_pct: float = 0.0
@@ -116,6 +119,8 @@ def _page_status(p: SiteParams, h: int, d: int, i: int) -> tuple[int, str | None
         return 200, None
     if p.revision > 0 and _rng(p.seed, h, d, i, "gone") < p.gone_pct:
         return 404, None
+    if p.revision > 0 and _rng(p.seed, h, d, i, "bad") < p.bad_pct:
+        return 500, None
     r_err = _rng(p.seed, h, d, i, "err")
     if r_err < p.error_pct:
         return (404 if _rng(p.seed, h, d, i, "err2") < 0.5 else 500), None

@@ -103,6 +103,101 @@ def test_stay_on_domain_off_crawls_cross_hosts(spark, tmp_path):
     assert len(set(eng.fetch_log().toPandas()["host"])) > 1
 
 
+def _port_site():
+    """Hand-built two-port site: the root links to a default-port page
+    and an :8080 page (GenericUrlScopeResolver stayOnPort compares
+    RESOLVED ports — 80 for http when unspecified)."""
+    html_root = (
+        "<html><head><title>r</title></head><body>"
+        '<a href="http://a.test/x.html">a</a>'
+        '<a href="http://a.test:8080/y.html">b</a>'
+        "</body></html>"
+    )
+    mk = lambda u, h: {
+        "url": u,
+        "host": "a.test",
+        "status": 200,
+        "redirect_to": None,
+        "html": h,
+        "depth_from_seed": 0,
+        "last_modified": None,
+        "etag": None,
+    }
+    leaf = "<html><head><title>l</title></head><body>leaf</body></html>"
+    pages = {
+        "http://a.test/": mk("http://a.test/", html_root),
+        "http://a.test/x.html": mk("http://a.test/x.html", leaf),
+        "http://a.test:8080/y.html": mk("http://a.test:8080/y.html", leaf),
+    }
+    return pages
+
+
+@pytest.mark.parametrize("stay", [True, False])
+def test_stay_on_port(spark, tmp_path, stay):
+    from crawlspark.sources.webgen import PAGES_COLUMNS, PAGES_SCHEMA
+
+    cfg = CrawlConfig(max_depth=2, default_delay_ms=500, stay_on_port=stay)
+    pages = _port_site()
+    robots = {"a.test": None}
+    sim = CrawlSimulator(pages, robots, cfg).run(["http://a.test/"])
+    pages_pdf = pd.DataFrame(list(pages.values()))[PAGES_COLUMNS]
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / f"port{stay}"),
+        cfg,
+        spark.createDataFrame(pages_pdf, schema=PAGES_SCHEMA),
+        spark.createDataFrame(
+            pd.DataFrame([{"host": "a.test", "body": None}]),
+            schema="host string, body string",
+        ),
+    )
+    eng.bootstrap(["http://a.test/"])
+    eng.run()
+    assert_fetch_parity(sim, eng)
+    fetched = {r["url"] for r in sim.fetch_log}
+    if stay:
+        assert fetched == {"http://a.test/", "http://a.test/x.html"}
+        assert sim.metrics["URLS_OUT_OF_SCOPE"] == 1
+    else:
+        assert "http://a.test:8080/y.html" in fetched
+
+
+def test_stay_on_sitemap(spark, tmp_path):
+    """stayOnSitemap (GenericUrlScopeResolver.java:121-127): when the
+    referring site's sitemap resolved PRESENT, extracted links are out
+    of scope — only seeds + sitemap-listed URLs are fetched."""
+    cfg = CrawlConfig(
+        max_depth=2,
+        default_delay_ms=500,
+        use_sitemaps=True,
+        stay_on_sitemap=True,
+    )
+    params = SiteParams(seed=9, n_hosts=2, depth=2, branching=3, n_seed_hosts=2)
+    site = build_site(params)
+    seeds = [r["url"] for r in site.seeds.to_dict("records")]
+    sim = CrawlSimulator(
+        site.pages_dict(),
+        site.robots_dict(),
+        cfg,
+        sitemaps=site.sitemaps_dict(),
+    ).run(seeds)
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "smscope"),
+        cfg,
+        site.spark_pages_df(spark),
+        site.spark_robots_df(spark),
+        sitemaps_df=site.spark_sitemaps_df(spark),
+    )
+    eng.bootstrap(seeds)
+    eng.run()
+    assert_fetch_parity(sim, eng)
+    assert sim.metrics["URLS_OUT_OF_SCOPE"] > 0
+    # nothing beyond the roots and the sitemap-listed depth-1 pages
+    fetched = {r["url"] for r in sim.fetch_log}
+    assert not any("/d2/" in u for u in fetched)
+
+
 def test_fetch_retry_parity(spark, tmp_path):
     """Flaky pages 503 on attempt 0; with one retry the engine matches
     the oracle's final-attempt view exactly."""
