@@ -105,6 +105,45 @@ def extract_links(base_url: str, html: str | None) -> list[tuple[str, int]]:
     return out
 
 
+_LINK_HDR_CANON_RE = re.compile(
+    r'<\s*([^<>]+?)\s*>\s*;[^,<]*\brel\s*=\s*"?canonical"?', re.I
+)
+
+
+def canonical_from_header(base_url: str, link_header: str | None) -> str | None:
+    """``Link: <url>; rel="canonical"`` response header, resolved
+    (GenericCanonicalLinkDetector.java:100-119 — the detector checks
+    the HTTP header in the metadata phase, before the HTML head)."""
+    if not link_header:
+        return None
+    m = _LINK_HDR_CANON_RE.search(link_header)
+    return resolve_href(base_url, m.group(1)) if m else None
+
+
+def parse_x_robots(value: str | None) -> tuple[bool, bool]:
+    """(noindex, nofollow) from an ``X-Robots-Tag`` response header
+    (StandardRobotsMetaProvider.java:37-92 reads the header and the
+    meta tag through the same directive parser)."""
+    if not value:
+        return (False, False)
+    v = value.lower()
+    return ("noindex" in v, "nofollow" in v)
+
+
+def effective_canonical(
+    url: str,
+    hdr_canon: str | None,
+    html_canon: str | None,
+) -> str | None:
+    """Canonical precedence: the HTTP header is checked first (its
+    stage runs in the metadata phase); a SELF header-canonical falls
+    through to the HTML head's (the import-phase stage still runs).
+    Inputs must already be normalized to ``url``'s form."""
+    if hdr_canon and hdr_canon != url:
+        return hdr_canon
+    return html_canon
+
+
 def extract_canonical(base_url: str, html: str | None) -> str | None:
     """<link rel=canonical> from the document head, resolved."""
     if not html:
@@ -210,6 +249,18 @@ def make_parse_transformer(max_depth: int, document_filters: tuple = ()):
             ck = [None] * n
             links = [None] * n
             docf = [False] * n
+            # response-header columns ride only when the fetch slot
+            # provides them (pages-table join); consumed in-pass
+            lh = (
+                pdf["link_header"].tolist()
+                if "link_header" in pdf.columns
+                else [None] * n
+            )
+            xr = (
+                pdf["x_robots"].tolist()
+                if "x_robots" in pdf.columns
+                else [None] * n
+            )
             it = zip(
                 pdf["url"].tolist(),
                 pdf["html"].tolist(),
@@ -219,10 +270,15 @@ def make_parse_transformer(max_depth: int, document_filters: tuple = ()):
             for i, (u, h, s, d) in enumerate(it):
                 if h is None or s is None or pd.isna(s) or int(s) != 200:
                     continue
+                ch = canonical_from_header(u, lh[i])
+                ch = normalize_url(ch) if ch else None
                 c = extract_canonical(u, h)
                 c = normalize_url(c) if c else None
+                c = effective_canonical(u, ch, c)
                 canon[i] = c
                 ni, nf = extract_robots_meta(h)
+                xni, xnf = parse_x_robots(xr[i])
+                ni, nf = ni or xni, nf or xnf
                 noidx[i], nofol[i] = ni, nf
                 ck[i] = hashlib.md5(h.encode()).hexdigest()
                 if document_filters:
@@ -233,7 +289,13 @@ def make_parse_transformer(max_depth: int, document_filters: tuple = ()):
                     and (max_depth < 0 or int(d) < max_depth)
                 ):
                     links[i] = extract_links(u, h)
-            out = pdf.drop(columns=["html"])
+            out = pdf.drop(
+                columns=[
+                    c_
+                    for c_ in ("html", "link_header", "x_robots")
+                    if c_ in pdf.columns
+                ]
+            )
             out["canonical"] = canon
             out["noindex"] = noidx
             out["nofollow"] = nofol

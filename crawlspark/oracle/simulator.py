@@ -627,7 +627,19 @@ class CrawlSimulator:
                         step += 1
                         continue
                 html = row["html"] or ""
-                canonical_raw = extract_canonical(e.url, html)
+                # HTTP Link-header canonical precedence (metadata-phase
+                # detector, GenericCanonicalLinkDetector.java:100-119);
+                # a self header-canonical falls through to the HTML head
+                from ..functions.links import canonical_from_header
+
+                hdr_raw = canonical_from_header(
+                    e.url, row.get("link_header")
+                )
+                hdr_norm = normalize_url(hdr_raw) if hdr_raw else None
+                if hdr_norm is not None and hdr_norm != e.url:
+                    canonical_raw = hdr_raw
+                else:
+                    canonical_raw = extract_canonical(e.url, html)
                 canonical = (
                     normalize_url(canonical_raw) if canonical_raw else None
                 )
@@ -656,6 +668,12 @@ class CrawlSimulator:
                     step += 1
                     continue
                 noindex, nofollow = extract_robots_meta(html)
+                # X-Robots-Tag response header ORs with the meta tag
+                # (StandardRobotsMetaProvider.java:37-92)
+                from ..functions.links import parse_x_robots
+
+                xni, xnf = parse_x_robots(row.get("x_robots"))
+                noindex, nofollow = noindex or xni, nofollow or xnf
                 if not nofollow and (
                     self.cfg.max_depth < 0 or e.depth < self.cfg.max_depth
                 ):

@@ -301,12 +301,20 @@ class CrawlEngine:
             if pages_df is None:
                 raise ValueError("need pages_df or fetcher")
             # cache the fixture table so each superstep's fetch join
-            # reuses the in-memory relation instead of re-scanning
+            # reuses the in-memory relation instead of re-scanning.
+            # link_header / x_robots response headers ride along when
+            # the table has them (consumed inside the parse pass).
+            hdr_cols = [
+                c
+                for c in ("link_header", "x_robots")
+                if c in pages_df.columns
+            ]
             self.pages = pages_df.select(
                 F.col("url"),
                 F.col("status").alias("http_status"),
                 "html",
                 "redirect_to",
+                *hdr_cols,
             ).cache()
         else:
             self.pages = None
@@ -498,7 +506,14 @@ class CrawlEngine:
         out_fields = [
             f
             for f in sched.schema.fields
-            if f.name not in ("html", "http_status", "redirect_to")
+            if f.name
+            not in (
+                "html",
+                "http_status",
+                "redirect_to",
+                "link_header",
+                "x_robots",
+            )
             and f.name not in parse_names
         ]
         out_schema = T.StructType(

@@ -80,6 +80,12 @@ class SiteParams:
     # path for metadata checksummers (header says modified, content
     # checksum then says UNMODIFIED)
     touch_pct: float = 0.0
+    # fraction of pages with a `Link: <...>; rel="canonical"` response
+    # header pointing at the previous sibling (the header-canonical
+    # detector path) and with an X-Robots-Tag header (noindex or
+    # noindex,nofollow)
+    header_canonical_pct: float = 0.0
+    x_robots_pct: float = 0.0
 
     def host(self, h: int) -> str:
         return f"site{h:04d}.example.test"
@@ -205,6 +211,28 @@ def page_rows(p: SiteParams, h: int, d: int, i: int) -> list[dict]:
         "etag": (
             hashlib.md5(html.encode()).hexdigest()[:16]
             if html is not None
+            else None
+        ),
+        "link_header": (
+            f'<{page_url(p, h, d, i - 1)}>; rel="canonical"'
+            if (
+                status == 200
+                and d > 0
+                and i > 0
+                and _rng(p.seed, h, d, i, "hcanon") < p.header_canonical_pct
+            )
+            else None
+        ),
+        "x_robots": (
+            (
+                "noindex, nofollow"
+                if _rng(p.seed, h, d, i, "xrob2") < 0.5
+                else "noindex"
+            )
+            if (
+                status == 200
+                and _rng(p.seed, h, d, i, "xrob") < p.x_robots_pct
+            )
             else None
         ),
     }
@@ -487,11 +515,12 @@ def make_fetcher(p: SiteParams, retries: int = 0):
 
 PAGES_SCHEMA = (
     "url string, host string, status int, redirect_to string, "
-    "html string, depth_from_seed int, last_modified string, etag string"
+    "html string, depth_from_seed int, last_modified string, etag string, "
+    "link_header string, x_robots string"
 )
 PAGES_COLUMNS = [
     "url", "host", "status", "redirect_to", "html", "depth_from_seed",
-    "last_modified", "etag",
+    "last_modified", "etag", "link_header", "x_robots",
 ]
 ROBOTS_SCHEMA = "host string, body string"
 SITEMAPS_SCHEMA = "host string, path string, xml string"

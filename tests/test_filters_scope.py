@@ -140,7 +140,9 @@ def test_stay_on_port(spark, tmp_path, stay):
     pages = _port_site()
     robots = {"a.test": None}
     sim = CrawlSimulator(pages, robots, cfg).run(["http://a.test/"])
-    pages_pdf = pd.DataFrame(list(pages.values()))[PAGES_COLUMNS]
+    pages_pdf = pd.DataFrame(list(pages.values())).reindex(
+        columns=PAGES_COLUMNS
+    )
     eng = CrawlEngine(
         spark,
         str(tmp_path / f"port{stay}"),

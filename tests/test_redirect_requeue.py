@@ -26,6 +26,8 @@ def _page(url, status, html=None, redirect_to=None):
         "depth_from_seed": 0,
         "last_modified": None,
         "etag": None,
+        "link_header": None,
+        "x_robots": None,
     }
 
 
