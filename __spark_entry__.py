@@ -250,6 +250,96 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+def q_incremental_delta(spark, sf_dir):
+    """Metadata-checksum incremental delta (ChecksumStageUtil NEW/
+    MODIFIED/UNMODIFIED + GenericMetadataChecksummer, the round-2
+    metadata band): headers derived deterministically from orders,
+    baseline = a key-filtered snapshot with some checksums perturbed,
+    classification via the engine's meta_checksum_col."""
+    from crawlspark.functions.checksums import meta_checksum_col
+
+    o = _t(spark, sf_dir, "orders")
+    headers = o.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 5 != 0,
+            F.col("o_orderdate").cast("string"),
+        )
+        .otherwise(F.lit(""))
+        .alias("last_modified"),
+        F.when(F.col("o_orderkey") % 3 != 0, F.col("o_orderpriority")).alias(
+            "etag"
+        ),
+    )
+    cur = headers.select(
+        "o_orderkey", meta_checksum_col("generic").alias("meta_ck")
+    )
+    base = (
+        headers.filter(F.col("o_orderkey") % 4 != 1)
+        .withColumn(
+            "etag",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.lit("stale-etag")
+            ).otherwise(F.col("etag")),
+        )
+        .select(
+            F.col("o_orderkey").alias("b_key"),
+            meta_checksum_col("generic").alias("base_ck"),
+        )
+    )
+    j = cur.join(base, cur.o_orderkey == base.b_key, "left")
+    state = (
+        F.when(F.col("b_key").isNull(), F.lit("NEW"))
+        .when(
+            F.col("meta_ck").eqNullSafe(F.col("base_ck")),
+            F.lit("UNMODIFIED"),
+        )
+        .otherwise(F.lit("MODIFIED"))
+    )
+    return j.select("o_orderkey", "meta_ck", state.alias("state"))
+
+
+def q_recrawl_due(spark, sf_dir):
+    """GenericRecrawlableResolver.java:98-244 as one Column
+    (plans/superstep._recrawlable_col): sitemap lastmod/changefreq
+    (FIRST precedence), per-pattern min frequencies, min_recrawl_ms
+    catch-all — inputs derived deterministically from events."""
+    from crawlspark.config import CrawlConfig
+    from crawlspark.plans.superstep import _recrawlable_col
+
+    cfg = CrawlConfig(
+        recrawl_min_frequencies=(("p[0-9]*0$", 50_000),),
+        min_recrawl_ms=80_000,
+        recrawl_sitemap_check=True,
+        recrawl_sitemap_support="first",
+        virtual_now_ms=100_000,
+    )
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        F.concat(
+            F.lit("https://h"),
+            F.col("user_id").cast("string"),
+            F.lit("/p"),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+        F.lit(0).cast("long").alias("avail_ms"),
+        (F.unix_millis(F.col("ts").cast("timestamp")) % 100_000).alias(
+            "base_sched"
+        ),
+        F.when(
+            F.col("event_id") % 7 == 0, F.lit("1970-01-01 00:05:00")
+        ).alias("base_sm_lastmod"),
+        F.when(F.col("event_id") % 6 == 0, F.lit("always"))
+        .when(F.col("event_id") % 6 == 1, F.lit("never"))
+        .when(F.col("event_id") % 6 == 2, F.lit("hourly"))
+        .when(F.col("event_id") % 6 == 3, F.lit("daily"))
+        .alias("base_sm_changefreq"),
+    )
+    return base.select(
+        "url", _recrawlable_col(cfg).cast("int").alias("recrawlable")
+    )
+
+
 def q_lsh_ann(spark, sf_dir):
     """Bucketed ANN top-k (equi-join on LSH bucket, no cross product)
     — r1 left this unit-tested only; now oracle-gated."""
@@ -334,6 +424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": q_simhash,
         "q_jaccard_next": q_jaccard_next,
         "q_cosine_topk": q_cosine_topk,
+        "q_incremental_delta": q_incremental_delta,
+        "q_recrawl_due": q_recrawl_due,
         "q_lsh_ann": q_lsh_ann,
         "q_lsh_bucket_stats": q_lsh_bucket_stats,
         "q_image_payload": q_image_payload,
@@ -579,6 +671,74 @@ ranked AS (
   FROM scored)
 SELECT query_id, neighbor_id, round(c, 6) AS cos, rk
 FROM ranked WHERE rk <= 5
+""",
+        # generic metadata checksum: md5 over present k=v header pairs
+        # (concat_ws skips NULLs in both dialects), null when all absent
+        "q_incremental_delta": """
+WITH headers AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 != 0 THEN o_orderdate::VARCHAR
+              ELSE '' END AS last_modified,
+         CASE WHEN o_orderkey % 3 != 0 THEN o_orderpriority END AS etag
+  FROM orders),
+ck AS (
+  SELECT o_orderkey, last_modified, etag,
+         concat_ws(';',
+           CASE WHEN last_modified IS NOT NULL AND last_modified != ''
+                THEN 'last_modified=' || last_modified END,
+           CASE WHEN etag IS NOT NULL AND etag != ''
+                THEN 'etag=' || etag END) AS joined
+  FROM headers),
+cur AS (
+  SELECT o_orderkey,
+         CASE WHEN joined != '' THEN md5(joined) END AS meta_ck
+  FROM ck),
+base AS (
+  SELECT o_orderkey AS b_key,
+         CASE WHEN joined != '' THEN md5(joined) END AS base_ck
+  FROM (
+    SELECT o_orderkey,
+           concat_ws(';',
+             CASE WHEN last_modified IS NOT NULL AND last_modified != ''
+                  THEN 'last_modified=' || last_modified END,
+             CASE WHEN etag2 IS NOT NULL AND etag2 != ''
+                  THEN 'etag=' || etag2 END) AS joined
+    FROM (SELECT o_orderkey, last_modified,
+                 CASE WHEN o_orderkey % 7 = 0 THEN 'stale-etag'
+                      ELSE etag END AS etag2
+          FROM headers WHERE o_orderkey % 4 != 1)))
+SELECT o_orderkey, meta_ck,
+       CASE WHEN b_key IS NULL THEN 'NEW'
+            WHEN meta_ck IS NOT DISTINCT FROM base_ck THEN 'UNMODIFIED'
+            ELSE 'MODIFIED' END AS state
+FROM cur LEFT JOIN base ON o_orderkey = b_key
+""",
+        # _recrawlable_col's exact when-chain: sched0-null -> sitemap
+        # (lastmod, then always/never/period) -> min frequencies
+        # (pattern 50s, catch-all 80s) vs now = virtual_now 100s
+        "q_recrawl_due": """
+WITH b AS (
+  SELECT 'https://h' || user_id::VARCHAR || '/p' || event_id::VARCHAR AS url,
+         epoch_ms(ts) % 100000 AS base_sched,
+         CASE WHEN event_id % 7 = 0 THEN 300000 END AS lastmod_ms,
+         CASE WHEN event_id % 6 = 0 THEN 'always'
+              WHEN event_id % 6 = 1 THEN 'never'
+              WHEN event_id % 6 = 2 THEN 'hourly'
+              WHEN event_id % 6 = 3 THEN 'daily' END AS cf
+  FROM events)
+SELECT url,
+  (CASE WHEN base_sched IS NULL THEN true
+        WHEN lastmod_ms IS NOT NULL OR cf IS NOT NULL THEN
+          CASE WHEN lastmod_ms IS NOT NULL THEN lastmod_ms > base_sched
+               WHEN cf = 'always' THEN true
+               WHEN cf = 'never' THEN false
+               WHEN cf = 'hourly' THEN base_sched + 3600000 <= 100000
+               WHEN cf = 'daily' THEN base_sched + 86400000 <= 100000
+               ELSE true END
+        ELSE base_sched + (CASE WHEN regexp_matches(url, 'p[0-9]*0$')
+                                THEN 50000 ELSE 80000 END) <= 100000
+   END)::INT AS recrawlable
+FROM b
 """,
         "q_lsh_ann": f"""
 WITH sigs AS (

@@ -62,10 +62,89 @@ def _read_seeds(args) -> list[str]:
     return seeds
 
 
+# workdir members owned by the engine — what `clean` wipes and
+# `storeexport`/`storeimport` carry (CliClean / CliStoreExport /
+# cluster CacheImporter.java:41-157 analogs). File-level copy is
+# correct because the store IS immutable parquet parts + JSON
+# manifests; on a DFS/Iceberg deployment these become catalog ops.
+STORE_MEMBERS = (
+    "ledger_levels",
+    "documents",
+    "host_state",
+    "checkpoint.json",
+)
+
+
+def _cmd_clean(args) -> int:
+    import os
+    import shutil
+
+    removed = []
+    for name in STORE_MEMBERS:
+        p = os.path.join(args.workdir, name)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+            removed.append(name)
+        elif os.path.isfile(p):
+            os.remove(p)
+            removed.append(name)
+    print(f"cleaned {args.workdir}: removed {removed or 'nothing'}")
+    return 0
+
+
+def _cmd_configcheck(args) -> int:
+    from .config import validate
+
+    errs = validate(_build_cfg(args))
+    if errs:
+        for e in errs:
+            print(f"config error: {e}", file=sys.stderr)
+        return 1
+    print("config OK")
+    return 0
+
+
+def _copy_store(src: str, dst: str, what: str) -> int:
+    import os
+    import shutil
+
+    if not any(
+        os.path.exists(os.path.join(src, m)) for m in STORE_MEMBERS
+    ):
+        print(f"{what}: no crawl store at {src}", file=sys.stderr)
+        return 1
+    os.makedirs(dst, exist_ok=True)
+    copied = []
+    for name in STORE_MEMBERS:
+        s, d = os.path.join(src, name), os.path.join(dst, name)
+        if os.path.isdir(s):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+            shutil.copytree(s, d)
+            copied.append(name)
+        elif os.path.isfile(s):
+            shutil.copy2(s, d)
+            copied.append(name)
+    print(f"{what}: {src} -> {dst} ({copied})")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="crawlspark")
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for name in ("crawl", "resume", "export"):
+    p = sub.add_parser("clean", help="wipe the workdir's crawl store")
+    p.add_argument("--workdir", required=True)
+    p = sub.add_parser(
+        "storeexport", help="archive the crawl store (ledger + documents)"
+    )
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--out", required=True)
+    p = sub.add_parser(
+        "storeimport", help="restore an archived crawl store into a workdir"
+    )
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--from", dest="src", required=True)
+    for name in ("crawl", "resume", "export", "configcheck"):
         p = sub.add_parser(name)
         p.add_argument("--workdir", required=True)
         p.add_argument("--pages", help="parquet fixture web (fetch join)")
@@ -86,6 +165,18 @@ def main(argv: list[str] | None = None) -> int:
                 "--format", choices=("parquet", "csv", "json"), default="parquet"
             )
     args = ap.parse_args(argv)
+
+    # store/admin commands are pure filesystem/validation ops — no
+    # Spark session needed (the reference's CLI likewise runs them
+    # without starting a crawler).
+    if args.cmd == "clean":
+        return _cmd_clean(args)
+    if args.cmd == "configcheck":
+        return _cmd_configcheck(args)
+    if args.cmd == "storeexport":
+        return _copy_store(args.workdir, args.out, "storeexport")
+    if args.cmd == "storeimport":
+        return _copy_store(args.src, args.workdir, "storeimport")
 
     if getattr(args, "retries", 0):
         # retries live in the fetch slot (webgen.make_fetcher /

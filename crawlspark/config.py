@@ -23,6 +23,11 @@ class CrawlConfig:
     # stop once this many docs are committed (checked at superstep
     # boundaries in the engine; CrawlerConfig maxDocuments analog).
     max_docs: int | None = None
+    # stop once the politeness clock passes this (CrawlerConfig
+    # maxCrawlDuration analog on the VIRTUAL clock — wall time is
+    # non-deterministic; checked at superstep boundaries like
+    # max_docs). Remaining entries stay QUEUED, resumable.
+    max_crawl_duration_ms: int | None = None
     # politeness: robots crawl-delay > default (AbstractDelayResolver
     # precedence :100-115); per-site serialization (SiteDelay.java:44-58).
     default_delay_ms: int = 3000
@@ -170,6 +175,94 @@ class CrawlConfig:
     bloom_bits: int = 1 << 22
     image_w: int = 32
     image_h: int = 32
+
+
+def validate(cfg: CrawlConfig) -> list[str]:
+    """Config validation (CliConfigCheck analog, core/cli/ — the
+    reference validates the XML config and reports errors without
+    starting a crawl). Returns a list of human-readable problems;
+    empty means the config is runnable."""
+    import re
+
+    errs: list[str] = []
+
+    def _rx(pat: str, where: str) -> None:
+        try:
+            re.compile(pat)
+        except re.error as e:
+            errs.append(f"{where}: bad regex {pat!r} ({e})")
+
+    if cfg.max_depth < -1:
+        errs.append(f"max_depth must be >= -1, got {cfg.max_depth}")
+    if cfg.max_docs is not None and cfg.max_docs <= 0:
+        errs.append(f"max_docs must be positive, got {cfg.max_docs}")
+    if (
+        cfg.max_crawl_duration_ms is not None
+        and cfg.max_crawl_duration_ms <= 0
+    ):
+        errs.append("max_crawl_duration_ms must be positive")
+    if cfg.default_delay_ms < 0:
+        errs.append(f"default_delay_ms must be >= 0, got {cfg.default_delay_ms}")
+    for p in cfg.include_patterns:
+        _rx(p, "include_patterns")
+    for p in cfg.exclude_patterns:
+        _rx(p, "exclude_patterns")
+    for p, d in cfg.delay_patterns:
+        _rx(p, "delay_patterns")
+        if d < 0:
+            errs.append(f"delay_patterns: negative delay {d}")
+    if cfg.orphan_strategy not in ("PROCESS", "DELETE", "IGNORE"):
+        errs.append(f"orphan_strategy: unknown {cfg.orphan_strategy!r}")
+    for outcome, strat in cfg.spoiled_strategies:
+        if strat not in ("DELETE", "GRACE_ONCE", "IGNORE"):
+            errs.append(f"spoiled_strategies: unknown strategy {strat!r}")
+        if outcome not in ("NOT_FOUND", "BAD_STATUS"):
+            errs.append(f"spoiled_strategies: unknown state {outcome!r}")
+    if cfg.metadata_checksummer not in (
+        None,
+        "last_modified",
+        "etag",
+        "generic",
+    ):
+        errs.append(
+            f"metadata_checksummer: unknown {cfg.metadata_checksummer!r}"
+        )
+    if cfg.recrawl_sitemap_support not in ("first", "last", "never"):
+        errs.append(
+            f"recrawl_sitemap_support: unknown {cfg.recrawl_sitemap_support!r}"
+        )
+    for p, v in cfg.recrawl_min_frequencies:
+        _rx(p, "recrawl_min_frequencies")
+        if v < 0:
+            errs.append(f"recrawl_min_frequencies: negative {v}")
+    for spec in cfg.metadata_filters:
+        if len(spec) != 3:
+            errs.append(f"metadata_filters: need (field, pattern, on_match), got {spec!r}")
+            continue
+        field_, pat, om = spec
+        if field_ not in ("url", "last_modified", "etag"):
+            errs.append(f"metadata_filters: unknown field {field_!r}")
+        _rx(pat, "metadata_filters")
+        if om not in ("include", "exclude"):
+            errs.append(f"metadata_filters: on_match must be include/exclude, got {om!r}")
+    for spec in cfg.document_filters:
+        if len(spec) != 2:
+            errs.append(f"document_filters: need (pattern, on_match), got {spec!r}")
+            continue
+        pat, om = spec
+        _rx(pat, "document_filters")
+        if om not in ("include", "exclude"):
+            errs.append(f"document_filters: on_match must be include/exclude, got {om!r}")
+    if cfg.head_before_get and cfg.metadata_checksummer is None and not cfg.metadata_filters:
+        errs.append(
+            "head_before_get needs a metadata_checksummer or "
+            "metadata_filters (nothing would run in the HEAD phase)"
+        )
+    if cfg.stay_on_sitemap and not cfg.use_sitemaps:
+        errs.append("stay_on_sitemap requires use_sitemaps")
+    if cfg.fetch_retries < 0:
+        errs.append(f"fetch_retries must be >= 0, got {cfg.fetch_retries}")
+    return errs
 
 
 DEFAULT_CONFIG = CrawlConfig()

@@ -437,6 +437,9 @@ class CrawlSimulator:
         meta_fields = self.cfg.metadata_checksum_fields
         qi = 0
         step = 0
+        # highest politeness-clock value scheduled (max_crawl_duration;
+        # PREMATURE rows carry the prior run's fetch time — excluded)
+        max_sched_seen = 0
         # max_docs is evaluated at superstep (BFS batch) boundaries,
         # exactly like the engine's driver loop guard.
         batch_end = len(queue)
@@ -476,6 +479,14 @@ class CrawlSimulator:
                 if (
                     self.cfg.max_docs is not None
                     and len(res.committed) >= self.cfg.max_docs
+                ):
+                    stopped = True
+                    break
+                # maxCrawlDuration on the virtual politeness clock,
+                # superstep-boundary check exactly like the engine's
+                if (
+                    self.cfg.max_crawl_duration_ms is not None
+                    and max_sched_seen >= self.cfg.max_crawl_duration_ms
                 ):
                     stopped = True
                     break
@@ -530,6 +541,7 @@ class CrawlSimulator:
             sched = e.avail_ms if prev is None else max(e.avail_ms, prev + delay)
             last_sched[e.host] = sched
             e.sched_ms = sched
+            max_sched_seen = max(max_sched_seen, sched)
             e.status = "PROCESSED"
             res.metrics["DOCUMENT_FETCHED"] += 1
 

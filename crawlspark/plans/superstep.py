@@ -357,6 +357,10 @@ class CrawlEngine:
         self.max_seq = 0
         self.committed_total = 0
         self.queued_remaining = 0
+        # highest politeness-clock value scheduled so far (drives the
+        # max_crawl_duration_ms boundary stop; PREMATURE rows excluded
+        # — they carry the previous run's fetch time, not this clock's)
+        self._max_sched_seen = 0
         self._frontier_part: str | None = None
         self._ledger_rows = 0
         self.bloom = BloomPrefilter(cfg.bloom_bits)
@@ -589,6 +593,7 @@ class CrawlEngine:
             "frontier_part": self._frontier_part,
             "ledger_rows": self._ledger_rows,
             "branch_est": self._branch_est,
+            "max_sched_seen": self._max_sched_seen,
             "sitemap_hosts": sorted(self._sitemap_resolved),
             "host_state_snapshot": (
                 host_state_snapshot
@@ -655,6 +660,7 @@ class CrawlEngine:
         eng._frontier_part = state.get("frontier_part")
         eng._ledger_rows = state.get("ledger_rows", 0)
         eng._branch_est = state.get("branch_est", 10.0)
+        eng._max_sched_seen = state.get("max_sched_seen", 0)
         eng._sitemap_resolved = set(state.get("sitemap_hosts", []))
         eng._metric_rows = [tuple(r) for r in state.get("metrics", [])]
         # drop any partial writes from a crashed superstep
@@ -1040,6 +1046,14 @@ class CrawlEngine:
         if self.queued_remaining <= 0:
             return None
         if cfg.max_docs is not None and self.committed_total >= cfg.max_docs:
+            return None
+        # maxCrawlDuration on the virtual politeness clock (ActivityChecker
+        # analog; superstep-boundary check like max_docs — a documented
+        # deviation from the reference's wall-clock mid-crawl stop)
+        if (
+            cfg.max_crawl_duration_ms is not None
+            and self._max_sched_seen >= cfg.max_crawl_duration_ms
+        ):
             return None
         tick = _Tick(self.superstep)
         self._raise_failed()
@@ -1747,6 +1761,7 @@ class CrawlEngine:
                 F.sum(
                     F.when(F.col("spoiled_del"), 1).otherwise(0)
                 ).alias("n_spoiled_del"),
+                F.max("sched_ms").alias("max_sched"),
             )
         )
         merged = agg_df.withColumn("__src", F.lit("agg")).unionByName(
@@ -1789,6 +1804,14 @@ class CrawlEngine:
         qstats["DUPLICATE_OR_BAD_SKIPPED"] = n_cand - n_new
         fetched_n = sum(r["n"] for r in agg_rows)
         self._branch_est = max(1.0, n_cand / max(1, fetched_n))
+        self._max_sched_seen = max(
+            [self._max_sched_seen]
+            + [
+                int(r["max_sched"])
+                for r in agg_rows
+                if r["outcome"] != "PREMATURE" and r["max_sched"] is not None
+            ]
+        )
 
         spoiled_deletes = (
             sum(r["n_spoiled_del"] for r in agg_rows)
@@ -2011,6 +2034,10 @@ class CrawlEngine:
                 hit_max_docs = (
                     self.cfg.max_docs is not None
                     and self.committed_total >= self.cfg.max_docs
+                ) or (
+                    self.cfg.max_crawl_duration_ms is not None
+                    and self._max_sched_seen
+                    >= self.cfg.max_crawl_duration_ms
                 )
                 if not self._orphans_done and not hit_max_docs:
                     self._orphans_done = True

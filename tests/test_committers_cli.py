@@ -93,3 +93,88 @@ def test_cli_crawl_and_export(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out"))
     assert out.count() > 0
     assert "caption" in out.columns and "phash" in out.columns
+
+
+def test_cli_store_admin(spark, tmp_path, capsys):
+    """clean / storeexport / storeimport / configcheck (CliClean,
+    CliStoreExport, cluster CacheImporter.java:41-157 analogs)."""
+    from crawlspark.cli import main
+    from crawlspark.sources.webgen import SiteParams, build_site
+
+    site = build_site(SiteParams(seed=7, n_hosts=1, depth=1, branching=2))
+    site.spark_pages_df(spark).write.mode("overwrite").parquet(
+        str(tmp_path / "pages")
+    )
+    site.spark_robots_df(spark).write.mode("overwrite").parquet(
+        str(tmp_path / "robots")
+    )
+    seeds_file = tmp_path / "seeds.txt"
+    seeds_file.write_text(
+        "\n".join(r["url"] for r in site.seeds.to_dict("records")) + "\n"
+    )
+    run = tmp_path / "run"
+    assert main(
+        [
+            "crawl",
+            "--workdir", str(run),
+            "--pages", str(tmp_path / "pages"),
+            "--robots", str(tmp_path / "robots"),
+            "--seeds", str(seeds_file),
+            "--delay-ms", "100",
+        ]
+    ) == 0
+
+    # archive, wipe, restore, resume-from-restored must be a no-op crawl
+    assert main(["storeexport", "--workdir", str(run), "--out", str(tmp_path / "arch")]) == 0
+    assert (tmp_path / "arch" / "checkpoint.json").exists()
+    assert main(["clean", "--workdir", str(run)]) == 0
+    assert not (run / "checkpoint.json").exists()
+    # exporting a cleaned store fails loudly, not silently-empty
+    assert main(["storeexport", "--workdir", str(run), "--out", str(tmp_path / "a2")]) == 1
+    assert main(["storeimport", "--workdir", str(run), "--from", str(tmp_path / "arch")]) == 0
+    assert (run / "checkpoint.json").exists()
+    assert main(
+        [
+            "resume",
+            "--workdir", str(run),
+            "--pages", str(tmp_path / "pages"),
+            "--robots", str(tmp_path / "robots"),
+        ]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "resume done: 0 fetched" in out
+
+
+def test_cli_configcheck(tmp_path, capsys):
+    from crawlspark.cli import main
+
+    assert main(["configcheck", "--workdir", str(tmp_path), "--max-depth", "2"]) == 0
+    assert "config OK" in capsys.readouterr().out
+    assert main(
+        ["configcheck", "--workdir", str(tmp_path), "--include", "([bad"]
+    ) == 1
+    assert "bad regex" in capsys.readouterr().err
+
+
+def test_config_validate_fields():
+    from crawlspark.config import CrawlConfig, validate
+
+    assert validate(CrawlConfig()) == []
+    errs = validate(
+        CrawlConfig(
+            max_docs=0,
+            orphan_strategy="NOPE",
+            spoiled_strategies=(("NOT_FOUND", "EXPLODE"),),
+            metadata_checksummer="bogus",
+            stay_on_sitemap=True,
+        )
+    )
+    joined = "\n".join(errs)
+    assert "max_docs" in joined
+    assert "orphan_strategy" in joined
+    assert "EXPLODE" in joined
+    assert "metadata_checksummer" in joined
+    assert "stay_on_sitemap requires use_sitemaps" in joined
+    # HEAD pass with nothing to run in it is a config error
+    errs = validate(CrawlConfig(head_before_get=True))
+    assert any("head_before_get" in e for e in errs)
