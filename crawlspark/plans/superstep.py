@@ -133,7 +133,8 @@ class _Tick:
         if _TIMING:
             now = time.time()
             print(
-                f"[timing] ss={self.superstep} {phase}: {now - self.t:.2f}s",
+                f"[timing] ss={self.superstep} {phase}: {now - self.t:.2f}s"
+                f" (abs={now:.2f})",
                 flush=True,
             )
             self.t = now
@@ -856,20 +857,33 @@ class CrawlEngine:
         ):
             self.bloom.add_df(ledger_keys)
             self._bloom_synced = True
+        # pin BOTH join sides' shuffle width explicitly (repartition-by-
+        # num is AQE-coalesce-exempt and co-partitions the join, so no
+        # extra exchange): the level's slim keys compress far below the
+        # advisory partition size and AQE otherwise folds the anti-join
+        # — and every stage until the next explicit repartition — into
+        # one or two tasks.
+        n_aj = self._n_part(max(n_cand, self._ledger_rows))
         if self._bloom_synced:
             maybe, fresh = self.bloom.filter_candidates(c)
             # the ledger side is large here (that's why the Bloom is
             # on): a shuffle-hash join keeps the build distributed
             # instead of collecting ~all ledger keys to the driver for
             # a broadcast every superstep
-            maybe_new = maybe.join(
-                ledger_keys.select("url").hint("shuffle_hash"),
+            maybe_new = maybe.repartition(n_aj, F.col("url")).join(
+                ledger_keys.select("url")
+                .repartition(n_aj, F.col("url"))
+                .hint("shuffle_hash"),
                 "url",
                 "left_anti",
             )
             c = fresh.unionByName(maybe_new)
         else:
-            c = c.join(ledger_keys.select("url"), "url", "left_anti")
+            c = c.repartition(n_aj, F.col("url")).join(
+                ledger_keys.select("url").repartition(n_aj, F.col("url")),
+                "url",
+                "left_anti",
+            )
 
         c = c.withColumn("host", url_host_udf(F.col("url")))
 
@@ -1385,6 +1399,10 @@ class CrawlEngine:
                 .orderBy("seq")
                 .rowsBetween(Window.unboundedPreceding, 0)
             )
+            # pin the window's clustering width (see dup_rank below)
+            parsed = parsed.repartition(
+                self._n_part(self.queued_remaining), F.col("meta_ck")
+            )
             parsed = parsed.withColumn(
                 "meta_rank",
                 F.when(
@@ -1450,6 +1468,17 @@ class CrawlEngine:
             Window.partitionBy("checksum")
             .orderBy("seq")
             .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        # pin the window's clustering width explicitly: its exchange is
+        # AQE-coalescible and the level's slim rows compress far below
+        # the advisory partition size, so AQE folds the whole level into
+        # ONE partition — serializing the window AND everything after it
+        # (outcome ladder, link explode, candidate build) until the
+        # queue pipeline's own explicit repartition. A repartition-by-num
+        # is exempt from coalescing and already satisfies the window's
+        # clustering requirement, so this adds no extra exchange.
+        parsed = parsed.repartition(
+            self._n_part(self.queued_remaining), F.col("checksum")
         )
         parsed = parsed.withColumn(
             "dup_rank",

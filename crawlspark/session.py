@@ -58,6 +58,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the superstep plan carries hundreds of predicates/projections;
+        # constraint propagation is quadratic in them and costs ~3s of
+        # driver-side optimization PER ACTION (~2x the whole driver
+        # floor of a small crawl, measured) while enabling no useful
+        # pruning here — the heavy frames are filtered through explicit
+        # columns, not inferable constraints
+        .config("spark.sql.constraintPropagation.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
