@@ -162,7 +162,7 @@ def main(argv: list[str] | None = None) -> int:
         if name == "export":
             p.add_argument("--out", required=True)
             p.add_argument(
-                "--format", choices=("parquet", "csv", "json"), default="parquet"
+                "--format", choices=("parquet", "csv", "json", "xml"), default="parquet"
             )
     args = ap.parse_args(argv)
 
@@ -221,6 +221,7 @@ def main(argv: list[str] | None = None) -> int:
             "parquet": C.parquet_committer,
             "csv": C.csv_committer,
             "json": C.json_committer,
+            "xml": C.xml_committer,
         }[args.format]
         sink(ops, args.out)
         print(f"exported resolved documents to {args.out} ({args.format})")

@@ -148,6 +148,15 @@ class CrawlConfig:
     # mode metadata filters run before the GET (no links extracted).
     metadata_filters: tuple[tuple[str, str, str], ...] = ()
     document_filters: tuple[tuple[str, str], ...] = ()
+    # PostImportLinksStage (web/.../committer/stages/
+    # PostImportLinksStage.java:42-90; WebCrawlerConfig.java:501):
+    # queue URLs an importer stage surfaced into a matched field
+    # (here: data-post-url attributes lifted by the parse pass) at
+    # depth+1, minus the doc's regular extracted links — only for
+    # docs that reach the committer (outcome NEW/MODIFIED). The
+    # reference's postImportLinksKeep flag governs keeping the field
+    # on the committed doc — N/A for the fixed image-payload schema.
+    post_import_links: bool = False
     # within-run first-wins dedup on the metadata checksum
     # (MetadataDedupStage.java:40-70; "not 100% fool-proof" per the
     # reference — off by default there too)

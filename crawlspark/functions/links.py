@@ -216,11 +216,52 @@ PARSE_FIELDS = T.StructType(
         # DocumentFiltersStage verdict over the body (computed while
         # the html is in memory — it never leaves the parse pass)
         T.StructField("doc_filtered", T.BooleanType()),
+        # post-import link candidates (PostImportLinksStage.java:
+        # 42-90): URLs surfaced by an importer stage into a matched
+        # metadata field — here the ``data-post-url`` attribute the
+        # parse pass lifts — minus the doc's regular extracted links.
+        # Normalized, deduped, sorted (the reference iterates a
+        # HashSet, i.e. unordered; sorted is our deterministic choice).
+        T.StructField("post_links", T.ArrayType(T.StringType())),
     ]
 )
 
+# the "importer-extracted field" surface for post-import links: any
+# data-post-url attribute in the document (stands in for the
+# reference's TextMatcher over importer metadata fields —
+# WebCrawlerConfig.java:501 postImportLinks)
+_POST_URL_RE = re.compile(r'data-post-url\s*=\s*"([^"]+)"', re.IGNORECASE)
 
-def make_parse_transformer(max_depth: int, document_filters: tuple = ()):
+
+def extract_post_links(
+    base_url: str, html: str | None, extracted: list | None
+) -> list[str]:
+    """PostImportLinksStage candidate set for one document: matched
+    field values, resolved + normalized, minus the already-extracted
+    links (PostImportLinksStage.java:60-66), deduped, sorted."""
+    if not html:
+        return []
+    from .urls import normalize_url
+
+    seen: set[str] = set()
+    for lurl, _pos in extracted or []:
+        n = normalize_url(lurl)
+        if n:
+            seen.add(n)
+    out: set[str] = set()
+    for m in _POST_URL_RE.finditer(html):
+        u = resolve_href(base_url, m.group(1))
+        n = normalize_url(u) if u else None
+        if n and n not in seen:
+            out.add(n)
+    return sorted(out)
+
+
+def make_parse_transformer(
+    max_depth: int,
+    document_filters: tuple = (),
+    post_import: bool = False,
+):
     """Fused per-batch parser: html in, parse fields out, html dropped.
 
     One Arrow crossing instead of one per extractor UDF — the ~KBs/row
@@ -249,6 +290,7 @@ def make_parse_transformer(max_depth: int, document_filters: tuple = ()):
             ck = [None] * n
             links = [None] * n
             docf = [False] * n
+            post = [None] * n
             # response-header columns ride only when the fetch slot
             # provides them (pages-table join); consumed in-pass
             lh = (
@@ -289,6 +331,11 @@ def make_parse_transformer(max_depth: int, document_filters: tuple = ()):
                     and (max_depth < 0 or int(d) < max_depth)
                 ):
                     links[i] = extract_links(u, h)
+                if post_import:
+                    # committer-phase stage — runs for docs heading to
+                    # commit regardless of nofollow/depth (the engine
+                    # gates the actual enqueue on outcome NEW/MODIFIED)
+                    post[i] = extract_post_links(u, h, links[i])
             out = pdf.drop(
                 columns=[
                     c_
@@ -302,6 +349,7 @@ def make_parse_transformer(max_depth: int, document_filters: tuple = ()):
             out["checksum"] = ck
             out["links"] = pd.Series(links, dtype=object, index=out.index)
             out["doc_filtered"] = docf
+            out["post_links"] = pd.Series(post, dtype=object, index=out.index)
             yield out
 
     return parse

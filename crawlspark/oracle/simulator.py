@@ -808,6 +808,34 @@ class CrawlSimulator:
                                 "depth": e.depth,
                             }
                         )
+                        if self.cfg.post_import_links:
+                            # PostImportLinksStage.java:42-90: committer
+                            # phase — only docs that reach the committer
+                            # queue their post-import links, at depth+1,
+                            # minus the regular extracted links, sorted
+                            # (deterministic stand-in for the HashSet)
+                            from ..functions.links import (
+                                extract_post_links,
+                            )
+
+                            extracted = (
+                                extract_links(e.url, html)
+                                if not nofollow
+                                and (
+                                    self.cfg.max_depth < 0
+                                    or e.depth < self.cfg.max_depth
+                                )
+                                else []
+                            )
+                            for purl in extract_post_links(
+                                e.url, html, extracted
+                            ):
+                                if not self._in_scope(purl, e.url):
+                                    continue
+                                res.metrics["URLS_POST_IMPORTED"] += 1
+                                self._enqueue(
+                                    res, queue, purl, e.depth + 1, sched
+                                )
 
             res.fetch_log.append(
                 {

@@ -505,7 +505,9 @@ class CrawlEngine:
         parse transformer (html crosses once, then is dropped).
         """
         parse = make_parse_transformer(
-            self.cfg.max_depth, self.cfg.document_filters
+            self.cfg.max_depth,
+            self.cfg.document_filters,
+            post_import=self.cfg.post_import_links,
         )
         parse_names = {f.name for f in PARSE_FIELDS.fields}
         out_fields = [
@@ -1234,6 +1236,9 @@ class CrawlEngine:
                 F.lit(None).cast("string").alias("checksum"),
                 F.lit(None).cast(PARSE_FIELDS["links"].dataType).alias("links"),
                 F.lit(False).cast("boolean").alias("doc_filtered"),
+                F.lit(None)
+                .cast(PARSE_FIELDS["post_links"].dataType)
+                .alias("post_links"),
                 F.lit(False).alias("premature"),
                 "head_unmod",
                 "meta_ck",
@@ -1265,6 +1270,9 @@ class CrawlEngine:
                 F.col("base_ck_prem").alias("checksum"),
                 F.lit(None).cast(PARSE_FIELDS["links"].dataType).alias("links"),
                 F.lit(False).cast("boolean").alias("doc_filtered"),
+                F.lit(None)
+                .cast(PARSE_FIELDS["post_links"].dataType)
+                .alias("post_links"),
                 F.lit(True).alias("premature"),
                 F.lit(False).alias("head_unmod"),
                 base_meta_prem.alias("meta_ck"),
@@ -1313,13 +1321,13 @@ class CrawlEngine:
 
             ref_port = _res_port(F.col("url"), ref_proto)
 
-            def _in_scope(link):
+            def _in_scope_url(ucol):
                 ok = F.lit(True)
-                lp = F.lower(F.parse_url(link["url"], F.lit("PROTOCOL")))
+                lp = F.lower(F.parse_url(ucol, F.lit("PROTOCOL")))
                 if cfg.stay_on_protocol:
                     ok = ok & (lp == ref_proto)
                 if cfg.stay_on_domain:
-                    lh = F.lower(F.parse_url(link["url"], F.lit("HOST")))
+                    lh = F.lower(F.parse_url(ucol, F.lit("HOST")))
                     same = lh == ref_host
                     if cfg.include_subdomains:
                         same = same | lh.endswith(
@@ -1327,14 +1335,22 @@ class CrawlEngine:
                         )
                     ok = ok & same
                 if cfg.stay_on_port:
-                    ok = ok & (_res_port(link["url"], lp) == ref_port)
+                    ok = ok & (_res_port(ucol, lp) == ref_port)
                 if scope_sitemap:
                     # extracted links are never sitemap-listed records;
                     # on a site with a present sitemap they all drop
                     ok = ok & ~F.coalesce(F.col("__has_sm"), F.lit(False))
                 return ok
 
-            parsed = parsed.withColumn("links", F.filter("links", _in_scope))
+            parsed = parsed.withColumn(
+                "links", F.filter("links", lambda l: _in_scope_url(l["url"]))
+            )
+            if cfg.post_import_links:
+                # same UrlScopeResolver pass per post-import URL
+                # (PostImportLinksStage.java:97-106)
+                parsed = parsed.withColumn(
+                    "post_links", F.filter("post_links", _in_scope_url)
+                )
 
         is200 = F.col("http_status") == 200
         noncanon = (
@@ -1677,6 +1693,32 @@ class CrawlEngine:
             )
         )
         cand = redirects.unionByName(canonicals).unionByName(links)
+        if cfg.post_import_links:
+            # PostImportLinksStage: committer-phase queueing — only docs
+            # that reached the committer spawn these; out_pos places
+            # them after every regular link of the same parent (href
+            # positions are capped at 2048 by HtmlLinkExtractor)
+            post = (
+                parsed.filter(
+                    F.col("outcome").isin("NEW", "MODIFIED")
+                    & (F.size("post_links") > 0)
+                )
+                .select(
+                    "depth",
+                    "sched_ms",
+                    F.col("seq").alias("parent_seq"),
+                    F.posexplode("post_links").alias("pos", "raw_url"),
+                )
+                .select(
+                    "raw_url",
+                    (F.col("depth") + 1).alias("depth"),
+                    F.col("sched_ms").alias("avail_ms"),
+                    F.array().cast("array<string>").alias("trail"),
+                    "parent_seq",
+                    (F.lit(1_000_000) + F.col("pos")).alias("out_pos"),
+                )
+            )
+            cand = cand.unionByName(post)
 
         # redirect one-requeue rule (WebImporterPipelineUtil.java:
         # 103-160): a redirect target already PROCESSED with a bad
@@ -1791,6 +1833,9 @@ class CrawlEngine:
                     F.when(F.col("spoiled_del"), 1).otherwise(0)
                 ).alias("n_spoiled_del"),
                 F.max("sched_ms").alias("max_sched"),
+                F.sum(
+                    F.coalesce(F.size("post_links"), F.lit(0))
+                ).alias("n_post"),
             )
         )
         merged = agg_df.withColumn("__src", F.lit("agg")).unionByName(
@@ -1815,7 +1860,12 @@ class CrawlEngine:
         redirect_loops = sum(
             r["n_loops"] for r in agg_rows if r["outcome"] == "REDIRECT"
         )
-        n_cand = int(n_links)
+        n_post = sum(
+            int(r["n_post"])
+            for r in agg_rows
+            if r["outcome"] in ("NEW", "MODIFIED")
+        )
+        n_cand = int(n_links) + n_post
         for r in agg_rows:
             if r["outcome"] == "REDIRECT":
                 n_cand += int(r["n_redir_enq"])
@@ -1867,6 +1917,7 @@ class CrawlEngine:
                 "REJECTED_REDIRECT_LOOP": redirect_loops,
                 "URLS_EXTRACTED": int(n_links_all or 0),
                 "URLS_OUT_OF_SCOPE": int((n_links_all or 0) - (n_links or 0)),
+                "URLS_POST_IMPORTED": n_post,
             }
         )
 

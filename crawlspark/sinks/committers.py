@@ -88,6 +88,20 @@ def json_committer(ops: DataFrame, path: str) -> None:
     resolved.write.mode("overwrite").json(path)
 
 
+def xml_committer(ops: DataFrame, path: str) -> None:
+    """XmlFileCommitter analog (committer/core/.../fs/impl/
+    XmlFileCommitter.java): resolved state as XML documents via
+    Spark's native XML writer (one well-formed ``<docs>`` file per
+    partition — the reference likewise splits batches across numbered
+    files). Binary inline-base64 like the JSON committer."""
+    resolved = resolve_operations(ops).withColumn(
+        "bytes_b64", F.base64(F.col("bytes"))
+    ).drop("bytes")
+    resolved.write.mode("overwrite").format("xml").option(
+        "rootTag", "docs"
+    ).option("rowTag", "doc").save(path)
+
+
 def parquet_committer(ops: DataFrame, path: str) -> None:
     """Columnar sink: resolved state as parquet (the Iceberg table
     slot — swap for ``resolved.writeTo(table)`` with a catalog)."""

@@ -86,6 +86,11 @@ class SiteParams:
     # noindex,nofollow)
     header_canonical_pct: float = 0.0
     x_robots_pct: float = 0.0
+    # fraction of pages carrying data-post-url attributes (the
+    # post-import-links field surface): one skip-level target plus a
+    # duplicate of the first child href (exercising the stage's
+    # already-extracted subtraction)
+    post_pct: float = 0.0
 
     def host(self, h: int) -> str:
         return f"site{h:04d}.example.test"
@@ -165,6 +170,17 @@ def _own_html(p: SiteParams, h: int, d: int, i: int) -> str:
         body.append(f'<a href="{p.base(h)}/">home</a>')
     if p.n_hosts > 1 and _rng(p.seed, h, d, i, "cross") < p.cross_pct:
         body.append(f'<a href="{p.base((h + 1) % p.n_hosts)}/">x</a>')
+    if _rng(p.seed, h, d, i, "post") < p.post_pct:
+        pd_ = min(p.depth, d + 2)
+        pi = (i * p.branching * p.branching + 1) % p.n_at_depth(pd_)
+        body.append(
+            f'<span data-post-url="{page_url(p, h, pd_, pi)}">p</span>'
+        )
+        if d < p.depth:
+            # duplicate of the first child href — must be subtracted
+            body.append(
+                f'<span data-post-url="{_linked_url(p, h, d + 1, i * p.branching)}">q</span>'
+            )
     return f"<html><head>{''.join(head)}</head><body>{''.join(body)}</body></html>"
 
 

@@ -178,3 +178,15 @@ def test_config_validate_fields():
     # HEAD pass with nothing to run in it is a config error
     errs = validate(CrawlConfig(head_before_get=True))
     assert any("head_before_get" in e for e in errs)
+
+
+def test_xml_committer(ops, spark, tmp_path):
+    """XmlFileCommitter analog via Spark's native XML source."""
+    C.xml_committer(ops, str(tmp_path / "xml"))
+    back = (
+        spark.read.format("xml").option("rowTag", "doc")
+        .load(str(tmp_path / "xml"))
+    )
+    assert back.count() == 2
+    assert {r["image_id"] for r in back.collect()} == {"b", "c"}
+    assert "bytes_b64" in back.columns
