@@ -881,11 +881,11 @@ class CrawlEngine:
             )
             c = fresh.unionByName(maybe_new)
         else:
-            c = c.repartition(n_aj, F.col("url")).join(
-                ledger_keys.select("url").repartition(n_aj, F.col("url")),
-                "url",
-                "left_anti",
-            )
+            # small-ledger regime: the ledger side fits the broadcast
+            # threshold, so the anti-join is exchange-free — do NOT pin
+            # widths here (a repartition would force two shuffles onto
+            # a join Catalyst turns into a broadcast)
+            c = c.join(ledger_keys.select("url"), "url", "left_anti")
 
         c = c.withColumn("host", url_host_udf(F.col("url")))
 
