@@ -193,6 +193,12 @@ def q_doc_fingerprints(spark, sf_dir):
     )
 
 
+def q_rolling_fingerprints(spark, sf_dir):
+    """Rabin-Karp rolling-hash fingerprint + winnowing minimum
+    (order-sensitive doc hash; min 3-gram window hash)."""
+    return X.rolling_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 def q_exact_dup_groups(spark, sf_dir):
     """documents has no exact-duplicate texts at test SFs (r1's green
     was vacuous: 0 == 0 rows); deterministically inject duplicates of
@@ -346,6 +352,25 @@ def q_lsh_ann(spark, sf_dir):
     return S.lsh_ann(_t(spark, sf_dir, "embeddings"))
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via LSH buckets (the scale
+    shape: bucket equi-join, cosine only within buckets). embeddings
+    has no natural near-dups at test SFs, so inject scalar-multiple
+    copies of the first 10 vectors (direction-preserving => same LSH
+    bucket by construction, cosine ~= 1.0) under shifted ids; the
+    oracle injects identically."""
+    e = _t(spark, sf_dir, "embeddings")
+    injected = e.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x * F.lit(1.5)).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    both = e.select("vec_id", "embedding", "label").unionByName(injected)
+    return S.embedding_neardup_pairs(both, threshold=0.9)
+
+
 def q_lsh_bucket_stats(spark, sf_dir):
     return S.lsh_bucket_stats(_t(spark, sf_dir, "embeddings")).select(
         "lsh_sig",
@@ -415,6 +440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_frontier_seq": q_frontier_seq,
         "q_orphan_outcomes": q_orphan_outcomes,
         "q_doc_fingerprints": q_doc_fingerprints,
+        "q_rolling_fingerprints": q_rolling_fingerprints,
         "q_exact_dup_groups": q_exact_dup_groups,
         "q_token_stats": q_token_stats,
         "q_quality_scores": q_quality_scores,
@@ -427,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_delta": q_incremental_delta,
         "q_recrawl_due": q_recrawl_due,
         "q_lsh_ann": q_lsh_ann,
+        "q_embedding_neardup": q_embedding_neardup,
         "q_lsh_bucket_stats": q_lsh_bucket_stats,
         "q_image_payload": q_image_payload,
         "q_crawl_microsite": q_crawl_microsite,
@@ -583,6 +610,26 @@ SELECT doc_id,
        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
        len({w})::BIGINT AS n_tokens
 FROM documents
+""",
+        # identical fold/seed order as textops.rolling_fingerprints:
+        # seed = th[1] raw, merge (acc*31 + h) % 1e9+7; windows are
+        # (th[i]*961 + th[i+1]*31 + th[i+2]) % 1e9+7 for i in 1..n-2
+        "q_rolling_fingerprints": f"""
+WITH th AS (
+  SELECT doc_id,
+         list_transform({_WORDS.format(t='text')},
+                        t -> {_H32.format(x='t')}) AS h
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN len(h) = 0 THEN 0
+            ELSE list_reduce(h, (acc, x) -> (acc * 31 + x) % 1000000007)
+       END AS doc_rh,
+       CASE WHEN len(h) >= 3 THEN
+         list_min(list_transform(range(1, len(h) - 1),
+           i -> (h[i] * 961 + h[i + 1] * 31 + h[i + 2]) % 1000000007))
+       END AS min_wh,
+       greatest(len(h) - 2, 0)::BIGINT AS n_windows
+FROM th
 """,
         "q_exact_dup_groups": """
 WITH docs2 AS (
@@ -756,6 +803,22 @@ ranked AS (
   FROM scored)
 SELECT query_id, neighbor_id, round(c, 6) AS cos
 FROM ranked WHERE rk <= 3
+""",
+        "q_embedding_neardup": f"""
+WITH unioned AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(embedding, x -> (x * 1.5)::FLOAT)
+  FROM embeddings WHERE vec_id < 10),
+sigs AS (
+  SELECT vec_id, embedding, {_lsh_sig_expr(8)} AS lsh_sig FROM unioned),
+pairs AS (
+  SELECT l.vec_id AS a, r.vec_id AS b,
+         {_cos_fold('l.embedding', 'r.embedding')} AS c
+  FROM sigs l JOIN sigs r USING (lsh_sig)
+  WHERE l.vec_id < r.vec_id)
+SELECT a, b, round(c, 6) AS cos FROM pairs WHERE c >= 0.9
 """,
         "q_lsh_bucket_stats": f"""
 SELECT {_lsh_sig_expr(8)} AS lsh_sig,

@@ -65,6 +65,48 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
+RH_BASE = 31
+RH_MOD = 1_000_000_007
+RH_K = 3
+
+
+def rolling_fingerprints(docs: DataFrame) -> DataFrame:
+    """Rabin-Karp rolling-hash document fingerprint (winnowing-style).
+
+    Per doc: a polynomial hash of the whole token stream
+    (``doc_rh`` — order-sensitive, unlike a bag-of-words hash) and
+    the MINIMUM ``RH_K``-gram window hash (``min_wh`` — the
+    winnowing representative two near-identical docs share with high
+    probability even after edits outside the minimizing window).
+    All JVM-side array expressions: one projection, no shuffle, no
+    Python — the per-row cost a 100 TB pass can afford.
+    """
+    th = F.transform(words_col(F.col("text")), lambda t: str_hash32(t))
+    n = F.size(th)
+    doc_rh = F.when(n == 0, F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            F.slice(th, 2, F.greatest(n - 1, F.lit(0))),
+            F.element_at(th, 1),
+            lambda acc, h: (acc * RH_BASE + h) % RH_MOD,
+        )
+    )
+    wins = F.transform(
+        F.sequence(F.lit(1), n - (RH_K - 1)),
+        lambda i: (
+            F.element_at(th, i) * (RH_BASE**2)
+            + F.element_at(th, i + 1) * RH_BASE
+            + F.element_at(th, i + 2)
+        )
+        % RH_MOD,
+    )
+    return docs.select(
+        "doc_id",
+        doc_rh.alias("doc_rh"),
+        F.when(n >= RH_K, F.array_min(wins)).alias("min_wh"),
+        F.greatest(n - (RH_K - 1), F.lit(0)).cast("long").alias("n_windows"),
+    )
+
+
 def exact_dup_groups(docs: DataFrame) -> DataFrame:
     """Duplicate-content groups, first doc_id wins
     (DedupService.java:88-99 first-reference-wins, deterministic)."""

@@ -408,7 +408,14 @@ class CrawlEngine:
         self._parallelism = spark.sparkContext.defaultParallelism
 
     def _n_part(self, rows: int) -> int:
-        return max(1, min(self._parallelism, rows // ROWS_PER_TASK + 1))
+        # cap at 4x the core count, not 1x: the write/UDF-heavy stages
+        # (image synthesis) otherwise run as one wave of core-count fat
+        # tasks that cannot pack around concurrent jobs — a straggling
+        # wave leaves cores idle for its whole tail. 4x keeps tasks
+        # ~2500 rows (tens of ms for slim stages, ~2s for image tasks)
+        # while letting the scheduler interleave the write-behind
+        # commits with the next superstep's jobs.
+        return max(1, min(4 * self._parallelism, rows // ROWS_PER_TASK + 1))
 
     def _set_shuffle(self, rows: int) -> None:
         """Size upcoming shuffles to the data, not the cluster."""
