@@ -1599,7 +1599,22 @@ class CrawlEngine:
             F.when(
                 meta_stage_ok | F.col("premature"), F.col("meta_ck")
             ),
-        ).cache()
+        )
+        # Materialize the level NOW as a flat LogicalRDD plan rather
+        # than a .cache(): every downstream action this superstep (seq
+        # sampling + counts, the merged metrics collect, the mem-state
+        # checkpoints, the write-behind level/documents jobs) would
+        # otherwise re-run Catalyst analysis+optimization over the full
+        # superstep mega-plan (politeness, meta band, fetch+parse UDF,
+        # scope filters, two dedup windows, registry joins — hundreds
+        # of expressions), a fixed multi-second driver cost PER ACTION
+        # that dominates small levels and serializes the whole crawl
+        # (measured: ~87 s serial floor at 6 supersteps, the scaling-
+        # efficiency killer). The checkpoint runs the identical compute
+        # as the first cache-filling action did, but leaves ~10 later
+        # actions optimizing a one-node plan. Same pattern the frontier
+        # and ledger hand-offs already use.
+        parsed = parsed.localCheckpoint(eager=True)
 
         # ---- outputs of this level ----
         processed = parsed.select(
