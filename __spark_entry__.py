@@ -246,6 +246,10 @@ def q_simhash(spark, sf_dir):
     return X.simhash(_t(spark, sf_dir, "documents"))
 
 
+def q_simhash_dup_pairs(spark, sf_dir):
+    return X.simhash_dup_pairs(_t(spark, sf_dir, "documents"))
+
+
 def q_jaccard_next(spark, sf_dir):
     return X.consecutive_jaccard(_t(spark, sf_dir, "documents"))
 
@@ -448,6 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_signatures": q_minhash_signatures,
         "q_minhash_dup_pairs": q_minhash_dup_pairs,
         "q_simhash": q_simhash,
+        "q_simhash_dup_pairs": q_simhash_dup_pairs,
         "q_jaccard_next": q_jaccard_next,
         "q_cosine_topk": q_cosine_topk,
         "q_incremental_delta": q_incremental_delta,
@@ -522,6 +527,33 @@ WITH tok AS (
   SELECT doc_id, unnest({w}) AS t FROM documents
 ), hx AS (SELECT doc_id, {_H32.format(x='t')} AS h FROM tok)
 SELECT doc_id, {bit_terms} AS simhash FROM hx GROUP BY doc_id
+"""
+
+
+def _simhash_dup_pairs_sql(max_dist: int = 3) -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN sum(((h >> {j}) & 1) * 2 - 1) > 0 "
+        f"THEN {1 << j}::BIGINT ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    w = _WORDS.format(t="text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({w}) AS t FROM documents
+), hx AS (SELECT doc_id, {_H32.format(x='t')} AS h FROM tok),
+sh AS (SELECT doc_id, {bit_terms} AS simhash FROM hx GROUP BY doc_id),
+bk AS (
+  SELECT doc_id, simhash, band,
+         (simhash >> (8 * band)) & 255 AS bucket
+  FROM sh, (SELECT unnest(range(4)) AS band)
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+  FROM bk x JOIN bk y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+)
+SELECT a, b, hamming FROM pairs WHERE hamming <= {max_dist}
 """
 
 
@@ -692,6 +724,7 @@ est AS (
 SELECT a, b, round(ej, 4) AS est_jaccard FROM est WHERE ej >= 0.5
 """,
         "q_simhash": _simhash_sql(),
+        "q_simhash_dup_pairs": _simhash_dup_pairs_sql(),
         "q_jaccard_next": f"""
 WITH ws AS (SELECT doc_id, list_distinct({w}) AS s FROM documents)
 SELECT a.doc_id,

@@ -24,12 +24,24 @@ so a reference user can find each handler by name.
 | LanguageTransformer          | operators.textops.langid  |
 | UuidTransformer              | uuid_deterministic        |
 | CurrentDate/DateFormat       | date_format_col           |
-| ConstantTransformer          | F.lit (trivial)           |
-| Rename/Copy/Delete/KeepOnly  | DataFrame select/alias    |
+| ConstantTransformer          | meta_set / F.lit          |
+| CopyTransformer              | meta_copy                 |
+| RenameTransformer            | meta_rename               |
+| DeleteTransformer            | meta_delete               |
+| KeepOnlyTransformer          | meta_keep_only            |
+| MergeTransformer             | meta_merge                |
+| ForceSingleValueTransformer  | meta_force_single         |
+| HierarchyTransformer         | meta_hierarchy            |
 | TextStatisticsTransformer    | text_statistics           |
 | UrlExtractorTransformer      | extract_urls              |
-| Splitters (Csv/Dom/Xml)      | split_explode             |
+| Splitters (Csv/Dom/Xml)      | split_explode, split_csv  |
 | Conditions (Blank/Numeric/…) | cond_* boolean Columns    |
+
+Metadata model: the reference's ``Properties`` is a multi-valued
+string map (importer/.../doc/Doc.java:47-75) — here a
+``map<string, array<string>>`` Column. The ``meta_*`` family below
+operates on that column with JVM-side map functions (map_concat,
+map_filter, transform_keys) — no Python, fully codegen'd.
 """
 
 from __future__ import annotations
@@ -165,6 +177,112 @@ def split_explode(df, col, pattern: str, out_col: str = "part"):
 
 
 # -- conditions (handler/condition/impl) ---------------------------------------
+
+# -- metadata (Properties) map ops -------------------------------------------
+# meta: map<string, array<string>> — the Doc.metadata model
+# (importer/.../doc/Doc.java:47-75; multi-valued string map).
+
+def meta_set(meta, field: str, *values) -> Column:
+    """ConstantTransformer: set ``field`` to literal values
+    (overwrites — onSet REPLACE, the reference default)."""
+    vals = F.array(*[F.lit(str(v)) for v in values])
+    return F.map_concat(
+        F.map_filter(meta, lambda k, _: k != F.lit(field)),
+        F.create_map(F.lit(field), vals),
+    )
+
+
+def meta_copy(meta, src: str, dst: str) -> Column:
+    """CopyTransformer: duplicate ``src``'s values under ``dst``
+    (no-op when ``src`` is absent)."""
+    return F.when(
+        meta.getItem(src).isNotNull(),
+        F.map_concat(
+            F.map_filter(meta, lambda k, _: k != F.lit(dst)),
+            F.create_map(F.lit(dst), meta.getItem(src)),
+        ),
+    ).otherwise(meta)
+
+
+def meta_rename(meta, src: str, dst: str) -> Column:
+    """RenameTransformer: move ``src`` to ``dst``."""
+    return F.transform_keys(
+        meta, lambda k, _: F.when(k == F.lit(src), F.lit(dst)).otherwise(k)
+    )
+
+
+def meta_delete(meta, *fields: str) -> Column:
+    """DeleteTransformer: drop the named fields."""
+    arr = F.array(*[F.lit(f) for f in fields])
+    return F.map_filter(meta, lambda k, _: ~F.array_contains(arr, k))
+
+
+def meta_keep_only(meta, *fields: str) -> Column:
+    """KeepOnlyTransformer: keep just the named fields."""
+    arr = F.array(*[F.lit(f) for f in fields])
+    return F.map_filter(meta, lambda k, _: F.array_contains(arr, k))
+
+
+def meta_merge(meta, dst: str, *srcs: str) -> Column:
+    """MergeTransformer: concatenate the values of ``srcs`` (in the
+    given order, absent fields skipped) into ``dst``."""
+    merged = F.flatten(
+        F.filter(
+            F.array(*[meta.getItem(s) for s in srcs]),
+            lambda a: a.isNotNull(),
+        )
+    )
+    return F.map_concat(
+        F.map_filter(meta, lambda k, _: k != F.lit(dst)),
+        F.create_map(F.lit(dst), merged),
+    )
+
+
+def meta_force_single(meta, field: str) -> Column:
+    """ForceSingleValueTransformer: keep only the first value of
+    ``field`` (reference default action: keepFirst)."""
+    return F.when(
+        F.size(F.coalesce(meta.getItem(field), F.array())) > 1,
+        F.map_concat(
+            F.map_filter(meta, lambda k, _: k != F.lit(field)),
+            F.create_map(
+                F.lit(field), F.slice(meta.getItem(field), 1, 1)
+            ),
+        ),
+    ).otherwise(meta)
+
+
+def meta_hierarchy(meta, src: str, dst: str, sep: str = "/") -> Column:
+    """HierarchyTransformer: from a ``sep``-separated path value,
+    write every ancestor prefix path as a value of ``dst`` (e.g.
+    "/a/b/c" -> ["/a", "/a/b", "/a/b/c"])."""
+    first = F.coalesce(
+        meta.getItem(src).getItem(0), F.lit(None).cast("string")
+    )
+    segs = F.filter(F.split(first, sep), lambda s: s != F.lit(""))
+    prefixes = F.transform(
+        segs,
+        lambda _, i: F.concat(
+            F.lit(sep),
+            F.array_join(F.slice(segs, 1, i + F.lit(1)), sep),
+        ),
+    )
+    return F.when(
+        first.isNotNull(),
+        F.map_concat(
+            F.map_filter(meta, lambda k, _: k != F.lit(dst)),
+            F.create_map(F.lit(dst), prefixes),
+        ),
+    ).otherwise(meta)
+
+
+def split_csv(df, col, delim: str = ",", out_col: str = "cell"):
+    """CsvSplitter: one child row per delimited cell with its position
+    (importer/.../splitter/impl/CsvSplitter.java analog)."""
+    return df.select(
+        "*", F.posexplode(F.split(F.col(col), delim)).alias("pos", out_col)
+    )
+
 
 def cond_blank(col) -> Column:
     c = F.col(col) if isinstance(col, str) else col

@@ -325,6 +325,65 @@ def simhash(docs: DataFrame) -> DataFrame:
     return agg.select("doc_id", val.alias("simhash"))
 
 
+def simhash_dup_pairs(docs: DataFrame, max_dist: int = 3) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance <= ``max_dist``:
+    (a, b, hamming), a < b.
+
+    Banded LSH on the 32-bit signature: 4 disjoint 8-bit bands; any
+    pair within Hamming distance 3 differs in at most 3 bands, so by
+    pigeonhole it shares at least one band byte — the candidate join
+    is a band+bucket equi-join (AQE-skew-safe), never an all-pairs
+    product, and the exact Hamming check is one row-local
+    bit_count(xor) on the joined pair. Scale caveat (same as the
+    MinHash pair join): a degenerate bucket (e.g. thousands of empty
+    docs hashing to simhash 0) pairs quadratically — cap bucket sizes
+    upstream when the corpus has mass-duplicate payloads."""
+    n_bands = 4
+    width = SIMHASH_BITS // n_bands
+    mask = (1 << width) - 1
+    sh = simhash(docs)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("bucket"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    buckets = sh.select(
+        "doc_id", "simhash", F.explode(bands).alias("bb")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    x = buckets.alias("x")
+    y = buckets.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_dist)
+    )
+
+
 def consecutive_jaccard(docs: DataFrame) -> DataFrame:
     """Exact n-gram (word-set) Jaccard between doc i and doc i+1 —
     the exact-verify companion to the MinHash estimate."""

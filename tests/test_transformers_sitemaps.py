@@ -123,3 +123,57 @@ def test_sitemap_locations():
         "http://a.b/sitemap.xml",
         "http://a.b/sitemap_index.xml",
     ]
+
+
+def test_meta_map_ops(spark):
+    meta_df = spark.createDataFrame(
+        [
+            (1, {"title": ["T1", "T2"], "path": ["/a/b/c"]}),
+            (2, {"author": ["x"]}),
+        ],
+        schema="id int, meta map<string, array<string>>",
+    )
+    m = F.col("meta")
+    out = (
+        meta_df.select(
+            "id",
+            "meta",
+            TR.meta_set(m, "lang", "en").alias("m_set"),
+            TR.meta_copy(m, "title", "headline").alias("m_copy"),
+            TR.meta_rename(m, "title", "name").alias("m_ren"),
+            TR.meta_delete(m, "title").alias("m_del"),
+            TR.meta_keep_only(m, "title").alias("m_keep"),
+            TR.meta_merge(m, "all", "title", "author").alias("m_merge"),
+            TR.meta_force_single(m, "title").alias("m_single"),
+            TR.meta_hierarchy(m, "path", "crumbs").alias("m_hier"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    r1, r2 = out
+    assert r1["m_set"]["lang"] == ["en"]
+    assert r1["m_copy"]["headline"] == ["T1", "T2"]
+    assert r1["m_copy"]["title"] == ["T1", "T2"]
+    assert "headline" not in r2["m_copy"]  # src absent -> no-op
+    assert r1["m_ren"]["name"] == ["T1", "T2"] and "title" not in r1["m_ren"]
+    assert "title" not in r1["m_del"] and "path" in r1["m_del"]
+    assert set(r1["m_keep"].keys()) == {"title"}
+    assert set(r2["m_keep"].keys()) == set()
+    assert r1["m_merge"]["all"] == ["T1", "T2"]  # author absent in row 1
+    assert r2["m_merge"]["all"] == ["x"]
+    assert r1["m_single"]["title"] == ["T1"]
+    assert r2["m_single"] == r2["meta"]  # single-valued field untouched
+    assert r1["m_hier"]["crumbs"] == ["/a", "/a/b", "/a/b/c"]
+    assert "crumbs" not in r2["m_hier"]  # path absent -> no-op
+
+
+def test_split_csv(spark):
+    df2 = spark.createDataFrame(
+        [(1, "a,b,c")], schema="id int, row string"
+    )
+    cells = TR.split_csv(df2, "row").collect()
+    assert [(r["pos"], r["cell"]) for r in cells] == [
+        (0, "a"),
+        (1, "b"),
+        (2, "c"),
+    ]
