@@ -356,6 +356,12 @@ def q_lsh_ann(spark, sf_dir):
     return S.lsh_ann(_t(spark, sf_dir, "embeddings"))
 
 
+def q_ann_recall(spark, sf_dir):
+    """Recall@k of the LSH-bucketed ANN vs exact brute-force top-k —
+    the quality measurement that justifies the bucketed scale path."""
+    return S.ann_recall(_t(spark, sf_dir, "embeddings"))
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs via LSH buckets (the scale
     shape: bucket equi-join, cosine only within buckets). embeddings
@@ -458,6 +464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_delta": q_incremental_delta,
         "q_recrawl_due": q_recrawl_due,
         "q_lsh_ann": q_lsh_ann,
+        "q_ann_recall": q_ann_recall,
         "q_embedding_neardup": q_embedding_neardup,
         "q_lsh_bucket_stats": q_lsh_bucket_stats,
         "q_image_payload": q_image_payload,
@@ -836,6 +843,42 @@ ranked AS (
   FROM scored)
 SELECT query_id, neighbor_id, round(c, 6) AS cos
 FROM ranked WHERE rk <= 3
+""",
+        "q_ann_recall": f"""
+WITH q0 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE vec_id < 5),
+ex_scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         {_cos_fold('qv', 'e.embedding')} AS c
+  FROM q0, embeddings e WHERE e.vec_id != query_id),
+ex_ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, neighbor_id) AS rk
+  FROM ex_scored),
+exact AS (SELECT query_id, neighbor_id FROM ex_ranked WHERE rk <= 3),
+sigs AS (
+  SELECT vec_id, embedding, {_lsh_sig_expr(8)} AS lsh_sig FROM embeddings),
+q1 AS (SELECT vec_id AS query_id, embedding AS qv, lsh_sig
+       FROM sigs WHERE vec_id < 5),
+ap_scored AS (
+  SELECT query_id, s.vec_id AS neighbor_id,
+         {_cos_fold('qv', 's.embedding')} AS c
+  FROM q1 JOIN sigs s USING (lsh_sig) WHERE s.vec_id != query_id),
+ap_ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, neighbor_id) AS rk
+  FROM ap_scored),
+approx AS (SELECT query_id, neighbor_id FROM ap_ranked WHERE rk <= 3),
+hits AS (
+  SELECT e.query_id, count(*) AS n
+  FROM exact e JOIN approx a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.query_id)
+SELECT q.query_id, round(coalesce(h.n, 0) / 3.0, 4) AS recall
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN hits h ON q.query_id = h.query_id
 """,
         "q_embedding_neardup": f"""
 WITH unioned AS (
