@@ -39,19 +39,53 @@ def _build_cfg(args):
     )
 
 
+def _parse_site(spec: str):
+    """--site SEED:HOSTS:DEPTH:BRANCH[:FLAKY_PCT] -> SiteParams."""
+    from .sources.webgen import SiteParams
+
+    parts = spec.split(":")
+    seed, hosts, depth, branch = (int(x) for x in parts[:4])
+    flaky = float(parts[4]) if len(parts) > 4 else 0.0
+    return SiteParams(
+        seed=seed,
+        n_hosts=hosts,
+        depth=depth,
+        branching=branch,
+        flaky_pct=flaky,
+        n_seed_hosts=hosts,
+    )
+
+
 def _engine(spark, args, resume: bool):
     from .plans.superstep import CrawlEngine
 
-    pages = spark.read.parquet(args.pages) if args.pages else None
-    robots = (
-        spark.read.parquet(args.robots)
-        if args.robots
-        else spark.createDataFrame([], "host string, body string")
-    )
     cfg = _build_cfg(args)
+    fetcher = None
+    if getattr(args, "site", None):
+        # synthetic-site mode: the fetch slot is webgen's generator
+        # fetcher (real-HTTP mapInPandas shape), which honors
+        # cfg.fetch_retries for transient 503s (MultiFetcher.java:94-138)
+        from .sources.webgen import make_fetcher, robots_body
+
+        p = _parse_site(args.site)
+        pages = None
+        robots = spark.createDataFrame(
+            [(p.host(h), robots_body(p, h)) for h in range(p.n_hosts)],
+            schema="host string, body string",
+        )
+        fetcher = make_fetcher(p, retries=cfg.fetch_retries)
+    else:
+        pages = spark.read.parquet(args.pages) if args.pages else None
+        robots = (
+            spark.read.parquet(args.robots)
+            if args.robots
+            else spark.createDataFrame([], "host string, body string")
+        )
     if resume:
-        return CrawlEngine.resume(spark, args.workdir, cfg, pages, robots)
-    return CrawlEngine(spark, args.workdir, cfg, pages, robots)
+        return CrawlEngine.resume(
+            spark, args.workdir, cfg, pages, robots, fetcher=fetcher
+        )
+    return CrawlEngine(spark, args.workdir, cfg, pages, robots, fetcher=fetcher)
 
 
 def _read_seeds(args) -> list[str]:
@@ -148,6 +182,11 @@ def main(argv: list[str] | None = None) -> int:
         p = sub.add_parser(name)
         p.add_argument("--workdir", required=True)
         p.add_argument("--pages", help="parquet fixture web (fetch join)")
+        p.add_argument(
+            "--site",
+            help="synthetic site SEED:HOSTS:DEPTH:BRANCH[:FLAKY_PCT] — "
+            "generator fetcher mode; honors --retries",
+        )
         p.add_argument("--robots", help="parquet (host, body)")
         p.add_argument("--seeds", help="text file, one URL per line")
         p.add_argument("--seed", action="append")
@@ -178,13 +217,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "storeimport":
         return _copy_store(args.src, args.workdir, "storeimport")
 
-    if getattr(args, "retries", 0):
+    if getattr(args, "retries", 0) and not getattr(args, "site", None):
         # retries live in the fetch slot (webgen.make_fetcher /
-        # MultiFetcher.java:94-138); the CLI only drives the pages-table
-        # join path, which has no transient failures to retry.
+        # MultiFetcher.java:94-138); the pages-table join path has no
+        # transient failures to retry — use --site for fetcher mode.
         print(
-            "warning: --retries only applies when a fetcher is "
-            "supplied programmatically; the --pages join path ignores it",
+            "warning: --retries only applies in --site (fetcher) mode "
+            "or when a fetcher is supplied programmatically; the "
+            "--pages join path ignores it",
             file=sys.stderr,
         )
 
@@ -193,7 +233,12 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(f"crawlspark-{args.cmd}", cores=args.cores)
     if args.cmd == "crawl":
         eng = _engine(spark, args, resume=False)
-        eng.bootstrap(_read_seeds(args))
+        seeds = _read_seeds(args)
+        if not seeds and getattr(args, "site", None):
+            from .sources.webgen import seed_rows
+
+            seeds = [r["url"] for r in seed_rows(_parse_site(args.site))]
+        eng.bootstrap(seeds)
         stats = eng.run()
         print(
             f"crawl done: {sum(s.fetched for s in stats)} fetched, "

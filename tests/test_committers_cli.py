@@ -2,6 +2,8 @@
 log folds to final state (last op per key wins, deletes drop keys),
 file committers round-trip, and the spark-submit CLI crawls/exports."""
 
+import re
+
 import pandas as pd
 import pytest
 
@@ -190,3 +192,50 @@ def test_xml_committer(ops, spark, tmp_path):
     assert back.count() == 2
     assert {r["image_id"] for r in back.collect()} == {"b", "c"}
     assert "bytes_b64" in back.columns
+
+
+def test_cli_site_mode_retries(spark, tmp_path, capsys):
+    """--site fetcher mode: flaky pages 503 on first attempt; with
+    --retries 1 every page commits (MultiFetcher.java:94-138 analog),
+    and no join-path warning is printed."""
+    from crawlspark.cli import main
+
+    rc = main(
+        [
+            "crawl",
+            "--workdir", str(tmp_path / "run_site"),
+            "--site", "5:2:1:3:0.5",
+            "--max-depth", "1",
+            "--delay-ms", "10",
+            "--retries", "1",
+        ]
+    )
+    out = capsys.readouterr()
+    assert rc == 0
+    assert "crawl done" in out.out
+    assert "--retries only applies" not in out.err
+    # every fetched page commits: the flaky 503s succeeded on retry
+    m = re.search(r"(\d+) fetched, (\d+) committed", out.out)
+    fetched, committed = int(m.group(1)), int(m.group(2))
+    assert fetched == committed > 0
+
+
+def test_cli_site_mode_no_retries_fails_flaky(spark, tmp_path, capsys):
+    """Same site without retries: flaky pages stay BAD_STATUS, so
+    fewer documents commit than fetch."""
+    from crawlspark.cli import main
+
+    rc = main(
+        [
+            "crawl",
+            "--workdir", str(tmp_path / "run_site2"),
+            "--site", "5:2:1:3:0.5",
+            "--max-depth", "1",
+            "--delay-ms", "10",
+        ]
+    )
+    out = capsys.readouterr()
+    assert rc == 0
+    m = re.search(r"(\d+) fetched, (\d+) committed", out.out)
+    fetched, committed = int(m.group(1)), int(m.group(2))
+    assert committed < fetched
