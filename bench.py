@@ -166,6 +166,15 @@ def run_scaling() -> None:
         for x in os.environ.get("BENCH_SCALING_LEVELS", "2,8").split(",")
     ]
     trials = int(os.environ.get("BENCH_SCALING_TRIALS", "3"))
+    # trials accumulate in BENCH/trials.json across invocations (the
+    # doc reports ALL of them; best-of-N per level is the floor
+    # estimator) — so a killed sweep loses nothing and extra trials
+    # can be added later without rerunning the whole protocol.
+    hist_path = "BENCH/trials.json"
+    hist: list[dict] = []
+    if os.path.exists(hist_path):
+        with open(hist_path) as f:
+            hist = json.load(f)
     # wide and shallow: big BFS levels amortize per-superstep fixed
     # costs and give every core real work — the shape a production
     # frontier has (millions of URLs per level), scaled down. The
@@ -177,8 +186,18 @@ def run_scaling() -> None:
     os.environ.setdefault("BENCH_DEPTH", "2")
     os.environ.setdefault("BENCH_BRANCH", "35")
     os.environ.setdefault("BENCH_IMG", "48")
+    site_key = {
+        k: os.environ[k]
+        for k in ("BENCH_HOSTS", "BENCH_DEPTH", "BENCH_BRANCH", "BENCH_IMG")
+    }
+    hist = [r for r in hist if r.get("site") == site_key]
     bw = _bandwidth_probe()
-    runs: dict[int, list[dict]] = {n: [] for n in levels}
+
+    def runs_by_level() -> dict[int, list[dict]]:
+        return {
+            n: [r for r in hist if r["level"] == n] for n in levels
+        }
+
     for t in range(trials):
         for n in levels:
             env = dict(os.environ)
@@ -198,20 +217,36 @@ def run_scaling() -> None:
                 l for l in out.stdout.splitlines() if l.startswith("{")
             ][-1]
             res = json.loads(line)
-            runs[n].append(res)
+            res["level"] = n
+            res["site"] = site_key
+            hist.append(res)
+            with open(hist_path, "w") as f:
+                json.dump(hist, f, indent=1)
             print(
                 f"trial {t + 1}/{trials} local[{n}]: "
                 f"{res['crawl_seconds']}s {res['frontier_urls_per_sec']} urls/s"
             )
+            _write_scaling_doc(levels, runs_by_level(), bw)
+    _write_scaling_doc(levels, runs_by_level(), bw)
+
+
+def _write_scaling_doc(
+    levels: list[int], runs: dict[int, list[dict]], bw: dict
+) -> None:
     best = {
         n: max(rs, key=lambda r: r["frontier_urls_per_sec"])
         for n, rs in runs.items()
+        if rs
     }
+    if len(best) < len(levels):
+        return  # need at least one trial per level
+    n_trials = {n: len(runs[n]) for n in levels}
     lo, hi = min(levels), max(levels)
     tlo = best[lo]["frontier_urls_per_sec"]
     thi = best[hi]["frontier_urls_per_sec"]
     eff = thi / (tlo * (hi / lo))
     any_run = best[lo]
+    site = any_run["site"]
     bw_rows = "\n".join(
         f"| {n} procs | {gbs} GB/s |" for n, gbs in sorted(bw.items())
     )
@@ -229,16 +264,17 @@ def run_scaling() -> None:
 
 Same job, same input, two parallelism levels, per the north rule's
 N -> 4N executor criterion evidenced with local[{lo}] vs local[{hi}]
-(no real cluster in this sandbox). Fresh JVM per run; {trials} trials
-per level, interleaved; best-of-{trials} per level (this shared VM's
+(no real cluster in this sandbox). Fresh JVM per run; trials
+interleaved across levels ({n_trials[lo]} at local[{lo}],
+{n_trials[hi]} at local[{hi}]); best-per-level (this shared VM's
 throughput swings +/-40% between identical back-to-back runs with 0%
 reported steal, and the noise only ever adds time).
 
-Site: {os.environ['BENCH_HOSTS']} hosts x depth
-{os.environ['BENCH_DEPTH']} x branching {os.environ['BENCH_BRANCH']}
+Site: {site['BENCH_HOSTS']} hosts x depth
+{site['BENCH_DEPTH']} x branching {site['BENCH_BRANCH']}
 ({any_run['pages_generated']} pages, {any_run['urls_fetched']} URLs
 fetched, {any_run['docs_committed']} image+caption docs committed at
-{os.environ['BENCH_IMG']}x{os.environ['BENCH_IMG']}); politeness
+{site['BENCH_IMG']}x{site['BENCH_IMG']}); politeness
 delay 1000 ms (computed, not slept); exact fetch ordering + URL-seen
 parity vs the pure-Python oracle gated separately in
 tests/test_crawl_parity.py.
@@ -296,7 +332,12 @@ def _bandwidth_probe() -> dict:
     while each executor NODE of a real cluster brings its own — so the
     faithful sandbox analog of N -> 4N *executors* is a core-count pair
     BELOW the box's bandwidth saturation point. Results are written
-    into BENCH/BASELINE.md."""
+    into BENCH/BASELINE.md and cached in BENCH/bw.json — the probe is
+    only meaningful on an IDLE box (a concurrent Spark job corrupts
+    it), so a stored idle measurement beats a fresh loaded one."""
+    if os.path.exists("BENCH/bw.json"):
+        with open("BENCH/bw.json") as f:
+            return {int(k): v for k, v in json.load(f).items()}
     import multiprocessing as mp
     import time as _t
 
@@ -325,6 +366,9 @@ def _bandwidth_probe() -> dict:
 
     out = {n: agg(n) for n in (1, 2, 4, 8, 16, 32)}
     print(f"memory-bandwidth probe (GB/s by process count): {out}")
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/bw.json", "w") as f:
+        json.dump(out, f)
     return out
 
 

@@ -46,6 +46,14 @@ class CrawlConfig:
     # ReferenceDelayResolver per-URL-pattern delays: (regex, delay_ms),
     # first match wins.
     delay_patterns: tuple[tuple[str, int], ...] = ()
+    # Politeness serialization scope (BaseDelayResolverConfig.java:65,
+    # 83; SiteDelay/CrawlerDelay/ThreadDelay): SITE serializes per
+    # host (reference + engine default), CRAWLER one global lock,
+    # THREAD per deterministic seq%K slot (the reference's thread
+    # assignment is whichever worker polls next — nondeterministic;
+    # seq%K is the documented deterministic analog, engine == oracle).
+    delay_scope: str = "SITE"
+    delay_threads: int = 2
     # reference filters (GenericReferenceFilter / FilterGroupResolver
     # semantics: any exclude match rejects; if includes exist, at
     # least one must match).
@@ -212,6 +220,12 @@ def validate(cfg: CrawlConfig) -> list[str]:
         errs.append("max_crawl_duration_ms must be positive")
     if cfg.default_delay_ms < 0:
         errs.append(f"default_delay_ms must be >= 0, got {cfg.default_delay_ms}")
+    if cfg.delay_scope not in ("SITE", "CRAWLER", "THREAD"):
+        errs.append(
+            f"delay_scope must be SITE/CRAWLER/THREAD, got {cfg.delay_scope}"
+        )
+    if cfg.delay_threads < 1:
+        errs.append(f"delay_threads must be >= 1, got {cfg.delay_threads}")
     for p in cfg.include_patterns:
         _rx(p, "include_patterns")
     for p in cfg.exclude_patterns:

@@ -94,6 +94,23 @@ def resolve_delay(
     return int(default_ms)
 
 
+def scope_key_col(scope: str, n_threads: int = 2):
+    """Politeness serialization key per BaseDelayResolverConfig scope
+    (SiteDelay/CrawlerDelay/ThreadDelay, SURVEY §2.5): SITE -> host;
+    CRAWLER -> one global lock; THREAD -> deterministic round-robin
+    by ledger seq (the reference's assignment is whichever worker
+    thread polls next — nondeterministic; seq % K is the documented
+    deterministic analog, identical in engine and oracle)."""
+    if scope == "CRAWLER":
+        return F.lit("__crawler__")
+    if scope == "THREAD":
+        return F.concat(
+            F.lit("__thread_"),
+            F.pmod(F.col("seq"), F.lit(n_threads)).cast("string"),
+        )
+    return F.col("host")
+
+
 def schedule_hosts(
     batch: DataFrame,
     host_delays: DataFrame,
@@ -101,20 +118,35 @@ def schedule_hosts(
     default_delay_ms: int,
     schedules: tuple = (),
     patterns: tuple = (),
+    scope: str = "SITE",
+    n_threads: int = 2,
 ) -> DataFrame:
     """Add ``sched_ms`` to a QUEUED batch.
 
     ``host_delays``: (host, crawl_delay_ms nullable) — small dim,
-    broadcast. ``host_state``: (host, last_sched_ms) carried across
-    supersteps (None on the first). ``schedules``/``patterns``:
+    broadcast. ``host_state``: (scope_key, last_sched_ms) carried
+    across supersteps (None on the first). ``schedules``/``patterns``:
     time-of-day and per-URL delay resolvers — when configured, hosts
     WITHOUT a robots crawl-delay take an O(n)-python per-row path
     (the delay varies per request, so the recurrence has no closed
     form); everything else stays on the vectorized numpy path.
+    ``scope``: SITE (default) serializes per host; CRAWLER serializes
+    the whole crawl (one group — inherently serial by semantics, the
+    recurrence itself is still O(n) numpy); THREAD serializes per
+    deterministic seq%K thread slot. Non-SITE groups span hosts, so
+    the robots crawl-delay is resolved per row inside the group.
     """
-    b = batch.join(F.broadcast(host_delays), "host", "left")
+    b = batch.join(F.broadcast(host_delays), "host", "left").withColumn(
+        "__scope_key", scope_key_col(scope, n_threads)
+    )
     if host_state is not None:
-        b = b.join(F.broadcast(host_state), "host", "left")
+        b = b.join(
+            F.broadcast(
+                host_state.withColumnRenamed("host", "__scope_key")
+            ),
+            "__scope_key",
+            "left",
+        )
     else:
         b = b.withColumn("last_sched_ms", F.lit(None).cast("long"))
 
@@ -125,20 +157,29 @@ def schedule_hosts(
     compiled = [(re.compile(p), d) for p, d in patterns]
     varying = bool(schedules or compiled)
 
+    multi_host = scope != "SITE"
+
     def sched_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("seq").reset_index(drop=True)
-        robots_d = pdf["crawl_delay_ms"].iloc[0]
-        robots_d = None if pd.isna(robots_d) else int(robots_d)
+        cds = pdf["crawl_delay_ms"]
         last = pdf["last_sched_ms"].iloc[0]
         last = None if pd.isna(last) else int(last)
         avail = pdf["avail_ms"].to_numpy(dtype="int64")
-        if varying and robots_d is None:
+        # constant-delay closed form holds when every row resolves the
+        # same delay: the single-host group's robots delay (or default),
+        # or a multi-host group with no robots delays and no varying
+        # resolvers. Otherwise the per-row python recurrence runs.
+        any_robots = cds.notna().any()
+        if (varying and not (not multi_host and any_robots)) or (
+            multi_host and any_robots and cds.nunique(dropna=False) > 1
+        ):
             urls = pdf["url"].tolist()
+            rds = [None if pd.isna(x) else int(x) for x in cds]
             out = np.empty(len(pdf), dtype="int64")
             for i, a in enumerate(avail):
                 t_probe = a if last is None else max(int(a), last)
                 d = resolve_delay(
-                    urls[i], t_probe, None, schedules, compiled,
+                    urls[i], t_probe, rds[i], schedules, compiled,
                     default_delay_ms,
                 )
                 sched = a if last is None else max(int(a), last + d)
@@ -146,6 +187,8 @@ def schedule_hosts(
                 last = int(sched)
             pdf["sched_ms"] = out
             return pdf[out_cols]
+        robots_d = cds.iloc[0]
+        robots_d = None if pd.isna(robots_d) else int(robots_d)
         delay = robots_d if robots_d is not None else int(default_delay_ms)
         idx = np.arange(len(pdf), dtype="int64")
         v = avail - idx * delay
@@ -155,4 +198,6 @@ def schedule_hosts(
         pdf["sched_ms"] = run + idx * delay
         return pdf[out_cols]
 
-    return b.groupBy("host").applyInPandas(sched_group, schema=out_schema)
+    return b.groupBy("__scope_key").applyInPandas(
+        sched_group, schema=out_schema
+    )

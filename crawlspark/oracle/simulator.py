@@ -528,7 +528,17 @@ class CrawlSimulator:
                     )
                     step += 1
                     continue
-            prev = last_sched.get(e.host)
+            # politeness serialization key per delay_scope (SITE: the
+            # host; CRAWLER: one global lock; THREAD: deterministic
+            # seq%K slot) — mirrors operators.politeness.scope_key_col
+            scope = getattr(self.cfg, "delay_scope", "SITE")
+            if scope == "CRAWLER":
+                skey = "__crawler__"
+            elif scope == "THREAD":
+                skey = f"__thread_{e.seq % self.cfg.delay_threads}"
+            else:
+                skey = e.host
+            prev = last_sched.get(skey)
             t_probe = e.avail_ms if prev is None else max(e.avail_ms, prev)
             delay = resolve_delay(
                 e.url,
@@ -539,7 +549,7 @@ class CrawlSimulator:
                 self.cfg.default_delay_ms,
             )
             sched = e.avail_ms if prev is None else max(e.avail_ms, prev + delay)
-            last_sched[e.host] = sched
+            last_sched[skey] = sched
             e.sched_ms = sched
             max_sched_seen = max(max_sched_seen, sched)
             e.status = "PROCESSED"

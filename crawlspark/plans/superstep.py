@@ -386,7 +386,13 @@ class CrawlEngine:
         self.sitemaps = (
             sitemaps_df.cache() if sitemaps_df is not None else None
         )
-        self._sitemap_resolved: set[str] = set()
+        # hosts whose sitemap resolution already ran (== hosts ever
+        # QUEUED), kept as dataflow fragments like _key_parts — never a
+        # driver-side set, so 10^7+ hosts never ship through the driver.
+        # Durable for free: each fragment is derivable from its level
+        # part (distinct QUEUED hosts), rebuilt by _register_part on
+        # resume.
+        self._sitemap_host_parts: list[DataFrame] = []
         self._last_sitemap_stats: dict = {}
         # write-behind committer: one ordered background thread owns
         # durability (level/documents/host-state/manifest); the main
@@ -460,6 +466,16 @@ class CrawlEngine:
         if self.cfg.redirect_requeue:
             self._event_parts.append(
                 pdf.select(*_event_proj()).cache()
+            )
+        if self.sitemaps is not None:
+            # resolved == ever-QUEUED hosts; each part contributes its
+            # QUEUED hosts (supersets across parts dedup in the
+            # anti-join — correctness needs membership, not uniqueness)
+            self._sitemap_host_parts.append(
+                pdf.filter(F.col("status") == "QUEUED")
+                .select("host")
+                .distinct()
+                .cache()
             )
 
     def _add_key_fragment(self, new_rows: DataFrame) -> None:
@@ -604,7 +620,6 @@ class CrawlEngine:
             "ledger_rows": self._ledger_rows,
             "branch_est": self._branch_est,
             "max_sched_seen": self._max_sched_seen,
-            "sitemap_hosts": sorted(self._sitemap_resolved),
             "host_state_snapshot": (
                 host_state_snapshot
                 if host_state_snapshot is not None
@@ -649,6 +664,7 @@ class CrawlEngine:
         robots_df: DataFrame,
         baseline_df: DataFrame | None = None,
         fetcher: Callable[[DataFrame], DataFrame] | None = None,
+        sitemaps_df: DataFrame | None = None,
     ) -> "CrawlEngine":
         """Rebuild engine state from the last committed checkpoint.
 
@@ -659,7 +675,10 @@ class CrawlEngine:
         (CrawlerEntryLedger.java:206-241,487-511). The Bloom bitmap is
         not persisted; it is re-synced lazily from the ledger.
         """
-        eng = cls(spark, workdir, cfg, pages_df, robots_df, baseline_df, fetcher)
+        eng = cls(
+            spark, workdir, cfg, pages_df, robots_df, baseline_df,
+            fetcher, sitemaps_df,
+        )
         with open(eng._ckpt) as f:
             state = json.load(f)
         eng.superstep = state["superstep"]
@@ -671,7 +690,6 @@ class CrawlEngine:
         eng._ledger_rows = state.get("ledger_rows", 0)
         eng._branch_est = state.get("branch_est", 10.0)
         eng._max_sched_seen = state.get("max_sched_seen", 0)
-        eng._sitemap_resolved = set(state.get("sitemap_hosts", []))
         eng._metric_rows = [tuple(r) for r in state.get("metrics", [])]
         # drop any partial writes from a crashed superstep
         part = (
@@ -985,15 +1003,24 @@ class CrawlEngine:
                 ).alias("t")
             )
         )
-        if self._sitemap_resolved:
-            known = self.spark.createDataFrame(
-                [(h,) for h in sorted(self._sitemap_resolved)], "host string"
-            )
-            triggers = triggers.join(F.broadcast(known), "host", "left_anti")
-        new_hosts = [r["host"] for r in triggers.select("host").collect()]
-        if not new_hosts:
+        # resolved-hosts state is DATAFLOW, not a driver set: the
+        # anti-join runs against localCheckpointed host fragments (one
+        # per resolving superstep, the _key_parts pattern) so nothing
+        # O(hosts) ever ships through the driver — at 10^7+ hosts the
+        # old createDataFrame(sorted(set)) re-ship was the bound. AQE
+        # broadcasts the small side on its own. Durability rides the
+        # same write-behind commit as the level part (see step()).
+        if self._sitemap_host_parts:
+            known = self._sitemap_host_parts[0]
+            for frag in self._sitemap_host_parts[1:]:
+                known = known.unionByName(frag)
+            triggers = triggers.join(known, "host", "left_anti")
+        trg = triggers.localCheckpoint(eager=True)
+        n_new = trg.count()
+        if n_new == 0:
             return None
-        self._sitemap_resolved.update(new_hosts)
+        self._sitemap_host_parts.append(trg.select("host"))
+        triggers = trg
         sm = self.sitemaps
         if "path" not in sm.columns:
             sm = sm.withColumn("path", F.lit("/sitemap.xml"))
@@ -1037,7 +1064,7 @@ class CrawlEngine:
         )
         caches.append(locs)
         self._last_sitemap_stats = {
-            "SITEMAP_HOSTS_RESOLVED": len(new_hosts),
+            "SITEMAP_HOSTS_RESOLVED": n_new,
             "SITEMAP_URLS": locs.count(),
         }
         return locs
@@ -1154,6 +1181,8 @@ class CrawlEngine:
             cfg.default_delay_ms,
             schedules=cfg.delay_schedules,
             patterns=cfg.delay_patterns,
+            scope=cfg.delay_scope,
+            n_threads=cfg.delay_threads,
         )
 
         # -- metadata checksum band (MetadataChecksumStage + the HEAD
@@ -1977,10 +2006,18 @@ class CrawlEngine:
             else self.host_state.read()
         )
         # premature rows never held a politeness slot — they must not
-        # advance the per-host clock
+        # advance the per-host clock. The fold keys by the politeness
+        # scope key (host for SITE; global/thread sentinel otherwise),
+        # stored in the host_state table's `host` column.
+        from ..operators.politeness import scope_key_col
+
         new_state_df = (
             parsed.filter(~F.col("premature"))
-            .groupBy("host")
+            .groupBy(
+                scope_key_col(
+                    cfg.delay_scope, cfg.delay_threads
+                ).alias("host")
+            )
             .agg(F.max("sched_ms").alias("last_sched_ms"))
         )
         if prev_state is not None:
