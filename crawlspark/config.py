@@ -176,11 +176,15 @@ class CrawlConfig:
     # scan of the fetch table (html never read). False = metadata
     # stages run after the GET, links already extracted.
     head_before_get: bool = False
-    # robots physical strategy: True (default) collects+broadcasts the
-    # per-host rule lists once and matches in a zero-shuffle pandas UDF;
-    # False keeps rules distributed and filters via the robots_rules
+    # robots physical strategy: True collects+broadcasts the per-host
+    # rule lists once and matches in a zero-shuffle pandas UDF; False
+    # keeps rules distributed and filters via the robots_rules
     # dim-table join (the path for rule sets too big to broadcast).
-    robots_broadcast: bool = True
+    # None (default) picks automatically: broadcast while the rule dim
+    # is driver-safe (<= robots_broadcast_max_rules rows), join beyond
+    # — so a 10^7-host crawl never collects O(hosts) to the driver.
+    robots_broadcast: bool | None = None
+    robots_broadcast_max_rules: int = 200_000
     # SitemapResolutionStage analog: on a host's first QUEUED
     # candidate, parse its sitemap once and enqueue the listed URLs
     # (depth 0) ahead of the trigger. Requires a sitemaps source on

@@ -344,9 +344,21 @@ class CrawlEngine:
         self.rules = build_robots_rules(robots_df, cfg.user_agent).cache()
         self.delays = host_delays(self.rules).cache()
         self._robots_udf = None
-        if cfg.honor_robots and cfg.robots_broadcast:
-            rows = self.rules.select("host", "pattern", "allow").collect()
-            self._robots_udf = make_robots_verdict_udf(spark, rows)
+        if cfg.honor_robots:
+            bc = cfg.robots_broadcast
+            if bc is None:
+                # auto strategy: broadcast only a driver-safe rule dim;
+                # beyond the cap the distributed dim-join path runs
+                # (one count action at init, never O(hosts) collected)
+                bc = (
+                    self.rules.limit(
+                        cfg.robots_broadcast_max_rules + 1
+                    ).count()
+                    <= cfg.robots_broadcast_max_rules
+                )
+            if bc:
+                rows = self.rules.select("host", "pattern", "allow").collect()
+                self._robots_udf = make_robots_verdict_udf(spark, rows)
         self.levels = AppendTable(
             spark, os.path.join(workdir, "ledger_levels"), schema=LEDGER_SCHEMA
         )
