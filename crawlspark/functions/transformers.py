@@ -182,9 +182,30 @@ def split_explode(df, col, pattern: str, out_col: str = "part"):
 # meta: map<string, array<string>> — the Doc.metadata model
 # (importer/.../doc/Doc.java:47-75; multi-valued string map).
 
+def _meta(meta) -> Column:
+    """NULL metadata behaves as an empty Properties (the reference's
+    Doc always owns a Properties object): without this coalesce every
+    map_filter/map_concat would propagate NULL and e.g. meta_set on a
+    null-map doc would yield null instead of a single-entry map."""
+    return F.coalesce(
+        meta,
+        F.map_from_entries(
+            F.array().cast("array<struct<key:string,value:array<string>>>")
+        ),
+    )
+
+
+def _rx_quote(s: str) -> str:
+    """Literal-text regex quoting (java.util.regex.Pattern.quote):
+    F.split takes a Java regex, so a literal separator like '|' or '.'
+    must be \\Q..\\E-quoted or it splits on every character."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def meta_set(meta, field: str, *values) -> Column:
     """ConstantTransformer: set ``field`` to literal values
     (overwrites — onSet REPLACE, the reference default)."""
+    meta = _meta(meta)
     vals = F.array(*[F.lit(str(v)) for v in values])
     return F.map_concat(
         F.map_filter(meta, lambda k, _: k != F.lit(field)),
@@ -195,6 +216,7 @@ def meta_set(meta, field: str, *values) -> Column:
 def meta_copy(meta, src: str, dst: str) -> Column:
     """CopyTransformer: duplicate ``src``'s values under ``dst``
     (no-op when ``src`` is absent)."""
+    meta = _meta(meta)
     return F.when(
         meta.getItem(src).isNotNull(),
         F.map_concat(
@@ -206,6 +228,7 @@ def meta_copy(meta, src: str, dst: str) -> Column:
 
 def meta_rename(meta, src: str, dst: str) -> Column:
     """RenameTransformer: move ``src`` to ``dst``."""
+    meta = _meta(meta)
     return F.transform_keys(
         meta, lambda k, _: F.when(k == F.lit(src), F.lit(dst)).otherwise(k)
     )
@@ -213,12 +236,14 @@ def meta_rename(meta, src: str, dst: str) -> Column:
 
 def meta_delete(meta, *fields: str) -> Column:
     """DeleteTransformer: drop the named fields."""
+    meta = _meta(meta)
     arr = F.array(*[F.lit(f) for f in fields])
     return F.map_filter(meta, lambda k, _: ~F.array_contains(arr, k))
 
 
 def meta_keep_only(meta, *fields: str) -> Column:
     """KeepOnlyTransformer: keep just the named fields."""
+    meta = _meta(meta)
     arr = F.array(*[F.lit(f) for f in fields])
     return F.map_filter(meta, lambda k, _: F.array_contains(arr, k))
 
@@ -226,6 +251,7 @@ def meta_keep_only(meta, *fields: str) -> Column:
 def meta_merge(meta, dst: str, *srcs: str) -> Column:
     """MergeTransformer: concatenate the values of ``srcs`` (in the
     given order, absent fields skipped) into ``dst``."""
+    meta = _meta(meta)
     merged = F.flatten(
         F.filter(
             F.array(*[meta.getItem(s) for s in srcs]),
@@ -241,6 +267,7 @@ def meta_merge(meta, dst: str, *srcs: str) -> Column:
 def meta_force_single(meta, field: str) -> Column:
     """ForceSingleValueTransformer: keep only the first value of
     ``field`` (reference default action: keepFirst)."""
+    meta = _meta(meta)
     return F.when(
         F.size(F.coalesce(meta.getItem(field), F.array())) > 1,
         F.map_concat(
@@ -256,10 +283,11 @@ def meta_hierarchy(meta, src: str, dst: str, sep: str = "/") -> Column:
     """HierarchyTransformer: from a ``sep``-separated path value,
     write every ancestor prefix path as a value of ``dst`` (e.g.
     "/a/b/c" -> ["/a", "/a/b", "/a/b/c"])."""
+    meta = _meta(meta)
     first = F.coalesce(
         meta.getItem(src).getItem(0), F.lit(None).cast("string")
     )
-    segs = F.filter(F.split(first, sep), lambda s: s != F.lit(""))
+    segs = F.filter(F.split(first, _rx_quote(sep)), lambda s: s != F.lit(""))
     prefixes = F.transform(
         segs,
         lambda _, i: F.concat(
@@ -278,9 +306,14 @@ def meta_hierarchy(meta, src: str, dst: str, sep: str = "/") -> Column:
 
 def split_csv(df, col, delim: str = ",", out_col: str = "cell"):
     """CsvSplitter: one child row per delimited cell with its position
-    (importer/.../splitter/impl/CsvSplitter.java analog)."""
+    (importer/.../splitter/impl/CsvSplitter.java analog). The
+    separator is LITERAL text (Pattern.quote), matching the
+    reference's CSV format — not a regex."""
     return df.select(
-        "*", F.posexplode(F.split(F.col(col), delim)).alias("pos", out_col)
+        "*",
+        F.posexplode(F.split(F.col(col), _rx_quote(delim))).alias(
+            "pos", out_col
+        ),
     )
 
 

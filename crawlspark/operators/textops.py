@@ -245,12 +245,16 @@ def minhash_dup_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """LSH candidate pairs (band-bucket join, no all-pairs) with
     estimated Jaccard >= threshold. (a, b, est_jaccard), a < b.
 
-    Single-lineage shape: the wide signature frame is built once;
-    band buckets explode from its 16 columns, and the estimate is a
-    row-local expression over the two joined wide rows — no 16x
-    signature join, no re-derived shingle aggregation (the r1 plan
-    recomputed it 3x and was the slowest bench query)."""
-    wide = minhash_wide(docs)
+    Single-lineage shape: the wide signature frame is built once and
+    PERSISTED (docs x 17 slim columns, MEMORY_AND_DISK — spills, never
+    recomputes); band buckets explode from its 16 columns, and the
+    estimate is a row-local expression over the two joined wide rows —
+    no 16x signature join, no re-derived shingle aggregation. Without
+    the persist the plan re-executes the shingle explode+aggregate
+    lineage 3x (buckets, w1, w2 — r2's slowest bench query at 4x the
+    runner-up; 8 parquet scans, 0 reuse). test_plans asserts the
+    single-scan shape."""
+    wide = minhash_wide(docs).persist()
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),

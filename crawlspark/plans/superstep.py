@@ -384,14 +384,20 @@ class CrawlEngine:
         self._key_parts: list[DataFrame] = []
         self._registry_parts: list[DataFrame] = []
         self._meta_registry_parts: list[DataFrame] = []
-        # ledger EVENTS for the redirect one-requeue rule: what state
-        # was url X in at sequential turn T? enqueue events carry
-        # turn=parent_seq (the enqueuing row's processing turn) with
-        # the enqueue-time status; process events carry turn=seq with
-        # the final outcome. The latest event before a redirect
-        # source's own seq reproduces the reference's (and oracle's)
-        # sequential ledger-lookup exactly.
-        self._event_parts: list[DataFrame] = []
+        # Redirect one-requeue state: the COMPACT set of urls whose
+        # latest ledger event is a PROCESSED row with a bad outcome —
+        # the only urls the rule (WebImporterPipelineUtil.java:103-160)
+        # can fire on. Every historical event's turn is strictly below
+        # any live parent_seq (seqs are level-monotonic), so "latest
+        # event before the redirecting source's turn" needs only the
+        # per-url LATEST historical event; a url whose latest event is
+        # QUEUED/REJECTED or a good PROCESSED can never match, so it
+        # is dropped from the state. Folded incrementally per
+        # superstep (O(level + |bad|)); r2 instead unioned the FULL
+        # event history and scanned it every superstep — the measured
+        # crawl-loop regression.
+        self._bad_event_state: DataFrame | None = None
+        self._resume_event_parts: list[DataFrame] = []
         # (host, [path,] xml) dim for SitemapResolution; hosts whose
         # sitemap has been resolved (once-per-host-ever,
         # SitemapResolutionStage.java:94-110 compute-if-absent)
@@ -476,9 +482,7 @@ class CrawlEngine:
                 pdf.filter(F.col("meta_tracked")).select("meta_ck").cache()
             )
         if self.cfg.redirect_requeue:
-            self._event_parts.append(
-                pdf.select(*_event_proj()).cache()
-            )
+            self._resume_event_parts.append(pdf.select(*_event_proj()))
         if self.sitemaps is not None:
             # resolved == ever-QUEUED hosts; each part contributes its
             # QUEUED hosts (supersets across parts dedup in the
@@ -504,13 +508,24 @@ class CrawlEngine:
             self.bloom.add_df(frag)
         self._key_parts.append(frag)
         if self.cfg.redirect_requeue:
-            self._event_parts.append(
-                new_rows.select(*_event_proj()).localCheckpoint(eager=True)
-            )
+            self._bad_event_state = self._merge_bad_events(
+                new_rows.select(*_event_proj())
+            ).localCheckpoint(eager=True)
 
     def _restore_parts(self) -> None:
         for name in self.levels.parts():
             self._register_part(name[len("part-"):])
+        if self.cfg.redirect_requeue and self._resume_event_parts:
+            # one merge over all committed parts' events rebuilds the
+            # compact bad-target state (same fold the live path runs
+            # per superstep — resume replays identically)
+            ev = self._resume_event_parts[0]
+            for p in self._resume_event_parts[1:]:
+                ev = ev.unionByName(p)
+            self._resume_event_parts = []
+            self._bad_event_state = self._merge_bad_events(
+                ev
+            ).localCheckpoint(eager=True)
 
     def _ledger_keys(self) -> DataFrame:
         """(url, seen_key) of every ledger row — union of cached
@@ -593,16 +608,44 @@ class CrawlEngine:
         return base.select("checksum", F.lit(True).alias("ck_seen"))
 
     def _events(self) -> DataFrame:
-        """(url, turn, kind, ev_outcome) ledger events across all
-        committed supersteps (fragment union, like ``_ledger_keys``)."""
-        if not self._event_parts:
+        """(url, turn, kind, ev_outcome) — the compact requeue state:
+        per url, the latest ledger event, kept only when it is a
+        bad-outcome PROCESSED (see __init__). Usually a handful of
+        rows; never O(ledger)."""
+        if self._bad_event_state is None:
             return self.spark.createDataFrame(
                 [], "url string, turn long, kind string, ev_outcome string"
             )
-        out = self._event_parts[0]
-        for p in self._event_parts[1:]:
-            out = out.unionByName(p)
-        return out
+        return self._bad_event_state
+
+    def _merge_bad_events(self, new_events: DataFrame) -> DataFrame:
+        """Fold a batch of ledger events (url, turn, kind, ev_outcome)
+        into the compact redirect-requeue state: keep, per url, only
+        the latest event, and only when it is a PROCESSED with a bad
+        outcome. A later QUEUED event (a requeue) supersedes and drops
+        the url — reproducing the sequential ledger lookup's one-
+        requeue behavior with O(level + |bad|) work per superstep."""
+        from ..functions.checksums import GOOD_OUTCOMES
+
+        ev = new_events
+        if self._bad_event_state is not None:
+            ev = self._bad_event_state.unionByName(ev)
+        latest = ev.groupBy("url").agg(
+            F.max_by(
+                F.struct("turn", "kind", "ev_outcome"), F.col("turn")
+            ).alias("e")
+        )
+        return latest.filter(
+            (F.col("e.kind") == "PROCESSED")
+            & ~F.coalesce(
+                F.col("e.ev_outcome").isin(*GOOD_OUTCOMES), F.lit(False)
+            )
+        ).select(
+            "url",
+            F.col("e.turn").alias("turn"),
+            F.col("e.kind").alias("kind"),
+            F.col("e.ev_outcome").alias("ev_outcome"),
+        )
 
     def _meta_registry(self) -> DataFrame:
         """(meta_ck, mk_seen) of meta checksums tracked by the dedup
@@ -763,6 +806,7 @@ class CrawlEngine:
         self._set_shuffle(n_cand)
         caches: list[DataFrame] = []
         c = self._evaluate_candidates(cand, ledger, n_cand, caches)
+        qtick("qp:eval_built")
 
         # SitemapResolution (web/.../queue/stages/SitemapResolutionStage
         # .java:63-231): the first QUEUED candidate of a never-seen host
@@ -812,6 +856,7 @@ class CrawlEngine:
                 self.max_seq,
                 n_part=self._n_part(n_cand),
             )
+        qtick("qp:seq_assigned")
         new_rows = seq_df.select(
             "url",
             "seen_key",
@@ -894,8 +939,15 @@ class CrawlEngine:
             not self._bloom_synced
             and self._ledger_rows >= cfg.bloom_prefilter_min_ledger
         ):
+            _t0 = time.time()
             self.bloom.add_df(ledger_keys)
             self._bloom_synced = True
+            if _TIMING:
+                print(
+                    f"[timing] ss={self.superstep} bloom_sync: "
+                    f"{time.time() - _t0:.2f}s",
+                    flush=True,
+                )
         # pin BOTH join sides' shuffle width explicitly (repartition-by-
         # num is AQE-coalesce-exempt and co-partitions the join, so no
         # extra exchange): the level's slim keys compress far below the
@@ -1656,6 +1708,7 @@ class CrawlEngine:
         # actions optimizing a one-node plan. Same pattern the frontier
         # and ledger hand-offs already use.
         parsed = parsed.localCheckpoint(eager=True)
+        tick("parse_ckpt")
 
         # ---- outputs of this level ----
         processed = parsed.select(
@@ -1790,6 +1843,9 @@ class CrawlEngine:
         # URL-seen anti-join and filters). The sequential ledger lookup
         # is reproduced by the event stream: latest event before the
         # redirecting source's own turn decides the target's state.
+        # _events() is the compact bad-target state (all historical
+        # turns < any live parent_seq by seq monotonicity), so only
+        # current-level PROCESSED events need the turn comparison.
         requeue_eval = None
         if cfg.redirect_requeue:
             from ..functions.checksums import GOOD_OUTCOMES
@@ -2049,15 +2105,6 @@ class CrawlEngine:
             ckpt_dfs["meta_registry"] = parsed.filter(
                 F.col("meta_tracked")
             ).select("meta_ck")
-        if cfg.redirect_requeue:
-            # this superstep's process events (the enqueue events are a
-            # free lazy projection of the ledger checkpoint below)
-            ckpt_dfs["events"] = parsed.select(
-                "url",
-                F.col("seq").alias("turn"),
-                F.lit("PROCESSED").alias("kind"),
-                F.col("outcome").alias("ev_outcome"),
-            )
         futs = {
             k: self._ckpt_pool.submit(df.localCheckpoint, True)
             for k, df in ckpt_dfs.items()
@@ -2072,8 +2119,19 @@ class CrawlEngine:
         if cfg.metadata_dedup:
             self._meta_registry_parts.append(futs["meta_registry"].result())
         if cfg.redirect_requeue:
-            self._event_parts.append(futs["events"].result())
-            self._event_parts.append(new_chk.select(*_event_proj()))
+            # fold this superstep's events (PROCESSED rows at their own
+            # seq; new QUEUED/REJECTED rows at their parent's turn) into
+            # the compact bad-target state — O(level + |bad|), replacing
+            # r2's ever-growing event-fragment union
+            cur_events = parsed.select(
+                "url",
+                F.col("seq").alias("turn"),
+                F.lit("PROCESSED").alias("kind"),
+                F.col("outcome").alias("ev_outcome"),
+            ).unionByName(new_chk.select(*_event_proj()))
+            self._bad_event_state = self._merge_bad_events(
+                cur_events
+            ).localCheckpoint(eager=True)
         next_frontier = new_chk.filter(F.col("status") == "QUEUED")
         self._host_state_mem = new_state
         tick("mem_state")

@@ -55,3 +55,22 @@ def test_aqe_enabled(spark):
     assert (
         spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     )
+
+
+def test_minhash_dup_pairs_single_scan(spark):
+    """The MinHash pair join must not re-derive its signature lineage:
+    the persisted wide frame means ONE parquet scan of documents and
+    ONE shingle explode+aggregate, reused by buckets/w1/w2 (r2's plan
+    executed the lineage 3x and was the slowest bench query)."""
+    import re
+
+    df = E.q_minhash_dup_pairs(spark, SF)
+    plan = _plan(df)
+    try:
+        # formatted explain reprints the shared InMemoryRelation under
+        # every InMemoryTableScan — count DISTINCT scan node ids
+        scan_ids = set(re.findall(r"Scan parquet\s*\((\d+)\)", plan))
+        assert len(scan_ids) <= 1, plan
+        assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+    finally:
+        spark.catalog.clearCache()
