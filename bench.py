@@ -85,7 +85,8 @@ def crawl_bench(spark, workdir: str) -> dict:
     t1 = time.time()
     eng.bootstrap(seeds)
     stats = eng.run()
-    crawl_s = time.time() - t1
+    t2 = time.time()
+    crawl_s = t2 - t1
     fetched = sum(s.fetched for s in stats)
     committed = sum(s.committed for s in stats)
     return {
@@ -95,6 +96,10 @@ def crawl_bench(spark, workdir: str) -> dict:
         "supersteps": len(stats),
         "crawl_seconds": round(crawl_s, 2),
         "frontier_urls_per_sec": round(fetched / crawl_s, 2),
+        # epoch window of the measured crawl (consumed by the
+        # core-seconds accounting in --crawl-only; popped elsewhere)
+        "_t0_ms": int(t1 * 1000),
+        "_t1_ms": int(t2 * 1000),
     }
 
 
@@ -132,6 +137,8 @@ def run_default() -> dict:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         qtimes[name] = round(time.time() - t0, 3)
     crawl = crawl_bench(spark, "/tmp/crawlspark_bench")
+    crawl.pop("_t0_ms", None)
+    crawl.pop("_t1_ms", None)
     total = round(time.time() - total0, 2)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
@@ -163,13 +170,16 @@ def run_scaling() -> None:
     """
     levels = [
         int(x)
-        for x in os.environ.get("BENCH_SCALING_LEVELS", "2,8").split(",")
+        for x in os.environ.get("BENCH_SCALING_LEVELS", "2,8,32").split(",")
     ]
     trials = int(os.environ.get("BENCH_SCALING_TRIALS", "3"))
     # trials accumulate in BENCH/trials.json across invocations (the
     # doc reports ALL of them; best-of-N per level is the floor
     # estimator) — so a killed sweep loses nothing and extra trials
-    # can be added later without rerunning the whole protocol.
+    # can be added later without rerunning the whole protocol. The
+    # FULL history is always preserved on rewrite (other sites' and
+    # older-code trials stay on file as the audit trail); filtering
+    # happens only in the doc computation below.
     hist_path = "BENCH/trials.json"
     hist: list[dict] = []
     if os.path.exists(hist_path):
@@ -190,13 +200,24 @@ def run_scaling() -> None:
         k: os.environ[k]
         for k in ("BENCH_HOSTS", "BENCH_DEPTH", "BENCH_BRANCH", "BENCH_IMG")
     }
-    hist = [r for r in hist if r.get("site") == site_key]
+    code = _git_rev()
     bw = _bandwidth_probe()
 
     def runs_by_level() -> dict[int, list[dict]]:
-        return {
-            n: [r for r in hist if r["level"] == n] for n in levels
-        }
+        """Per level: this site's trials from the CURRENT code version
+        (so a perf change never mixes eras inside the gate number);
+        falls back to the site's full history when the current code
+        has no trials yet at that level."""
+        site_hist = [r for r in hist if r.get("site") == site_key]
+        out = {}
+        for n in levels:
+            cur = [
+                r
+                for r in site_hist
+                if r["level"] == n and r.get("code") == code
+            ]
+            out[n] = cur or [r for r in site_hist if r["level"] == n]
+        return out
 
     for t in range(trials):
         for n in levels:
@@ -219,6 +240,7 @@ def run_scaling() -> None:
             res = json.loads(line)
             res["level"] = n
             res["site"] = site_key
+            res["code"] = code
             hist.append(res)
             with open(hist_path, "w") as f:
                 json.dump(hist, f, indent=1)
@@ -228,6 +250,56 @@ def run_scaling() -> None:
             )
             _write_scaling_doc(levels, runs_by_level(), bw)
     _write_scaling_doc(levels, runs_by_level(), bw)
+
+
+def _git_rev() -> str:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip() or "unknown"
+    except OSError:
+        return "unknown"
+
+
+def _task_totals_from_evlog(evdir: str, t0_ms: int, t1_ms: int) -> dict:
+    """Sum executor run/CPU time over tasks finishing inside the
+    measured-crawl window (excludes the warmup crawl). The
+    core-seconds number is the work-conservation evidence for the
+    scaling doc: equal core-seconds at N and 4N cores means the job
+    does not inflate work with parallelism — any wall-clock
+    efficiency loss is shared-box contention, not algorithmic."""
+    import glob
+
+    run_ms = 0
+    cpu_ns = 0
+    for path in glob.glob(os.path.join(evdir, "**"), recursive=True):
+        if not os.path.isfile(path) or "appstatus" in os.path.basename(path):
+            continue
+        try:
+            with open(path, errors="ignore") as f:
+                for line in f:
+                    if '"SparkListenerTaskEnd"' not in line:
+                        continue
+                    try:
+                        ev = json.loads(line)
+                    except ValueError:
+                        continue
+                    info = ev.get("Task Info") or {}
+                    fin = info.get("Finish Time", 0)
+                    if not (t0_ms <= fin <= t1_ms):
+                        continue
+                    m = ev.get("Task Metrics") or {}
+                    run_ms += m.get("Executor Run Time", 0) or 0
+                    cpu_ns += m.get("Executor CPU Time", 0) or 0
+        except OSError:
+            continue
+    return {
+        "core_seconds": round(run_ms / 1000.0, 1),
+        "cpu_core_seconds": round(cpu_ns / 1e9, 1),
+    }
 
 
 def _write_scaling_doc(
@@ -241,34 +313,71 @@ def _write_scaling_doc(
     if len(best) < len(levels):
         return  # need at least one trial per level
     n_trials = {n: len(runs[n]) for n in levels}
-    lo, hi = min(levels), max(levels)
-    tlo = best[lo]["frontier_urls_per_sec"]
-    thi = best[hi]["frontier_urls_per_sec"]
-    eff = thi / (tlo * (hi / lo))
-    any_run = best[lo]
+    any_run = best[min(levels)]
     site = any_run["site"]
-    bw_rows = "\n".join(
-        f"| {n} procs | {gbs} GB/s |" for n, gbs in sorted(bw.items())
+    # every 4x pair in the level list is an N -> 4N data point
+    pairs = [
+        (a, b) for a in levels for b in levels if b == 4 * a
+    ]
+
+    def _eff(a: int, b: int) -> float:
+        return best[b]["frontier_urls_per_sec"] / (
+            best[a]["frontier_urls_per_sec"] * (b / a)
+        )
+
+    eff_lines = "\n".join(
+        f"**Scaling efficiency ({a} -> {b} cores): {_eff(a, b):.3f}**"
+        f" (efficiency = throughput_{b} / (throughput_{a} x 4);"
+        " target >= 0.8)"
+        for a, b in pairs
     )
-    bw_rows = "| procs | bandwidth |\n|---|---|\n" + bw_rows
+    bw_rows = "\n".join(
+        f"| {n} procs | {gbs} GB/s | {round(gbs / n, 2)} GB/s |"
+        for n, gbs in sorted(bw.items())
+    )
+    bw_rows = (
+        "| procs | aggregate | per-proc |\n|---|---|---|\n" + bw_rows
+    )
+
+    def _cs(r: dict) -> str:
+        c = r.get("core_seconds")
+        return f"{c}" if c is not None else "—"
+
     trial_rows = "\n".join(
-        f"| local[{n}] | {i + 1} | {r['crawl_seconds']} | "
-        f"{r['frontier_urls_per_sec']} |"
+        f"| local[{n}] | {i + 1} | {r.get('code', '?')} | "
+        f"{r['crawl_seconds']} | {r['frontier_urls_per_sec']} | {_cs(r)} |"
         for n in levels
         for i, r in enumerate(runs[n])
+    )
+    best_rows = "\n".join(
+        f"| local[{n}] | {best[n]['urls_fetched']} | "
+        f"{best[n]['crawl_seconds']} | "
+        f"{best[n]['frontier_urls_per_sec']} | {_cs(best[n])} |"
+        for n in levels
+    )
+    bw_sorted = sorted(bw.items())
+    bw_by_n = dict(bw_sorted)
+    bw_ratio_8_32 = (
+        round(bw_by_n[32] / bw_by_n[8], 2)
+        if 8 in bw_by_n and 32 in bw_by_n
+        else None
     )
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             f"""# BENCH — crawl-engine scaling evidence
 
-Same job, same input, two parallelism levels, per the north rule's
-N -> 4N executor criterion evidenced with local[{lo}] vs local[{hi}]
-(no real cluster in this sandbox). Fresh JVM per run; trials
-interleaved across levels ({n_trials[lo]} at local[{lo}],
-{n_trials[hi]} at local[{hi}]); best-per-level (this shared VM's
-throughput swings +/-40% between identical back-to-back runs with 0%
-reported steal, and the noise only ever adds time).
+Same job, same input, run at {len(levels)} parallelism levels
+({', '.join(f'local[{n}]' for n in levels)}), per the north rule's
+N -> 4N executor criterion (no real cluster in this sandbox). Fresh
+JVM per run; trials interleaved across levels
+({', '.join(f'{n_trials[n]} at local[{n}]' for n in levels)});
+best-per-level (this shared VM's throughput swings +/-40% between
+identical back-to-back runs with 0% reported steal, and the noise
+only ever adds time). The gate number uses only trials from the
+current code version (the `code` column); the full trial history —
+every site, every code version, including failing sweeps — is
+preserved in BENCH/trials.json.
 
 Site: {site['BENCH_HOSTS']} hosts x depth
 {site['BENCH_DEPTH']} x branching {site['BENCH_BRANCH']}
@@ -279,50 +388,62 @@ delay 1000 ms (computed, not slept); exact fetch ordering + URL-seen
 parity vs the pure-Python oracle gated separately in
 tests/test_crawl_parity.py.
 
-All trials:
+All trials (this site, current code — see trials.json for the rest):
 
-| level | trial | crawl s | urls/s |
-|---|---|---|---|
+| level | trial | code | crawl s | urls/s | core-s |
+|---|---|---|---|---|---|
 {trial_rows}
 
 Best per level:
 
-| level | urls fetched | crawl s | urls/s |
-|---|---|---|---|
-| local[{lo}] | {best[lo]['urls_fetched']} | {best[lo]['crawl_seconds']} | {tlo} |
-| local[{hi}] | {best[hi]['urls_fetched']} | {best[hi]['crawl_seconds']} | {thi} |
+| level | urls fetched | crawl s | urls/s | core-s |
+|---|---|---|---|---|
+{best_rows}
 
-**Scaling efficiency ({lo} -> {hi} cores): {eff:.3f}**
-(efficiency = T_{hi} / (T_{lo} x {hi // lo}); target >= 0.8)
+{eff_lines}
 
-## Why local[{lo}] vs local[{hi}]
+## Work conservation (core-seconds)
 
-The north rule's criterion is N vs 4N *executors*. On a real cluster
-each added executor NODE brings its own memory bus; on this single
-shared VM every local thread shares ONE. Measured aggregate memory
-bandwidth by process count (64 MB numpy stream per process, GB/s):
+The `core-s` column sums executor task run time over the measured
+crawl (Spark event-log task metrics; warmup excluded). Near-equal
+core-seconds across levels means the job performs the SAME total work
+at every parallelism — no algorithmic inflation with more cores — so
+any wall-clock efficiency below 1.0 decomposes into (a) the fixed
+per-superstep driver floor (~6 BFS supersteps of job scheduling +
+Python round-trips, which a real 4x-executor cluster does not
+multiply: drivers don't slow down with more executors), and (b) the
+single shared memory bus + local disk of this box, quantified below.
+
+## One box is not a cluster: the memory-bus ceiling
+
+The north rule's criterion is N vs 4N *executors*. Each executor
+node of a real cluster brings its own memory bus; every local thread
+here shares ONE. Measured aggregate memory bandwidth by process
+count (64 MB numpy stream per process, idle box):
 
 {bw_rows}
 
-The box saturates near 8 memory-hungry processes (and under
-contention more threads can run *slower* — the crawl's image
-synthesis + Arrow transfers are exactly this profile; local[32] was
-measured slower than local[8] on a noisy day). A core-count pair
-below the saturation point is therefore the faithful sandbox analog
-of adding executors: each "executor" still gets the bandwidth it
-would own on a real node. The remaining sub-1.0 loss is the fixed
-per-superstep driver floor (job scheduling + Python round-trips
-across ~6 BFS supersteps) that a real {hi // lo}x-executor cluster
-does not multiply — drivers don't get slower with more executors —
-plus one shared local disk for the documents/ledger writes.
+Aggregate bandwidth rises sub-linearly: from 8 to 32 processes it
+grows only ~{bw_ratio_8_32}x for 4x the threads, so at local[32]
+each thread gets well under half the bandwidth it has at local[8] —
+a bandwidth-bound stage's 8->32 wall-clock efficiency is capped near
+{bw_ratio_8_32 and round(bw_ratio_8_32 / 4, 2)} by the box itself
+before any software effect. The crawl's hot stages (image synthesis,
+Arrow transfer, shuffle) are exactly this profile. On a real cluster
+the 4x-executor fleet carries 4x buses, so the 2->8 pair — where
+per-proc bandwidth is still near flat — is the faithful sandbox
+analog of adding executor nodes, and the 8->32 pair is reported
+alongside it at face value as the shared-bus-limited measurement.
 
 Reference comparison: the Norconex harness metric is docsPerSecond
 with scenario floors 4.2-8.3 docs/s (BASELINE.md — politeness-bound,
 it sleeps). crawlspark computes the same per-host schedule without
-sleeping: {thi} urls/s at local[{hi}].
+sleeping: {best[max(levels)]['frontier_urls_per_sec']} urls/s at
+local[{max(levels)}].
 """
         )
-    print(f"efficiency {lo}->{hi}: {eff:.3f}  (wrote BENCH/BASELINE.md)")
+    effs = "  ".join(f"{a}->{b}: {_eff(a, b):.3f}" for a, b in pairs)
+    print(f"efficiency {effs}  (wrote BENCH/BASELINE.md)")
 
 
 def _bandwidth_probe() -> dict:
@@ -422,18 +543,34 @@ def _warmup_crawl(spark) -> None:
 
 
 def run_crawl_only() -> None:
+    import shutil
+
     from crawlspark.session import get_spark
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    evdir = f"/tmp/crawlspark_evlog_{cpus}_{os.getpid()}"
+    shutil.rmtree(evdir, ignore_errors=True)
+    os.makedirs(evdir, exist_ok=True)
     # shuffle partitions scale with the level so task counts are
     # proportional — the fair N vs 4N comparison
     spark = get_spark(
         "crawlspark-scaling",
         cores=cpus,
         shuffle_partitions=int(cpus) if str(cpus).isdigit() else None,
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": evdir,
+            # plain JSON lines so _task_totals_from_evlog can read them
+            "spark.eventLog.compress": "false",
+        },
     )
     _warmup_crawl(spark)
     res = crawl_bench(spark, f"/tmp/crawlspark_bench_{cpus}")
+    t0_ms = res.pop("_t0_ms")
+    t1_ms = res.pop("_t1_ms")
+    spark.stop()  # flush the event log before summing task metrics
+    res.update(_task_totals_from_evlog(evdir, t0_ms, t1_ms))
+    shutil.rmtree(evdir, ignore_errors=True)
     print(json.dumps(res))
 
 

@@ -185,6 +185,12 @@ class CrawlConfig:
     # — so a 10^7-host crawl never collects O(hosts) to the driver.
     robots_broadcast: bool | None = None
     robots_broadcast_max_rules: int = 200_000
+    # baseline physical strategy (same auto pattern): baseline
+    # projections (recrawl schedule, HEAD meta checksum) are broadcast
+    # into their joins only while the baseline ledger is counted below
+    # this cap; beyond it — the baseline is O(prior crawl), unbounded —
+    # the joins go unhinted and Catalyst/AQE pick the strategy.
+    baseline_broadcast_max_rows: int = 2_000_000
     # SitemapResolutionStage analog: on a host's first QUEUED
     # candidate, parse its sitemap once and enqueue the listed URLs
     # (depth 0) ahead of the trigger. Requires a sitemaps source on

@@ -188,15 +188,53 @@ def resolve_href(base_url: str, href: str) -> str | None:
 # Spark surface: Arrow-vectorized UDFs + the JVM-side seen-key column.
 # ---------------------------------------------------------------------------
 
+# URLs matching this are FIXED POINTS of the default pipeline —
+# normalize_url(u) == u — so the per-row Python walk can be skipped
+# for them (one C-speed vectorized regex pass instead). Requirements
+# mirror the pipeline: lowercase scheme http/https/ftp; lowercase
+# bare host (no port, no userinfo, no escapes); a non-empty path of
+# raw-safe pchars with no '%' (nothing to encode or case-normalize);
+# an optional non-empty query of the same grammar; no fragment, no
+# whitespace. test_urls property-checks the equivalence.
+_FAST_CANONICAL_RE = re.compile(
+    r"^(?:http|https|ftp)://[a-z0-9][a-z0-9.\-]*"
+    r"/[A-Za-z0-9\-._~:@!$&'()*+,;=/]*"
+    r"(?:\?[A-Za-z0-9\-._~:@!$&'()*+,;=/?]+)?\Z"
+)
+
+
 @F.pandas_udf(T.StringType())
 def normalize_url_udf(urls: pd.Series) -> pd.Series:
-    """Default-pipeline canonicalizer over a string column."""
-    return urls.map(lambda u: normalize_url(u) if u is not None else None)
+    """Default-pipeline canonicalizer over a string column.
+
+    Fast path: already-canonical URLs (the overwhelming majority of a
+    real crawl's extracted links) are detected with one vectorized
+    regex and returned as-is; only the rest pay the per-row parse.
+    """
+    fast = urls.str.match(_FAST_CANONICAL_RE, na=False)
+    if bool(fast.all()):
+        return urls
+    out = urls.copy()
+    slow = ~fast
+    out[slow] = urls[slow].map(
+        lambda u: normalize_url(u) if u is not None else None
+    )
+    return out
 
 
 @F.pandas_udf(T.StringType())
 def url_host_udf(urls: pd.Series) -> pd.Series:
     return urls.map(url_host)
+
+
+def url_host_col(col):
+    """JVM-side host extraction for CANONICAL URLs (normalize_url
+    output): lowercase scheme, host already lowercased, optional
+    userinfo and port. Equivalent to ``url_host`` on that grammar
+    (property-checked in test_urls) with zero Python round-trips —
+    this is the hot-path form; the UDF stays for arbitrary strings."""
+    h = F.regexp_extract(col, r"^[a-z]+://(?:[^/@]*@)?([^/:?#]+)", 1)
+    return F.nullif(h, F.lit(""))
 
 
 @F.pandas_udf(T.StringType())

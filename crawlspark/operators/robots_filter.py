@@ -117,25 +117,34 @@ def make_robots_verdict_udf(spark, rules_rows: list):
 
     @F.pandas_udf("boolean")
     def robots_ok(url: pd.Series, host: pd.Series) -> pd.Series:
-        from urllib.parse import urlsplit
+        """Vectorized by host group; null host (or a host with no
+        rules) short-circuits to True with zero per-row Python —
+        the caller masks out rows whose outcome is already decided
+        (TOO_DEEP/FILTERED precede robots in the stage ladder), so
+        only genuinely live candidates pay the pattern match."""
+        import numpy as np
 
         rules_map = b.value
-        matchers: dict[str, RobotsMatcher | None] = {}
-        out = []
-        for u, h in zip(url, host):
-            m = matchers.get(h, False)
-            if m is False:
-                rs = rules_map.get(h)
-                m = RobotsMatcher(RobotsRules(rules=rs)) if rs else None
-                matchers[h] = m
-            if m is None:
-                out.append(True)
+        out = np.ones(len(url), dtype=bool)
+        if not len(url):
+            return pd.Series(out)
+        hs = host.to_numpy(dtype=object)
+        for h in pd.unique(host.dropna()):
+            rs = rules_map.get(h)
+            if not rs:
                 continue
-            parts = urlsplit(u)
-            t = parts.path or "/"
-            if parts.query:
-                t += "?" + parts.query
-            out.append(m.allowed(t))
+            m = RobotsMatcher(RobotsRules(rules=rs))
+            mask = hs == h
+            # canonical URLs: the match target (path[?query], no
+            # fragment) is everything after the authority; one
+            # C-speed regex strip instead of per-row urlsplit
+            targets = url[mask].str.replace(
+                r"^[a-z]+://[^/]*", "", n=1, regex=True
+            )
+            out[mask] = [
+                m.allowed(t if isinstance(t, str) and t else "/")
+                for t in targets
+            ]
         return pd.Series(out)
 
     return robots_ok

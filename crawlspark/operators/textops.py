@@ -241,7 +241,9 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_dup_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def minhash_dup_pairs(
+    docs: DataFrame, threshold: float = 0.5, max_bucket: int = 10_000
+) -> DataFrame:
     """LSH candidate pairs (band-bucket join, no all-pairs) with
     estimated Jaccard >= threshold. (a, b, est_jaccard), a < b.
 
@@ -271,6 +273,13 @@ def minhash_dup_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     buckets = wide.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # degenerate buckets (> max_bucket docs) pair quadratically —
+    # capped loudly (crawlspark.operators.buckets)
+    from .buckets import cap_buckets
+
+    buckets = cap_buckets(
+        buckets, ["band", "bucket"], max_bucket, "minhash_dup_pairs"
+    )
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
@@ -329,7 +338,9 @@ def simhash(docs: DataFrame) -> DataFrame:
     return agg.select("doc_id", val.alias("simhash"))
 
 
-def simhash_dup_pairs(docs: DataFrame, max_dist: int = 3) -> DataFrame:
+def simhash_dup_pairs(
+    docs: DataFrame, max_dist: int = 3, max_bucket: int = 10_000
+) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance <= ``max_dist``:
     (a, b, hamming), a < b.
 
@@ -338,10 +349,10 @@ def simhash_dup_pairs(docs: DataFrame, max_dist: int = 3) -> DataFrame:
     pigeonhole it shares at least one band byte — the candidate join
     is a band+bucket equi-join (AQE-skew-safe), never an all-pairs
     product, and the exact Hamming check is one row-local
-    bit_count(xor) on the joined pair. Scale caveat (same as the
-    MinHash pair join): a degenerate bucket (e.g. thousands of empty
-    docs hashing to simhash 0) pairs quadratically — cap bucket sizes
-    upstream when the corpus has mass-duplicate payloads."""
+    bit_count(xor) on the joined pair. Degenerate buckets (e.g.
+    thousands of empty docs hashing to simhash 0) pair quadratically
+    — capped loudly at ``max_bucket`` members (see
+    crawlspark.operators.buckets)."""
     n_bands = 4
     width = SIMHASH_BITS // n_bands
     mask = (1 << width) - 1
@@ -364,6 +375,11 @@ def simhash_dup_pairs(docs: DataFrame, max_dist: int = 3) -> DataFrame:
         "simhash",
         F.col("bb.band").alias("band"),
         F.col("bb.bucket").alias("bucket"),
+    )
+    from .buckets import cap_buckets
+
+    buckets = cap_buckets(
+        buckets, ["band", "bucket"], max_bucket, "simhash_dup_pairs"
     )
     x = buckets.alias("x")
     y = buckets.alias("y")

@@ -98,7 +98,7 @@ from pyspark.sql import types as T
 
 from ..config import CrawlConfig
 from ..functions.links import PARSE_FIELDS, make_parse_transformer
-from ..functions.urls import normalize_url_udf, url_host_udf
+from ..functions.urls import normalize_url_udf, url_host_col
 from ..operators.dedup import BloomPrefilter, assign_seq, assign_seq_small, first_wins
 from ..operators.politeness import schedule_hosts
 from ..operators.robots_filter import (
@@ -295,6 +295,9 @@ class CrawlEngine:
         self.workdir = workdir
         self.cfg = cfg
         self.baseline = baseline_df.cache() if baseline_df is not None else None
+        # memoized "is the baseline driver-safe to broadcast" verdict
+        # (capped count on first use — see _baseline_hint)
+        self._baseline_small: bool | None = None
         self._orphans_done = baseline_df is None
         os.makedirs(workdir, exist_ok=True)
         self.fetcher = fetcher
@@ -362,6 +365,14 @@ class CrawlEngine:
         self.levels = AppendTable(
             spark, os.path.join(workdir, "ledger_levels"), schema=LEDGER_SCHEMA
         )
+        # durable sitemap resolved-state (trigger hosts), one tiny part
+        # per resolving superstep — see _sitemap_candidates
+        self.sitemap_hosts = AppendTable(
+            spark, os.path.join(workdir, "sitemap_hosts"), schema="host string"
+        )
+        # part name of the superstep currently being built (bootstrap /
+        # step / orphan pass set it before running the queue pipeline)
+        self._cur_part = "0-bootstrap"
         self.host_state = SnapshotTable(spark, os.path.join(workdir, "host_state"))
         self.documents = AppendTable(
             spark, os.path.join(workdir, "documents"), schema=DOCS_SCHEMA
@@ -447,6 +458,20 @@ class CrawlEngine:
             "spark.sql.shuffle.partitions", str(self._n_part(rows))
         )
 
+    def _baseline_hint(self, proj: DataFrame) -> DataFrame:
+        """Broadcast a baseline projection only while the baseline is
+        counted driver-safe (one capped count, memoized — the same
+        auto strategy as robots_broadcast). The baseline is O(prior
+        crawl): at the 10^10-URL tier a forced broadcast is an OOM,
+        not a plan choice, so beyond the cap the join goes unhinted
+        and Catalyst/AQE pick shuffle-hash / sort-merge."""
+        if self._baseline_small is None:
+            cap = self.cfg.baseline_broadcast_max_rows
+            self._baseline_small = (
+                self.baseline.limit(cap + 1).count() <= cap
+            )
+        return F.broadcast(proj) if self._baseline_small else proj
+
     def _ledger_df(self) -> DataFrame:
         """All URL-seen rows (every level part; a QUEUED row and its
         later PROCESSED row may coexist — harmless for anti-joins)."""
@@ -483,16 +508,9 @@ class CrawlEngine:
             )
         if self.cfg.redirect_requeue:
             self._resume_event_parts.append(pdf.select(*_event_proj()))
-        if self.sitemaps is not None:
-            # resolved == ever-QUEUED hosts; each part contributes its
-            # QUEUED hosts (supersets across parts dedup in the
-            # anti-join — correctness needs membership, not uniqueness)
-            self._sitemap_host_parts.append(
-                pdf.filter(F.col("status") == "QUEUED")
-                .select("host")
-                .distinct()
-                .cache()
-            )
+        # (sitemap resolved-state is NOT rebuilt from ledger rows: the
+        # trigger-host set is persisted in its own sidecar parts —
+        # see _sitemap_candidates — and restored in resume())
 
     def _add_key_fragment(self, new_rows: DataFrame) -> None:
         """Live path: snapshot this superstep's ledger keys off the
@@ -754,7 +772,11 @@ class CrawlEngine:
         )
         eng.documents.truncate_after(part)
         eng.levels.truncate_after(part)
+        eng.sitemap_hosts.truncate_after(part)
         eng._restore_parts()
+        if eng.sitemaps is not None and eng.sitemap_hosts.parts():
+            # restore the durable resolved-state exactly as recorded
+            eng._sitemap_host_parts = [eng.sitemap_hosts.read().cache()]
         # pin the host-state snapshot the manifest recorded: a crash
         # between the snapshot write and the manifest swap may have
         # left a NEWER snapshot on disk that this run must not see
@@ -976,7 +998,8 @@ class CrawlEngine:
             # a join Catalyst turns into a broadcast)
             c = c.join(ledger_keys.select("url"), "url", "left_anti")
 
-        c = c.withColumn("host", url_host_udf(F.col("url")))
+        # url is canonical here -> JVM-side host extraction (no Python)
+        c = c.withColumn("host", url_host_col(F.col("url")))
 
         too_deep = (
             (F.lit(cfg.max_depth) >= 0) & (F.col("depth") > cfg.max_depth)
@@ -1007,12 +1030,28 @@ class CrawlEngine:
                 )
                 filtered = filtered | (nseg > cfg.max_path_segments)
 
+        # TOO_DEEP/FILTERED precede robots in the stage ladder, so rows
+        # they already rejected never need a pattern match — mask them
+        # out of the robots evaluation (null host short-circuits the
+        # UDF; the join path filters its probe side). On a leaf level
+        # ~all candidates are TOO_DEEP: this turns the level's robots
+        # cost from O(candidates) to O(live).
+        live = ~too_deep & ~filtered
         if cfg.honor_robots and self._robots_udf is not None:
             c = c.withColumn(
-                "robots_ok", self._robots_udf(F.col("url"), F.col("host"))
+                "robots_ok",
+                self._robots_udf(
+                    F.when(live, F.col("url")),
+                    F.when(live, F.col("host")),
+                ),
             )
         elif cfg.honor_robots:
-            verdict = robots_verdict(c.select("url", "host"), self.rules)
+            verdict = robots_verdict(
+                c.filter(live).select("url", "host"), self.rules
+            )
+            # left join: masked rows get null robots_ok, which the
+            # outcome ladder coalesces to "allowed" (their outcome is
+            # already decided by an earlier rung)
             c = c.join(verdict, "url", "left")
         else:
             c = c.withColumn("robots_ok", F.lit(True))
@@ -1084,6 +1123,15 @@ class CrawlEngine:
         if n_new == 0:
             return None
         self._sitemap_host_parts.append(trg.select("host"))
+        # durable resolved-state: the trigger-host definition (a host's
+        # first candidate REACHING this stage marks it resolved, even
+        # if its rows all die at dedup afterwards — the oracle's and
+        # GenericSitemapResolver.java's semantics) is not recoverable
+        # from committed ledger rows, so it gets its own tiny sidecar
+        # part per resolving superstep (the reference likewise persists
+        # its resolvedSites cache in the store). Resume reads these
+        # parts back; truncation follows the level parts'.
+        self.sitemap_hosts.append(trg.select("host"), self._cur_part)
         triggers = trg
         sm = self.sitemaps
         if "path" not in sm.columns:
@@ -1170,6 +1218,7 @@ class CrawlEngine:
         ):
             return None
         tick = _Tick(self.superstep)
+        self._cur_part = f"{self.superstep:06d}"
         self._raise_failed()
         self._set_shuffle(self.queued_remaining)
         # sched_ms/checksum are re-derived this superstep (QUEUED rows
@@ -1221,7 +1270,7 @@ class CrawlEngine:
                 _bcol("sm_lastmod").alias("base_sm_lastmod"),
                 _bcol("sm_changefreq").alias("base_sm_changefreq"),
             )
-            b2 = batch.join(F.broadcast(bsched), "url", "left")
+            b2 = batch.join(self._baseline_hint(bsched), "url", "left")
             is_prem = F.col("base_sched").isNotNull() & ~_recrawlable_col(
                 cfg
             )
@@ -1291,7 +1340,9 @@ class CrawlEngine:
                     base_meta = self.baseline.select(
                         "url", F.col("meta_ck").alias("base_meta_head")
                     )
-                    hj = hj.join(F.broadcast(base_meta), "url", "left")
+                    hj = hj.join(
+                        self._baseline_hint(base_meta), "url", "left"
+                    )
                     unmod_cond = (
                         F.col("base_meta_head").isNotNull()
                         & (F.col("meta_ck") == F.col("base_meta_head"))
@@ -1884,7 +1935,7 @@ class CrawlEngine:
             requeue_eval = matched.select(
                 "url",
                 F.xxhash64(F.col("url")).alias("seen_key"),
-                url_host_udf(F.col("url")).alias("host"),
+                url_host_col(F.col("url")).alias("host"),
                 "depth",
                 "avail_ms",
                 "trail",
@@ -2191,6 +2242,7 @@ class CrawlEngine:
         strategy = self.cfg.orphan_strategy
         sid = self.superstep + 1
         part = f"{self.superstep:06d}"
+        self._cur_part = part
         if strategy == "PROCESS":
             cand = orphans.select(
                 F.col("url").alias("raw_url"),

@@ -62,3 +62,54 @@ def test_first_wins(spark):
     out = first_wins(df, "url", ["parent_seq", "out_pos"]).collect()
     got = {r["url"]: (r["parent_seq"], r["out_pos"]) for r in out}
     assert got == {"u1": (3, 0), "u2": (9, 0)}
+
+
+def test_lsh_bucket_caps(spark, caplog):
+    """Degenerate LSH buckets must be capped loudly: a mass-duplicate
+    corpus (every doc identical -> one bucket) would otherwise pair
+    quadratically. With the cap the pair output is bounded and the
+    drop is logged; distinct docs in healthy buckets are unaffected."""
+    import logging
+
+    from crawlspark.operators.similarity import embedding_neardup_pairs
+    from crawlspark.operators.textops import (
+        minhash_dup_pairs,
+        simhash_dup_pairs,
+    )
+
+    dup_text = "the same boilerplate page body repeated verbatim " * 4
+    rows = [(i, dup_text) for i in range(40)]
+    rows += [(100, "a unique document about rivers and maps"),
+             (101, "another unique document about stars and ships")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    with caplog.at_level(logging.WARNING, logger="crawlspark.lsh"):
+        got = minhash_dup_pairs(docs, max_bucket=10).collect()
+    # the 40-clone bucket (780 pairs uncapped) is dropped entirely
+    assert got == []
+    assert any("minhash_dup_pairs" in r.message for r in caplog.records)
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="crawlspark.lsh"):
+        got = simhash_dup_pairs(docs, max_bucket=10).collect()
+    assert got == []
+    assert any("simhash_dup_pairs" in r.message for r in caplog.records)
+
+    # no cap hit -> identical output to uncapped, no warning
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="crawlspark.lsh"):
+        capped = minhash_dup_pairs(docs, max_bucket=1000).collect()
+    assert len(capped) == 40 * 39 // 2
+    assert not caplog.records
+
+    emb_rows = [(i, [1.0, 0.0, 0.5, 0.25], "dup") for i in range(40)]
+    emb_rows += [(100, [-1.0, 2.0, -3.0, 0.5], "u1")]
+    emb = spark.createDataFrame(
+        emb_rows, "vec_id long, embedding array<float>, label string"
+    )
+    with caplog.at_level(logging.WARNING, logger="crawlspark.lsh"):
+        got = embedding_neardup_pairs(emb, max_bucket=10).collect()
+    assert got == []
+    assert any(
+        "embedding_neardup_pairs" in r.message for r in caplog.records
+    )

@@ -166,3 +166,46 @@ def test_urlseen_parity_with_sitemaps(both):
         .reset_index(drop=True)[["url", "status", "outcome", "depth"]]
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sitemap_resume_parity(spark, tmp_path):
+    """Mid-crawl kill + resume must not re-trigger (or skip) any
+    host's sitemap resolution: the resolved-state is persisted as its
+    own sidecar parts, so the resumed fetch sequence and SITEMAP_URLS
+    count equal the single-shot oracle's (the QUEUED-rows
+    reconstruction it replaces diverged when a trigger's rows all
+    died at dedup)."""
+    site = build_site(PARAMS)
+    seeds = [r["url"] for r in site.seeds.to_dict("records")]
+    sim = CrawlSimulator(
+        site.pages_dict(),
+        site.robots_dict(),
+        CFG,
+        sitemaps=site.sitemaps_dict(),
+    ).run(seeds)
+    wd = str(tmp_path / "crawl")
+    eng = CrawlEngine(
+        spark,
+        wd,
+        CFG,
+        site.spark_pages_df(spark),
+        site.spark_robots_df(spark),
+        sitemaps_df=site.spark_sitemaps_df(spark),
+    )
+    eng.bootstrap(seeds)
+    eng.step()
+    eng.flush()
+    del eng
+    eng2 = CrawlEngine.resume(
+        spark,
+        wd,
+        CFG,
+        site.spark_pages_df(spark),
+        site.spark_robots_df(spark),
+        sitemaps_df=site.spark_sitemaps_df(spark),
+    )
+    eng2.run()
+    log = eng2.fetch_log().toPandas()
+    assert log["url"].tolist() == [r["url"] for r in sim.fetch_log]
+    m = eng2.metrics_df().toPandas().groupby("event")["count"].sum().to_dict()
+    assert m["SITEMAP_URLS"] == sim.metrics["SITEMAP_URLS"]
