@@ -222,6 +222,15 @@ def normalize_url_udf(urls: pd.Series) -> pd.Series:
     return out
 
 
+# The function IS deterministic — the marker is a plan-shape tool:
+# it stops Catalyst from cloning the Arrow node into both the
+# null-filter and the projection (and from pushing duplicates into
+# every union branch). Each ArrowEvalPython node costs a fixed
+# per-task Python round-trip, and the measured queue-pipeline stages
+# were ~95% that fixed latency.
+normalize_url_udf = normalize_url_udf.asNondeterministic()
+
+
 @F.pandas_udf(T.StringType())
 def url_host_udf(urls: pd.Series) -> pd.Series:
     return urls.map(url_host)

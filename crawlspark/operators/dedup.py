@@ -206,6 +206,9 @@ class BloomPrefilter:
                 hit &= bitset.astype(bool)
             return pd.Series(hit)
 
+        # nondeterministic marker = plan-shape tool (single Arrow node
+        # per branch; see urls.normalize_url_udf)
+        maybe_contains = maybe_contains.asNondeterministic()
         flagged = df.withColumn("__maybe", maybe_contains(F.col(key_col)))
         return (
             flagged.filter(F.col("__maybe")).drop("__maybe"),

@@ -147,7 +147,10 @@ def make_robots_verdict_udf(spark, rules_rows: list):
             ]
         return pd.Series(out)
 
-    return robots_ok
+    # deterministic in fact; the marker keeps Catalyst from cloning
+    # the Arrow node (fixed per-task Python round-trip) across
+    # filter/projection and union branches
+    return robots_ok.asNondeterministic()
 
 
 def robots_verdict(cand_urls: DataFrame, rules_df: DataFrame) -> DataFrame:

@@ -1819,11 +1819,18 @@ class CrawlEngine:
             docs = docs.unionByName(spoiled)
 
         # ---- next-level candidates ----
+        # the redirect/canonical/post branches carry a few % of the
+        # level's rows but, unioned, every downstream Arrow UDF node
+        # is pushed into each branch — coalesce them (narrow, no
+        # shuffle) so ~empty branches don't each spawn a full wave of
+        # tasks paying the fixed per-task Python round-trip. Ordering
+        # is unaffected: the queue pipeline sorts by explicit keys.
+        n_slim = max(1, self._n_part(self.queued_remaining) // 16)
         redirects = parsed.filter(
             (F.col("outcome") == "REDIRECT")
             & (F.size("trail") < cfg.max_redirect_trail)
             & F.col("redirect_to").isNotNull()
-        ).select(
+        ).coalesce(n_slim).select(
             F.col("redirect_to").alias("raw_url"),
             "depth",
             F.col("sched_ms").alias("avail_ms"),
@@ -1834,7 +1841,7 @@ class CrawlEngine:
         canonicals = parsed.filter(
             (F.col("outcome") == "NONCANONICAL")
             & ~F.array_contains(F.col("trail"), F.col("canonical"))
-        ).select(
+        ).coalesce(n_slim).select(
             F.col("canonical").alias("raw_url"),
             "depth",
             F.col("sched_ms").alias("avail_ms"),
@@ -1870,6 +1877,7 @@ class CrawlEngine:
                     F.col("outcome").isin("NEW", "MODIFIED")
                     & (F.size("post_links") > 0)
                 )
+                .coalesce(n_slim)
                 .select(
                     "depth",
                     "sched_ms",
