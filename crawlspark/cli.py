@@ -74,6 +74,40 @@ def _engine(spark, args, resume: bool):
             schema="host string, body string",
         )
         fetcher = make_fetcher(p, retries=cfg.fetch_retries)
+    elif getattr(args, "http", False):
+        # real-socket mode (HttpClientFetcher analog): fetch over the
+        # network; robots.txt fetched per seed host with the
+        # one-redirect retry (StandardRobotsTxtProvider.java:104-113)
+        from urllib.parse import urlsplit
+
+        from .sources.httpfetch import (
+            HttpFetcherConfig,
+            fetch_robots_df,
+            make_http_fetcher,
+        )
+
+        hcfg = HttpFetcherConfig(
+            retries=cfg.fetch_retries, user_agent=cfg.user_agent
+        )
+        pages = None
+        roots = []
+        for s in _read_seeds(args):
+            parts = urlsplit(s)
+            if parts.scheme and parts.netloc:
+                roots.append(
+                    (
+                        (parts.hostname or "").lower(),
+                        f"{parts.scheme}://{parts.netloc}",
+                    )
+                )
+        robots = fetch_robots_df(
+            spark,
+            spark.createDataFrame(
+                sorted(set(roots)), "host string, root string"
+            ),
+            hcfg,
+        )
+        fetcher = make_http_fetcher(hcfg)
     else:
         pages = spark.read.parquet(args.pages) if args.pages else None
         robots = (
@@ -186,6 +220,12 @@ def main(argv: list[str] | None = None) -> int:
             "--site",
             help="synthetic site SEED:HOSTS:DEPTH:BRANCH[:FLAKY_PCT] — "
             "generator fetcher mode; honors --retries",
+        )
+        p.add_argument(
+            "--http",
+            action="store_true",
+            help="fetch over real sockets (HttpClientFetcher analog); "
+            "robots.txt fetched per seed host; honors --retries",
         )
         p.add_argument("--robots", help="parquet (host, body)")
         p.add_argument("--seeds", help="text file, one URL per line")
