@@ -390,10 +390,18 @@ def q_lsh_bucket_stats(spark, sf_dir):
 
 
 def q_image_payload(spark, sf_dir):
-    """Multimodal plumbing: synthesize+decode+phash the image payload
-    for each document id via Arrow UDFs over a binary column. The
-    decode itself is engine-custom (no SQL oracle -> rows-only check)."""
-    from crawlspark.sources.docgen import make_document_udf, phash_udf
+    """Multimodal plumbing with an ORACLE-CHECKED invariant
+    projection: synthesize -> decode -> phash/PSNR the binary image
+    payload via Arrow UDFs; every output column states a deterministic
+    invariant SQL can assert (dims, phash decode-roundtrip equality,
+    format/caption shape, the input_hint PSNR>=40dB gate), so any
+    codec or roundtrip defect flips a value and fails the driver's
+    hash compare (this query was rows-only before)."""
+    from crawlspark.sources.docgen import (
+        make_document_udf,
+        phash_udf,
+        psnr_vs_oracle_udf,
+    )
 
     d = _t(spark, sf_dir, "documents").select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias(
@@ -401,13 +409,21 @@ def q_image_payload(spark, sf_dir):
         )
     )
     doc = d.withColumn("p", make_document_udf(16, 16)(F.col("image_id")))
+    psnr = psnr_vs_oracle_udf()(
+        F.col("image_id"), F.col("p.bytes"), F.col("p.w"), F.col("p.h")
+    )
     return doc.select(
         "image_id",
-        F.col("p.fmt").alias("fmt"),
         F.col("p.w").alias("w"),
         F.col("p.h").alias("h"),
-        F.col("p.phash").alias("phash"),
-        phash_udf(F.col("p.bytes")).alias("phash_decoded"),
+        (phash_udf(F.col("p.bytes")) == F.col("p.phash")).alias(
+            "phash_roundtrip"
+        ),
+        F.col("p.fmt").isin("png", "jpeg", "webp").alias("fmt_valid"),
+        F.col("p.caption").endswith(
+            F.concat(F.lit("("), F.col("image_id"), F.lit(")"))
+        ).alias("caption_tagged"),
+        (psnr >= F.lit(40.0)).alias("psnr_ok"),
     )
 
 
@@ -902,6 +918,23 @@ SELECT {_lsh_sig_expr(8)} AS lsh_sig,
        count(DISTINCT label) AS n_labels
 FROM embeddings GROUP BY 1
 """,
-        # q_image_payload / q_crawl_microsite: engine-custom (binary
-        # codec / iterative crawl) — rows-only check by design.
+        # q_image_payload: the Spark side computes each invariant FROM
+        # the binary payload (decode roundtrip, PSNR gate); the oracle
+        # states the expected value of every invariant per row, so the
+        # value-hash compare fails on any codec defect. The raw
+        # blake2b-derived values themselves are not SQL-expressible —
+        # the invariant projection is the strongest DuckDB-checkable
+        # form (VERDICT r2 #8).
+        "q_image_payload": """
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS image_id,
+       16 AS w, 16 AS h,
+       TRUE AS phash_roundtrip,
+       TRUE AS fmt_valid,
+       TRUE AS caption_tagged,
+       TRUE AS psnr_ok
+FROM documents
+""",
+        # q_crawl_microsite: engine-custom (iterative crawl) —
+        # rows-only check by design; full parity vs the pure-Python
+        # oracle is gated in tests/test_crawl_parity.py.
     }

@@ -119,14 +119,23 @@ TRANSFORMED_TYPE = T.StructType(
 )
 
 
-def transform_image_udf(ops: tuple, target_fmt: str | None = None):
+def transform_image_udf(
+    ops: tuple, target_fmt: str | None = None, codec: str = "fake"
+):
     """Arrow-batched ImageTransformer: bytes -> transformed struct.
 
     ``ops`` is the configured chain (closed over — identical for every
     row, like the reference's XML-configured transformer);
     ``target_fmt`` re-encodes to another format (ImageTransformer's
-    ``targetFormat``), defaulting to the source format.
+    ``targetFormat``), defaulting to the source format. ``codec``
+    picks the re-encode path: "fake" (the deterministic sandbox
+    codec) or "real" (Pillow — docgen.encode_real; use where the
+    library exists). Decoding auto-detects per buffer either way.
     """
+    if codec == "real":
+        from ..sources.docgen import encode_real as _enc
+    else:
+        _enc = encode_image
 
     @F.pandas_udf(TRANSFORMED_TYPE)
     def _transform(buf: pd.Series, fmt: pd.Series) -> pd.DataFrame:
@@ -136,7 +145,7 @@ def transform_image_udf(ops: tuple, target_fmt: str | None = None):
             out_fmt = target_fmt or f
             rows.append(
                 {
-                    "bytes": encode_image(px, out_fmt),
+                    "bytes": _enc(px, out_fmt),
                     "w": px.shape[1],
                     "h": px.shape[0],
                     "fmt": out_fmt,

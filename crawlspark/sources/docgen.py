@@ -95,12 +95,23 @@ def decode_image(buf: bytes) -> np.ndarray:
     return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
 
 
-def decode_real(buf: bytes) -> np.ndarray:
-    """STUB: real-format decode needs Pillow, absent in this container.
+def have_pil() -> bool:
+    """True when Pillow is importable — the real codec's gate (the
+    sandbox container ships without it; clusters install it)."""
+    try:
+        import PIL  # noqa: F401
 
-    On a real cluster: ``PIL.Image.open(io.BytesIO(buf))`` inside the
-    same Arrow-batched UDFs below — the Spark plumbing is identical.
-    """
+        return True
+    except ImportError:
+        return False
+
+
+def decode_real(buf: bytes) -> np.ndarray:
+    """Real-format decode via Pillow when importable (activates
+    automatically: ``decode_image`` falls through here for any buffer
+    without the fake codec's magic). Raises NotImplementedError where
+    Pillow is absent — this container; the Spark plumbing (schema,
+    batching, UDF signatures) is identical either way."""
     try:
         import io
 
@@ -112,6 +123,29 @@ def decode_real(buf: bytes) -> np.ndarray:
             "real image decode requires Pillow (not in this container); "
             "fake-codec bytes carry the CSIMG magic and decode natively"
         ) from exc
+
+
+def encode_real(pixels: np.ndarray, fmt: str, quality: int = 95) -> bytes:
+    """Real-format encode via Pillow (skip-not-fail where absent).
+
+    JPEG writes 4:4:4 at ``quality`` so the decoded-pixel PSNR>=40dB
+    invariant (BASELINE.json input_hint) holds on real bytes; PNG is
+    lossless; WebP writes lossless (cwebp's -lossless) so the
+    round-trip gate is format-independent."""
+    import io
+
+    from PIL import Image
+
+    img = Image.fromarray(pixels, mode="RGB")
+    bio = io.BytesIO()
+    f = fmt.lower()
+    if f in ("jpg", "jpeg"):
+        img.save(bio, format="JPEG", quality=quality, subsampling=0)
+    elif f == "webp":
+        img.save(bio, format="WEBP", lossless=True)
+    else:
+        img.save(bio, format=f.upper())
+    return bio.getvalue()
 
 
 def phash64(pixels: np.ndarray) -> int:

@@ -4,35 +4,66 @@ stability. Pure-Python here; the Spark-side UDF plumbing is covered by
 q_image_payload in the entry contract."""
 
 import numpy as np
+import pytest
 
 from crawlspark.sources.docgen import (
     caption_for,
     decode_image,
     encode_image,
+    encode_real,
     fmt_for,
+    have_pil,
     make_document,
     phash64,
     pixels_for,
     psnr,
 )
 
+# both codecs share one invariant suite: "real" (Pillow) skips where
+# the library is absent (this container); the fake codec always runs
+CODECS = [
+    pytest.param("fake", id="fake"),
+    pytest.param(
+        "real",
+        id="real",
+        marks=pytest.mark.skipif(
+            not have_pil(), reason="Pillow not installed"
+        ),
+    ),
+]
 
-def test_png_lossless_roundtrip():
+
+def _encode(codec: str, px, fmt: str) -> bytes:
+    return encode_real(px, fmt) if codec == "real" else encode_image(px, fmt)
+
+
+@pytest.mark.parametrize("codec", CODECS)
+def test_png_lossless_roundtrip(codec):
     px = pixels_for("http://a.b/x", 32, 32)
-    buf = encode_image(px, "png")
+    buf = _encode(codec, px, "png")
     out = decode_image(buf)
     assert np.array_equal(px, out)
     assert psnr(px, out) == float("inf")
 
 
-def test_lossy_formats_meet_psnr_gate():
-    for fmt in ("jpeg", "webp"):
+@pytest.mark.parametrize("codec", CODECS)
+def test_lossy_formats_meet_psnr_gate(codec):
+    # webp is lossless under the real codec (encode_real uses
+    # lossless webp), so the lossy gate there is jpeg-only
+    fmts = ("jpeg", "webp") if codec == "fake" else ("jpeg",)
+    for fmt in fmts:
         for url in [f"http://a.b/{i}" for i in range(5)]:
             px = pixels_for(url, 32, 32)
-            out = decode_image(encode_image(px, fmt))
+            out = decode_image(_encode(codec, px, fmt))
             p = psnr(px, out)
-            assert p >= 40.0, (fmt, url, p)
+            assert p >= 40.0, (codec, fmt, url, p)
             assert not np.array_equal(px, out)  # actually lossy
+
+
+@pytest.mark.skipif(not have_pil(), reason="Pillow not installed")
+def test_real_webp_lossless_roundtrip():
+    px = pixels_for("http://a.b/x", 32, 32)
+    assert np.array_equal(px, decode_image(encode_real(px, "webp")))
 
 
 def test_document_determinism():

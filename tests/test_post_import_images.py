@@ -108,15 +108,22 @@ def test_image_transform_ops(spark):
         [("a", encode_image(px, "png"), "png")],
         "image_id string, bytes binary, fmt string",
     )
-    t = transform_image_udf((("scale", 16, 12), ("rotate", 180)), "png")
-    row = (
-        df.withColumn("t", t(F.col("bytes"), F.col("fmt")))
-        .select("t.*")
-        .collect()[0]
-    )
-    assert (row["w"], row["h"], row["fmt"]) == (16, 12, "png")
+    from crawlspark.sources.docgen import have_pil
+
+    codecs = ["fake"] + (["real"] if have_pil() else [])
     expect = resize_pixels(px, 16, 12)[::-1, ::-1]
-    assert np.array_equal(decode_image(row["bytes"]), expect)
+    for codec in codecs:
+        t = transform_image_udf(
+            (("scale", 16, 12), ("rotate", 180)), "png", codec=codec
+        )
+        row = (
+            df.withColumn("t", t(F.col("bytes"), F.col("fmt")))
+            .select("t.*")
+            .collect()[0]
+        )
+        assert (row["w"], row["h"], row["fmt"]) == (16, 12, "png"), codec
+        # png is lossless under both codecs -> bit-exact pixels
+        assert np.array_equal(decode_image(row["bytes"]), expect), codec
 
     # featured-image pick: minDimensions filter + largest-by-area
     cand = spark.createDataFrame(
