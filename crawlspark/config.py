@@ -191,6 +191,13 @@ class CrawlConfig:
     # this cap; beyond it — the baseline is O(prior crawl), unbounded —
     # the joins go unhinted and Catalyst/AQE pick the strategy.
     baseline_broadcast_max_rows: int = 2_000_000
+    # reference-trail variant marking (ProcessFinalize.java:205-219):
+    # record pre-normalization raw spellings on the winning ledger row
+    # (raw_variants column). The URL-seen set keys on the normalized
+    # url either way, so variants are never re-fetched; the flag only
+    # adds the store-queryable trail (one collect_set shuffle per
+    # superstep when on).
+    record_url_variants: bool = False
     # SitemapResolutionStage analog: on a host's first QUEUED
     # candidate, parse its sitemap once and enqueue the listed URLs
     # (depth 0) ahead of the trigger. Requires a sitemaps source on

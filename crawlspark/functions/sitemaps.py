@@ -21,13 +21,22 @@ batch sizes; malformed entries are skipped, not fatal.
 
 from __future__ import annotations
 
+import logging
 import re
 
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+log = logging.getLogger("crawlspark.sitemaps")
+
 DEFAULT_PATHS = ("/sitemap.xml", "/sitemap_index.xml")
+
+# sitemaps.org protocol cap: 50,000 <url> entries per file (and
+# 50,000 <sitemap> children per index). Enforced loudly — beyond the
+# cap the file is malformed, and unbounded files would blow the
+# per-host collect_list the resolver builds.
+MAX_SITEMAP_ENTRIES = 50_000
 
 _URL_BLOCK_RE = re.compile(r"<url\b[^>]*>(.*?)</url>", re.I | re.S)
 _SITEMAP_BLOCK_RE = re.compile(r"<sitemap\b[^>]*>(.*?)</sitemap>", re.I | re.S)
@@ -92,12 +101,28 @@ def parse_sitemap(
         return [], []
     children = []
     for block in _SITEMAP_BLOCK_RE.finditer(xml):
+        if len(children) >= MAX_SITEMAP_ENTRIES:
+            log.warning(
+                "%s: <sitemapindex> exceeds the %d-entry protocol cap; "
+                "further children dropped",
+                sitemap_url,
+                MAX_SITEMAP_ENTRIES,
+            )
+            break
         m = _FIELD_RES["loc"].search(block.group(1))
         if m and m.group(1):
             children.append(m.group(1))
     prefix = _dir_prefix(sitemap_url)
     records = []
     for block in _URL_BLOCK_RE.finditer(xml):
+        if len(records) >= MAX_SITEMAP_ENTRIES:
+            log.warning(
+                "%s: sitemap exceeds the %d-entry protocol cap; "
+                "further <url> entries dropped",
+                sitemap_url,
+                MAX_SITEMAP_ENTRIES,
+            )
+            break
         body = block.group(1)
         m = _FIELD_RES["loc"].search(body)
         if not m or not m.group(1):

@@ -168,6 +168,14 @@ LEDGER_SCHEMA = T.StructType(
         T.StructField("sm_lastmod", T.StringType()),
         T.StructField("sm_changefreq", T.StringType()),
         T.StructField("trail", T.ArrayType(T.StringType())),
+        # pre-normalization spellings that resolved to this url
+        # (reference-trail variant marking, ProcessFinalize.java:
+        # 205-219) — populated when cfg.record_url_variants; the
+        # URL-seen set keys on the normalized url, so variants can
+        # never be re-fetched either way (test_url_variants), this
+        # column just makes the raw spellings queryable from the store
+        # like the reference's ledger.
+        T.StructField("raw_variants", T.ArrayType(T.StringType())),
         T.StructField("superstep", T.IntegerType()),
     ]
 )
@@ -879,6 +887,26 @@ class CrawlEngine:
                 n_part=self._n_part(n_cand),
             )
         qtick("qp:seq_assigned")
+        if cfg.record_url_variants:
+            # reference-trail variant marking (ProcessFinalize.java:
+            # 205-219): raw spellings that normalized to this url —
+            # the winner row absorbs every variant, losers or not
+            variants = (
+                c.filter(
+                    F.col("raw_url").isNotNull()
+                    & (F.col("raw_url") != F.col("url"))
+                )
+                .groupBy("url")
+                .agg(
+                    F.array_sort(F.collect_set("raw_url")).alias(
+                        "raw_variants"
+                    )
+                )
+            )
+            seq_df = seq_df.drop("raw_url").join(variants, "url", "left")
+            rv_col = F.col("raw_variants")
+        else:
+            rv_col = F.lit(None).cast("array<string>")
         new_rows = seq_df.select(
             "url",
             "seen_key",
@@ -896,6 +924,7 @@ class CrawlEngine:
             "sm_lastmod",
             "sm_changefreq",
             "trail",
+            rv_col.alias("raw_variants"),
             F.lit(self.superstep).cast("int").alias("superstep"),
         ).cache()
 
@@ -940,9 +969,9 @@ class CrawlEngine:
         for c_ in ("sm_lastmod", "sm_changefreq"):
             if c_ not in cand.columns:
                 cand = cand.withColumn(c_, F.lit(None).cast("string"))
-        c = cand.withColumn("url", normalize_url_udf(F.col("raw_url"))).drop(
-            "raw_url"
-        )
+        c = cand.withColumn("url", normalize_url_udf(F.col("raw_url")))
+        if not cfg.record_url_variants:
+            c = c.drop("raw_url")  # else kept for the variants agg
         c = c.filter(F.col("url").isNotNull())
         c = c.withColumn("seen_key", F.xxhash64(F.col("url")))
         # cache BEFORE the Bloom split: fresh ∪ maybe (and the
@@ -1079,6 +1108,7 @@ class CrawlEngine:
             "sm_changefreq",
             "status",
             "outcome",
+            *(["raw_url"] if cfg.record_url_variants else []),
         )
 
     def _sitemap_candidates(
@@ -1779,6 +1809,7 @@ class CrawlEngine:
             "sm_lastmod",
             "sm_changefreq",
             "trail",
+            "raw_variants",
             F.lit(self.superstep).cast("int").alias("superstep"),
         )
 
@@ -1927,6 +1958,7 @@ class CrawlEngine:
                 F.first("avail_ms").alias("avail_ms"),
                 F.first("trail").alias("trail"),
                 F.first("out_pos").alias("out_pos"),
+                F.first("raw_url").alias("raw_url"),
                 F.max_by(
                     F.struct(F.col("kind"), F.col("ev_outcome")),
                     F.col("turn"),
@@ -1954,6 +1986,11 @@ class CrawlEngine:
                 F.lit(None).cast("string").alias("sm_changefreq"),
                 F.lit("QUEUED").alias("status"),
                 F.lit(None).cast("string").alias("outcome"),
+                *(
+                    [F.col("raw_url")]
+                    if cfg.record_url_variants
+                    else []
+                ),
             )
 
         # ---- queue pipeline FIRST: its count action materializes the

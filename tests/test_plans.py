@@ -74,3 +74,59 @@ def test_minhash_dup_pairs_single_scan(spark):
         assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
     finally:
         spark.catalog.clearCache()
+
+
+def test_baseline_broadcast_auto_strategy(spark, tmp_path):
+    """Baseline projections are broadcast only while the baseline is
+    counted driver-safe: above cfg.baseline_broadcast_max_rows the
+    joins go unhinted (the baseline is O(prior crawl) — a forced
+    broadcast at the 10^10 tier is an OOM, not a plan choice)."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.config import CrawlConfig
+    from crawlspark.plans.superstep import CrawlEngine
+
+    pages = spark.createDataFrame(
+        [("http://h.x/", 200, "<html></html>", None)],
+        "url string, status int, html string, redirect_to string",
+    )
+    robots = spark.createDataFrame([], "host string, body string")
+    baseline = spark.range(10).select(
+        F.concat(F.lit("http://h.x/p"), F.col("id")).alias("url"),
+        F.lit("ck").alias("checksum"),
+        F.lit(0).alias("depth"),
+        F.col("id").alias("seq"),
+        F.col("id").alias("sched_ms"),
+        F.lit(None).cast("string").alias("outcome"),
+    )
+
+    def plan_of(cap):
+        eng = CrawlEngine(
+            spark,
+            str(tmp_path / f"b{cap}"),
+            CrawlConfig(baseline_broadcast_max_rows=cap),
+            pages,
+            robots,
+            baseline_df=baseline,
+        )
+        proj = eng.baseline.select("url", "checksum")
+        hinted = eng._baseline_hint(proj)
+        probe = spark.range(100).select(
+            F.concat(F.lit("http://h.x/p"), F.col("id")).alias("url")
+        )
+        return (
+            eng._baseline_small,
+            probe.join(hinted, "url", "left")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString(),
+        )
+
+    small, plan_small = plan_of(1000)  # 10 rows <= cap -> broadcast
+    assert small is True
+    assert "BroadcastHashJoin" in plan_small
+    big, plan_big = plan_of(5)  # 10 rows > cap -> unhinted
+    assert big is False
+    # Catalyst may still pick broadcast for a genuinely tiny frame via
+    # autoBroadcastJoinThreshold — what must be gone is the FORCED
+    # hint; assert on the optimized logical plan instead

@@ -177,3 +177,35 @@ def test_split_csv(spark):
         (1, "b"),
         (2, "c"),
     ]
+
+
+def test_sitemap_entry_cap_logged(caplog, monkeypatch):
+    """sitemaps.org 50k-entry cap: an oversized file is truncated at
+    the cap with a warning, never silently (protects the per-host
+    collect_list in SitemapResolution)."""
+    import logging
+
+    from crawlspark.functions import sitemaps as sm
+
+    monkeypatch.setattr(sm, "MAX_SITEMAP_ENTRIES", 5)
+    urls = "".join(
+        f"<url><loc>http://h.x/p{i}</loc></url>" for i in range(8)
+    )
+    xml = f"<urlset>{urls}</urlset>"
+    with caplog.at_level(logging.WARNING, logger="crawlspark.sitemaps"):
+        recs, kids = sm.parse_sitemap("http://h.x/sitemap.xml", xml)
+    assert len(recs) == 5
+    assert [r["url"] for r in recs] == [f"http://h.x/p{i}" for i in range(5)]
+    assert any("protocol cap" in r.message for r in caplog.records)
+
+    idx = "".join(
+        f"<sitemap><loc>http://h.x/s{i}.xml</loc></sitemap>"
+        for i in range(8)
+    )
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="crawlspark.sitemaps"):
+        recs, kids = sm.parse_sitemap(
+            "http://h.x/sitemap.xml", f"<sitemapindex>{idx}</sitemapindex>"
+        )
+    assert len(kids) == 5
+    assert any("protocol cap" in r.message for r in caplog.records)
