@@ -254,6 +254,123 @@ def q_jaccard_next(spark, sf_dir):
     return X.consecutive_jaccard(_t(spark, sf_dir, "documents"))
 
 
+def _split_feed(spark, sf_dir):
+    """Deterministic markup feed for the splitter queries: the first
+    two (sanitized) words of each document, plus a synthetic ref — the
+    same construction the DuckDB oracle performs, so the splitters are
+    exercised on real table data with no external inputs."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    w = F.split(F.col("text"), " ")
+
+    def clean(i):
+        return F.regexp_replace(
+            F.coalesce(F.element_at(w, i), F.lit(f"w{i}")),
+            "[^a-z0-9]",
+            "",
+        )
+
+    return d.select(
+        "doc_id",
+        F.concat(F.lit("http://docs/"), F.col("doc_id")).alias("ref"),
+        clean(1).alias("w1"),
+        clean(2).alias("w2"),
+    )
+
+
+def q_dom_split(spark, sf_dir):
+    """DomSplitter analog (tag selector) over synthesized HTML."""
+    from crawlspark.functions import transformers as TR
+
+    d = _split_feed(spark, sf_dir).select(
+        "doc_id",
+        "ref",
+        F.concat(
+            F.lit("<html><body><div><item>"),
+            F.col("w1"),
+            F.lit('</item></div><item cls="x">'),
+            F.col("w2"),
+            F.lit("</item></body></html>"),
+        ).alias("html"),
+    )
+    return TR.split_dom(d, "html", "item").select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        "child_ref",
+        "embedded_ref",
+        "fragment",
+    )
+
+
+def q_xml_split(spark, sf_dir):
+    """XmlStreamSplitter analog: path-scoped SAX split — the <animal>
+    under /animals/species is split, the one under /animals/pen is
+    not."""
+    from crawlspark.functions import transformers as TR
+
+    d = _split_feed(spark, sf_dir).select(
+        "doc_id",
+        "ref",
+        F.concat(
+            F.lit("<animals><species><animal><name>"),
+            F.col("w1"),
+            F.lit("</name></animal></species><pen><animal><name>"),
+            F.col("w2"),
+            F.lit("</name></animal></pen></animals>"),
+        ).alias("xml"),
+    )
+    return TR.split_xml_stream(d, "xml", "/animals/species/animal").select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        "child_ref",
+        "embedded_ref",
+        "fragment",
+    )
+
+
+def q_pdf_split(spark, sf_dir):
+    """PdfPageSplitter analog: form-feed page walk with '#'-prefixed
+    child refs and page metadata."""
+    from crawlspark.functions import transformers as TR
+
+    d = _split_feed(spark, sf_dir).select(
+        "doc_id",
+        "ref",
+        F.concat_ws("\f", F.col("w1"), F.col("w2"), F.lit("end")).alias(
+            "pdf"
+        ),
+    )
+    return TR.split_pdf_pages(d, "pdf").select(
+        "doc_id",
+        F.col("page_number").cast("long").alias("page_number"),
+        F.col("total_pages").cast("long").alias("total_pages"),
+        "child_ref",
+        "page_text",
+    )
+
+
+def q_hamming_neardup(spark, sf_dir):
+    """64-bit-signature banded near-dup join — the image-payload
+    phash dedup op (multimodal: test_images drives it with REAL
+    payload phashes; here it is oracle-gated on planted
+    SQL-expressible signatures so the band/bucket/verify dataflow
+    gets a value-hash check: groups of 4 docs share high bits and
+    differ in {0,1,3,7} low bits, giving known pair distances)."""
+    from crawlspark.operators.similarity import hamming64_dup_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    low = F.element_at(
+        F.array(F.lit(0), F.lit(1), F.lit(3), F.lit(7)),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    sigs = d.select(
+        "doc_id",
+        (F.floor(F.col("doc_id") / 4) * 1024 + low)
+        .cast("long")
+        .alias("sig"),
+    )
+    return hamming64_dup_pairs(sigs)
+
+
 def q_cosine_topk(spark, sf_dir):
     return S.cosine_topk(_t(spark, sf_dir, "embeddings")).select(
         "query_id", "neighbor_id", "cos", F.col("rk").cast("long").alias("rk")
@@ -476,6 +593,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": q_simhash,
         "q_simhash_dup_pairs": q_simhash_dup_pairs,
         "q_jaccard_next": q_jaccard_next,
+        "q_dom_split": q_dom_split,
+        "q_xml_split": q_xml_split,
+        "q_pdf_split": q_pdf_split,
+        "q_hamming_neardup": q_hamming_neardup,
         "q_cosine_topk": q_cosine_topk,
         "q_incremental_delta": q_incremental_delta,
         "q_recrawl_due": q_recrawl_due,
@@ -494,6 +615,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _H32 = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"  # = Spark conv(substr(md5,1,8),16,10)
 _WORDS = "regexp_split_to_array(lower(trim({t})), '\\s+')"
+
+# the deterministic markup feed shared by the splitter queries —
+# mirrors __spark_entry__._split_feed exactly
+_SPLIT_FEED_SQL = """
+d AS (
+  SELECT doc_id, 'http://docs/' || doc_id AS ref,
+         regexp_replace(coalesce(string_split(text, ' ')[1], 'w1'),
+                        '[^a-z0-9]', '', 'g') AS w1,
+         regexp_replace(coalesce(string_split(text, ' ')[2], 'w2'),
+                        '[^a-z0-9]', '', 'g') AS w2
+  FROM documents WHERE doc_id < 200)
+"""
 
 
 def _langid_sql() -> str:
@@ -748,6 +881,59 @@ SELECT a, b, round(ej, 4) AS est_jaccard FROM est WHERE ej >= 0.5
 """,
         "q_simhash": _simhash_sql(),
         "q_simhash_dup_pairs": _simhash_dup_pairs_sql(),
+        "q_dom_split": f"""
+WITH {_SPLIT_FEED_SQL},
+f AS (
+  SELECT doc_id, ref,
+         regexp_extract_all(
+           '<html><body><div><item>' || w1
+             || '</item></div><item cls="x">' || w2
+             || '</item></body></html>',
+           '(?s)<item[^>]*>.*?</item>') AS l
+  FROM d)
+SELECT doc_id, (i - 1)::BIGINT AS pos,
+       ref || '!item:nth(' || (i - 1) || ')' AS child_ref,
+       'item:nth(' || (i - 1) || ')' AS embedded_ref,
+       l[i] AS fragment
+FROM f, (SELECT unnest(range(1, 11)) AS i) r
+WHERE i <= len(l)
+""",
+        # the path-scoped SAX walk on this controlled feed reduces to
+        # the species-scoped fragment; the pen-branch <animal> must NOT
+        # appear (that scoping is the semantics under test)
+        "q_xml_split": f"""
+WITH {_SPLIT_FEED_SQL}
+SELECT doc_id, 0::BIGINT AS pos,
+       ref || '!0' AS child_ref,
+       '0' AS embedded_ref,
+       '<animal><name>' || w1 || '</name></animal>' AS fragment
+FROM d
+""",
+        "q_pdf_split": f"""
+WITH {_SPLIT_FEED_SQL},
+f AS (
+  SELECT doc_id, ref,
+         string_split(w1 || chr(12) || w2 || chr(12) || 'end',
+                      chr(12)) AS l
+  FROM d)
+SELECT doc_id, i::BIGINT AS page_number, len(l)::BIGINT AS total_pages,
+       ref || '#' || i AS child_ref, l[i] AS page_text
+FROM f, (SELECT unnest(range(1, 11)) AS i) r
+WHERE i <= len(l)
+""",
+        # brute-force over the planted 200-sig set — the banded join's
+        # pigeonhole guarantee (dist <= 3 < 8 bands) makes the LSH
+        # candidate set complete, so exact-all-pairs IS the oracle
+        "q_hamming_neardup": """
+WITH s AS (
+  SELECT doc_id,
+         (doc_id // 4) * 1024 + ([0,1,3,7])[(doc_id % 4 + 1)::INT] AS sig
+  FROM documents WHERE doc_id < 200)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+""",
         "q_jaccard_next": f"""
 WITH ws AS (SELECT doc_id, list_distinct({w}) AS s FROM documents)
 SELECT a.doc_id,

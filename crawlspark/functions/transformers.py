@@ -34,7 +34,10 @@ so a reference user can find each handler by name.
 | HierarchyTransformer         | meta_hierarchy            |
 | TextStatisticsTransformer    | text_statistics           |
 | UrlExtractorTransformer      | extract_urls              |
-| Splitters (Csv/Dom/Xml)      | split_explode, split_csv  |
+| CsvSplitter                  | split_csv / split_explode |
+| DomSplitter                  | split_dom                 |
+| XmlStreamSplitter            | split_xml_stream          |
+| PdfPageSplitter              | split_pdf_pages           |
 | Conditions (Blank/Numeric/…) | cond_* boolean Columns    |
 
 Metadata model: the reference's ``Properties`` is a multi-valued
@@ -46,6 +49,7 @@ map_filter, transform_keys) — no Python, fully codegen'd.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -314,6 +318,185 @@ def split_csv(df, col, delim: str = ",", out_col: str = "cell"):
         F.posexplode(F.split(F.col(col), _rx_quote(delim))).alias(
             "pos", out_col
         ),
+    )
+
+
+def split_dom(
+    df,
+    col,
+    tag: str,
+    ref_col: str = "ref",
+    out_col: str = "fragment",
+):
+    """DomSplitter (importer/.../splitter/impl/DomSplitter.java:146-183)
+    for an element-TAG selector: one child row per matching element's
+    outer markup, with the reference's child-doc contract —
+    ``child_ref = <parent ref> + "!" + <embedded ref>`` and the
+    embedded reference kept in its own column
+    (DocMetaConstants.EMBEDDED_REFERENCE). The reference's embedRef is
+    jsoup's cssSelector(); the deterministic analog here is
+    ``<tag>:nth(<match index>)``.
+
+    Guard parity (DomSplitter.java:152-158): when exactly ONE element
+    matches and it IS the whole body (the parent matching itself), no
+    children are produced — otherwise a recursive splitter chain would
+    loop forever.
+
+    Spark-first: the DOM walk the reference does in jsoup is, for a
+    tag selector, a regexp_extract_all + posexplode — one generated
+    projection, no Python, no shuffle. CSS class/attribute selectors
+    that genuinely need a DOM live in the same slot as a pandas UDF.
+    """
+    frag_rx = f"(?s)<{tag}[^>]*>.*?</{tag}>"
+    c = F.col(col) if isinstance(col, str) else col
+    frags = F.regexp_extract_all(c, F.lit(frag_rx), F.lit(0))
+    whole = F.trim(c)
+    self_match = (F.size(frags) == 1) & (frags.getItem(0) == whole)
+    frags = F.when(self_match, F.array().cast("array<string>")).otherwise(
+        frags
+    )
+    embed = F.concat(F.lit(f"{tag}:nth("), F.col("pos"), F.lit(")"))
+    return (
+        df.select(
+            "*", F.posexplode(frags).alias("pos", out_col)
+        )
+        .withColumn("embedded_ref", embed)
+        .withColumn(
+            "child_ref",
+            F.concat(F.col(ref_col), F.lit("!"), F.col("embedded_ref")),
+        )
+        .withColumnRenamed(ref_col, "parent_ref")
+    )
+
+
+def _sax_split(doc: str, path: list[str]) -> list[str]:
+    """XmlStreamSplitter's SAX walk (XmlStreamSplitter.java:181-258):
+    stream the document, re-serializing every element whose FULL path
+    from the root equals ``path``. Returns the child fragments in
+    document order, attributes re-emitted and text XML-escaped exactly
+    like the reference's esc()/characters handlers (whitespace-only
+    character runs dropped)."""
+    import re as _re
+    import xml.sax
+    from xml.sax.saxutils import escape, quoteattr
+
+    frags: list[str] = []
+
+    class H(xml.sax.ContentHandler):
+        def __init__(self) -> None:
+            self.cur: list[str] = []
+            self.buf: list[str] | None = None
+
+        def startElement(self, name, attrs):
+            self.cur.append(name)
+            if self.cur == path:
+                self.buf = []
+            if self.buf is not None:
+                a = "".join(
+                    f" {k}={quoteattr(attrs[k])}" for k in attrs.getNames()
+                )
+                self.buf.append(f"<{name}{a}>")
+
+        def characters(self, content):
+            if self.buf is not None:
+                self.buf.append(escape(_re.sub(r"^\s+$", "", content)))
+
+        def endElement(self, name):
+            if self.buf is not None:
+                self.buf.append(f"</{name}>")
+                if self.cur == path:
+                    frags.append("".join(self.buf))
+                    self.buf = None
+            self.cur.pop()
+
+    try:
+        xml.sax.parseString(doc.encode("utf-8", errors="replace"), H())
+    except xml.sax.SAXParseException:
+        pass  # non-lenient body: malformed XML yields no children
+    return frags
+
+
+def split_xml_stream(
+    df,
+    col,
+    path: str,
+    ref_col: str = "ref",
+    out_col: str = "fragment",
+):
+    """XmlStreamSplitter (importer/.../splitter/impl/
+    XmlStreamSplitter.java:129-258): split a large XML document on the
+    element at the FULL slash-separated ``path`` from the root (e.g.
+    ``/animals/species/animal``) — unlike split_dom, an identically
+    named element outside that path is NOT split. Child contract
+    matches the reference: ``child_ref = parent + "!" + <index>`` with
+    the 0-based split index as the embedded reference
+    (XmlStreamSplitter.java:225-237).
+
+    Streaming is per-row here (a SAX pass inside an Arrow-batched
+    pandas UDF — the genuinely non-columnar slot): each row's XML is
+    streamed, never DOM-materialized, so a 1 GB single-document XML
+    costs O(depth) memory exactly like the reference."""
+    segs = [s for s in path.split("/") if s]
+
+    @F.pandas_udf("array<string>")
+    def sax(ser: pd.Series) -> pd.Series:
+        return ser.map(lambda x: _sax_split(x, segs) if x else [])
+
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        df.select("*", F.posexplode(sax(c)).alias("pos", out_col))
+        .withColumn("embedded_ref", F.col("pos").cast("string"))
+        .withColumn(
+            "child_ref",
+            F.concat(F.col(ref_col), F.lit("!"), F.col("embedded_ref")),
+        )
+        .withColumnRenamed(ref_col, "parent_ref")
+    )
+
+
+def split_pdf_pages(
+    df,
+    col,
+    ref_col: str = "ref",
+    out_col: str = "page_text",
+    page_prefix: str = "#",
+):
+    """PdfPageSplitter (importer/.../splitter/impl/
+    PdfPageSplitter.java:100-160): one child doc per PDF page, child
+    ref = ``<parent><prefix><pageNo>`` (DEFAULT_REFERENCE_PAGE_PREFIX
+    "#"), with ``page_number``/``total_pages`` metadata
+    (DOC_PDF_PAGE_NO / DOC_PDF_TOTAL_PAGES). Single-page documents are
+    NOT split (the reference annotates the parent 1/1 and returns) —
+    they come back as one row with page_number = total_pages = 1.
+
+    The binary-PDF page walk needs pdfbox/pypdf (absent from this
+    container); the implemented path is the extracted-TEXT convention:
+    page boundaries are form feeds (\\f — what pdftotext and PDFBox's
+    own text stripper emit between pages). A pypdf-backed byte-level
+    splitter drops into the same posexplode slot when the library is
+    importable."""
+    c = F.col(col) if isinstance(col, str) else col
+    pages = F.split(c, "\f")
+    return (
+        df.withColumn("total_pages", F.size(pages))
+        .select(
+            "*", F.posexplode(pages).alias("_p0", out_col)
+        )
+        .withColumn("page_number", F.col("_p0") + 1)
+        .drop("_p0")
+        .withColumn(
+            "child_ref",
+            F.when(
+                F.col("total_pages") <= 1, F.col(ref_col)
+            ).otherwise(
+                F.concat(
+                    F.col(ref_col),
+                    F.lit(page_prefix),
+                    F.col("page_number"),
+                )
+            ),
+        )
+        .withColumnRenamed(ref_col, "parent_ref")
     )
 
 

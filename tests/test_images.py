@@ -100,3 +100,31 @@ def test_phash_int64_range():
     for i in range(20):
         h = phash64(pixels_for(f"u{i}", 16, 16))
         assert -(1 << 63) <= h < (1 << 63)
+
+
+def test_phash_neardup_pairs_spark(spark):
+    """Image near-dup dedup end-to-end on REAL payload phashes: a
+    lossy re-encode of the same image must pair with the original
+    (small Hamming distance), unrelated images must not — through the
+    banded hamming64_dup_pairs join (the multimodal companion of
+    simhash_dup_pairs)."""
+    from crawlspark.operators.similarity import hamming64_dup_pairs
+
+    rows = []
+    for i, iid in enumerate(["u-a", "u-b", "u-c", "u-d"]):
+        px = pixels_for(f"http://img/{iid}", 32, 32)
+        rows.append((2 * i, phash64(px)))
+        # near-dup twin: lossy roundtrip of the SAME pixels
+        rows.append(
+            (2 * i + 1, phash64(decode_image(encode_image(px, "jpeg"))))
+        )
+    sigs = spark.createDataFrame(rows, "doc_id long, sig long")
+    got = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in hamming64_dup_pairs(sigs, max_dist=4).collect()
+    }
+    for i in range(4):  # each original pairs with its lossy twin
+        assert (2 * i, 2 * i + 1) in got, got
+    # no cross-image pair sneaks in under the distance bound
+    for (a, b) in got:
+        assert b == a + 1 and a % 2 == 0, got

@@ -209,3 +209,105 @@ def test_sitemap_entry_cap_logged(caplog, monkeypatch):
         )
     assert len(kids) == 5
     assert any("protocol cap" in r.message for r in caplog.records)
+
+
+def test_split_dom(spark):
+    """DomSplitter parity: child ref = parent + '!' + embedRef, all
+    matching elements at any depth, self-match guard
+    (DomSplitter.java:146-183)."""
+    df = spark.createDataFrame(
+        [
+            (
+                "http://h/a",
+                '<html><body><div class="c"><item>one</item></div>'
+                "<item id=\"2\">two</item></body></html>",
+            ),
+            # exactly one match == the whole body -> NO children
+            ("http://h/self", "<item>solo</item>"),
+            ("http://h/none", "<p>nothing here</p>"),
+        ],
+        schema="ref string, html string",
+    )
+    out = (
+        TR.split_dom(df, "html", "item")
+        .select("parent_ref", "pos", "child_ref", "embedded_ref", "fragment")
+        .collect()
+    )
+    assert len(out) == 2
+    assert out[0]["parent_ref"] == "http://h/a"
+    assert out[0]["child_ref"] == "http://h/a!item:nth(0)"
+    assert out[0]["fragment"] == "<item>one</item>"
+    assert out[1]["fragment"] == '<item id="2">two</item>'
+    assert out[1]["embedded_ref"] == "item:nth(1)"
+
+
+def test_split_xml_stream_path_scoped(spark):
+    """XmlStreamSplitter parity (XmlStreamSplitter.java:129-258): the
+    reference's own /animals/species/animal example — an <animal>
+    OUTSIDE the full path is not split; attributes re-emitted; embed
+    ref is the 0-based index."""
+    xml = (
+        "<animals>"
+        '<species name="mouse"><animal><name>Itchy</name>'
+        "<race>cartoon</race></animal></species>"
+        '<species name="cat"><animal><name>Scratchy</name>'
+        "<race>cartoon</race></animal></species>"
+        "<pen><animal><name>Decoy</name></animal></pen>"
+        "</animals>"
+    )
+    df = spark.createDataFrame(
+        [("http://h/zoo", xml), ("http://h/bad", "<oops")],
+        schema="ref string, xml string",
+    )
+    out = (
+        TR.split_xml_stream(df, "xml", "/animals/species/animal")
+        .select("parent_ref", "child_ref", "embedded_ref", "fragment")
+        .collect()
+    )
+    assert len(out) == 2  # Itchy + Scratchy; Decoy skipped; bad XML -> none
+    assert out[0]["child_ref"] == "http://h/zoo!0"
+    assert out[0]["fragment"] == (
+        "<animal><name>Itchy</name><race>cartoon</race></animal>"
+    )
+    assert out[1]["embedded_ref"] == "1"
+    assert "Scratchy" in out[1]["fragment"]
+
+
+def test_split_xml_stream_escaping():
+    """Text content re-escaped like the reference's esc() and
+    whitespace-only runs dropped (XmlStreamSplitter.java:207-213)."""
+    frags = TR._sax_split(
+        "<r> <x><v>a &amp; b &lt; c</v></x> </r>", ["r", "x"]
+    )
+    assert frags == ["<x><v>a &amp; b &lt; c</v></x>"]
+
+
+def test_split_pdf_pages(spark):
+    """PdfPageSplitter parity: form-feed page walk, '#'-prefixed child
+    refs, single-page docs annotated 1/1 and not split
+    (PdfPageSplitter.java:100-160)."""
+    df = spark.createDataFrame(
+        [
+            ("http://h/doc.pdf", "page one\ftwo\fthree"),
+            ("http://h/single.pdf", "only page"),
+        ],
+        schema="ref string, text string",
+    )
+    out = (
+        TR.split_pdf_pages(df, "text")
+        .select(
+            "parent_ref", "child_ref", "page_number", "total_pages",
+            "page_text",
+        )
+        .collect()
+    )
+    multi = [r for r in out if r["parent_ref"] == "http://h/doc.pdf"]
+    single = [r for r in out if r["parent_ref"] == "http://h/single.pdf"]
+    assert [r["page_number"] for r in multi] == [1, 2, 3]
+    assert multi[1]["child_ref"] == "http://h/doc.pdf#2"
+    assert multi[0]["total_pages"] == 3
+    assert multi[2]["page_text"] == "three"
+    assert len(single) == 1
+    assert single[0]["page_number"] == 1
+    assert single[0]["total_pages"] == 1
+    assert single[0]["child_ref"] == "http://h/single.pdf"  # unsplit
