@@ -371,6 +371,16 @@ def q_hamming_neardup(spark, sf_dir):
     return hamming64_dup_pairs(sigs)
 
 
+def q_dup_components(spark, sf_dir):
+    """Duplicate clusters from the near-dup pairs: min-label
+    propagation to a fixpoint (the canonical-doc pick that actually
+    shrinks a corpus after any pair-join dedup op). Oracle: recursive
+    reachability closure over the same pairs."""
+    from crawlspark.operators.dedup import connected_components
+
+    return connected_components(q_hamming_neardup(spark, sf_dir))
+
+
 def q_cosine_topk(spark, sf_dir):
     return S.cosine_topk(_t(spark, sf_dir, "embeddings")).select(
         "query_id", "neighbor_id", "cos", F.col("rk").cast("long").alias("rk")
@@ -597,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_xml_split": q_xml_split,
         "q_pdf_split": q_pdf_split,
         "q_hamming_neardup": q_hamming_neardup,
+        "q_dup_components": q_dup_components,
         "q_cosine_topk": q_cosine_topk,
         "q_incremental_delta": q_incremental_delta,
         "q_recrawl_due": q_recrawl_due,
@@ -933,6 +944,24 @@ SELECT a.doc_id AS a, b.doc_id AS b,
        bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
 FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sig, b.sig)) <= 3
+""",
+        "q_dup_components": """
+WITH RECURSIVE
+s AS (
+  SELECT doc_id,
+         (doc_id // 4) * 1024 + ([0,1,3,7])[(doc_id % 4 + 1)::INT] AS sig
+  FROM documents WHERE doc_id < 200),
+p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+reach(src, dst) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM e)
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst
+)
+SELECT src AS id, min(dst) AS component FROM reach GROUP BY src
 """,
         "q_jaccard_next": f"""
 WITH ws AS (SELECT doc_id, list_distinct({w}) AS s FROM documents)

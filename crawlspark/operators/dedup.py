@@ -214,3 +214,68 @@ class BloomPrefilter:
             flagged.filter(F.col("__maybe")).drop("__maybe"),
             flagged.filter(~F.col("__maybe")).drop("__maybe"),
         )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup pairs: (id, component), where
+    component = the minimum member id — the canonical-document pick a
+    training-data dedup makes after any pair-join op
+    (minhash/simhash/embedding/phash near-dup all emit (a, b) pairs;
+    keeping one doc per component is the step that actually shrinks
+    the corpus).
+
+    Min-label propagation over the undirected pair graph: each round
+    every vertex takes the min label among itself and its neighbors —
+    a groupBy-min per round, converging in O(diameter) rounds (near-dup
+    clusters are shallow; genuinely chained corpora converge in
+    O(log n) with doubling, which this plain propagation upper-bounds
+    at ``max_iter``). Each round is ONE shuffle; the loop runs
+    driver-side with localCheckpoint per round so the plan never
+    nests, and stops early on a zero-change round (one tiny count
+    action per round — no row data ever collected)."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "component")
+            .groupBy("id")
+            .agg(F.min("component").alias("n_comp"))
+        )
+        nxt = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("n_comp", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            nxt.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    return labels

@@ -113,3 +113,18 @@ def test_lsh_bucket_caps(spark, caplog):
     assert any(
         "embedding_neardup_pairs" in r.message for r in caplog.records
     )
+
+
+def test_connected_components(spark):
+    """Chain + singleton-pair graph: min-label propagation converges
+    to min-member components and stops early on the fixpoint."""
+    from crawlspark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 9), (9, 8)], "a long, b long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7, 9: 7}
