@@ -356,6 +356,16 @@ def _write_scaling_doc(
         c = r.get("core_seconds")
         return f"{c}" if c is not None else "—"
 
+    cs_lines = []
+    for a, b in pairs:
+        ca, cb = best[a].get("core_seconds"), best[b].get("core_seconds")
+        if ca and cb:
+            cs_lines.append(
+                f"- {a} -> {b} cores: {ca} -> {cb} core-s "
+                f"({cb / ca:.2f}x; 1.0x = perfect work conservation)"
+            )
+    core_s_rows = "\n".join(cs_lines) or "- (no core-second data yet)"
+
     trial_rows = "\n".join(
         f"| local[{n}] | {i + 1} | {r.get('code', '?')} | "
         f"{r['crawl_seconds']} | {r['frontier_urls_per_sec']} | {_cs(r)} |"
@@ -418,14 +428,23 @@ Best per level:
 ## Work conservation (core-seconds)
 
 The `core-s` column sums executor task run time over the measured
-crawl (Spark event-log task metrics; warmup excluded). Near-equal
-core-seconds across levels means the job performs the SAME total work
-at every parallelism — no algorithmic inflation with more cores — so
-any wall-clock efficiency below 1.0 decomposes into (a) the fixed
-per-superstep driver floor (~6 BFS supersteps of job scheduling +
-Python round-trips, which a real 4x-executor cluster does not
-multiply: drivers don't slow down with more executors), and (b) the
-single shared memory bus + local disk of this box, quantified below.
+crawl (Spark event-log task metrics; warmup excluded). The job's
+LOGICAL work is identical at every level (same input, identical
+urls_fetched/docs_committed, same per-row dataflow); core-seconds
+measure how many core-hours the box needed to perform it:
+
+{core_s_rows}
+
+Where core-seconds stay near-flat between two levels, the wall-clock
+efficiency loss at that step is only the fixed per-superstep driver
+floor (~6 BFS supersteps of job scheduling + Python round-trips,
+which a real 4x-executor cluster does not multiply — drivers don't
+slow down with more executors). Where core-seconds INFLATE with the
+level, each core is stalling — run time includes memory-bus and
+Python-worker wait — which is the shared-box signature quantified by
+the bandwidth table below, not extra algorithmic work (the task
+structure per row is unchanged; a real cluster adds a memory bus and
+a disk with every executor node instead of dividing one).
 
 ## One box is not a cluster: the memory-bus ceiling
 
