@@ -117,6 +117,8 @@ HEADLINE = [
     "q_langid",
     "q_cosine_topk",
     "q_lsh_bucket_stats",
+    "q_hamming_neardup",
+    "q_dup_components",
 ]
 
 
