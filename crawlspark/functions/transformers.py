@@ -526,6 +526,31 @@ def cond_reference(url_col, pattern: str) -> Column:
     return cond_text(url_col, pattern)
 
 
+def cond_date(col, op: str, value: str) -> Column:
+    """DateCondition (importer/.../condition/impl/DateCondition.java):
+    compare a date/timestamp field against a fixed ISO date. (The
+    reference's TODAY-relative operands resolve to a fixed date at
+    config load; pass that resolved date here — the engine stays
+    deterministic, no wall-clock in the plan.)"""
+    c = F.col(col) if isinstance(col, str) else col
+    d = c.cast("timestamp")
+    v = F.lit(value).cast("timestamp")
+    return {
+        ">": d > v,
+        ">=": d >= v,
+        "<": d < v,
+        "<=": d <= v,
+        "==": d == v,
+    }[op]
+
+
+def cond_dom(col, tag: str) -> Column:
+    """DOMCondition for a tag selector: does the markup contain a
+    matching element (same element grammar as split_dom)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.rlike(f"(?s)<{tag}[^>]*>.*?</{tag}>")
+
+
 def apply_when(df, condition: Column, col_name: str, then_expr: Column):
     """Guarded handler application (condition -> transformer), the
     ``if`` wrapper of the reference's handler flow."""

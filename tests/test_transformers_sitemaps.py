@@ -311,3 +311,19 @@ def test_split_pdf_pages(spark):
     assert single[0]["page_number"] == 1
     assert single[0]["total_pages"] == 1
     assert single[0]["child_ref"] == "http://h/single.pdf"  # unsplit
+
+
+def test_cond_date_and_dom(spark, df):
+    out = df.select(
+        "id",
+        TR.cond_date("d", ">", "2022-01-01").alias("after"),
+        TR.cond_dom(F.lit("<p><item x=1>v</item></p>"), "item").alias(
+            "has_item"
+        ),
+        TR.cond_dom(F.lit("<p>no</p>"), "item").alias("no_item"),
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[1]["after"] is False  # 2021-03-04
+    assert by_id[2]["after"] is True   # 2022-12-31
+    assert by_id[3]["after"] is None   # null date propagates
+    assert by_id[1]["has_item"] and not by_id[1]["no_item"]
