@@ -97,18 +97,24 @@ def lsh_signatures(
     md5, no RNG state shipped to executors.
 
     The (p, d) weight is data-INdependent, so it is precomputed
-    driver-side into a literal matrix (n_planes x max_dims doubles —
-    16 KB at the defaults, shipped once inside the plan) and each row
-    only does the multiply-adds; the previous shape recomputed
+    driver-side into a literal matrix sized by a one-row dim probe
+    (n_planes x dim doubles shipped once inside the plan) and each
+    row only does the multiply-adds; the previous shape recomputed
     n_planes x dim md5s PER ROW (5M md5s for a 5k x 64-dim table),
     which at the 10^10-vector tier is the whole job. Same bits out
-    (see _plane_weights). Vectors wider than ``max_dims`` would
-    zip_with null weights — raise the parameter for such corpora."""
-    w = _plane_weights(n_planes, max_dims)
+    (see _plane_weights). ``max_dims`` caps the literal width (plan
+    size is linear in it — a 16x1024 literal tree measurably slows
+    analysis+codegen); vectors wider than the probed first row would
+    zip_with null weights — fixed-dim embedding columns only."""
+    probe = emb.select(F.size(F.col("embedding")).alias("d")).first()
+    n_dims = min(probe["d"], max_dims) if probe else max_dims
+    w = _plane_weights(n_planes, n_dims)
     esz = F.size(F.col("embedding"))
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
-        wcol = F.slice(F.array(*[F.lit(x) for x in w[p]]), 1, esz)
+        # F.lit(list) emits ONE array Literal — F.array(*lits) would
+        # be a CreateArray re-evaluated per row
+        wcol = F.slice(F.lit(w[p]), 1, esz)
         proj = F.aggregate(
             F.zip_with(
                 F.col("embedding"), wcol, lambda x, y: x.cast("double") * y
