@@ -84,3 +84,55 @@ def test_host_arrival_rates(spark, tmp_path, candidate_dir):
     # sliding windows (60s window, 30s slide) double-count arrivals
     assert got["a.b"] == 4  # 2 candidates x 2 windows
     assert got["c.d"] >= 2
+
+
+def test_firstseen_gate_stateful_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps the per-host seen set ACROSS
+    micro-batches: a URL re-discovered in a later file must be
+    suppressed, new URLs pass (maxFilesPerTrigger=1 forces one
+    micro-batch per file)."""
+    from crawlspark.streaming.ingest import firstseen_gate
+
+    d = tmp_path / "in"
+    d.mkdir()
+    b1 = [
+        {"raw_url": "http://h.x/a", "depth": 1, "avail_ms": 0,
+         "discovered_at": "2024-01-01T00:00:01Z"},
+        {"raw_url": "http://h.x/b", "depth": 1, "avail_ms": 0,
+         "discovered_at": "2024-01-01T00:00:02Z"},
+    ]
+    b2 = [
+        {"raw_url": "http://h.x/a", "depth": 2, "avail_ms": 9,  # repeat
+         "discovered_at": "2024-01-01T00:01:01Z"},
+        {"raw_url": "http://h.x/c", "depth": 2, "avail_ms": 0,  # new
+         "discovered_at": "2024-01-01T00:01:02Z"},
+    ]
+    for name, rows in (("b1.json", b1), ("b2.json", b2)):
+        with open(d / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.schema(
+            "raw_url string, depth int, avail_ms long,"
+            " discovered_at timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    gated = firstseen_gate(clean_candidates(stream))
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("gated")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["url"]: r["depth"]
+        for r in spark.sql("select * from gated").collect()
+    }
+    assert set(got) == {"http://h.x/a", "http://h.x/b", "http://h.x/c"}
+    assert got["http://h.x/a"] == 1  # the batch-2 rediscovery was gated
