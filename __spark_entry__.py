@@ -371,6 +371,56 @@ def q_hamming_neardup(spark, sf_dir):
     return hamming64_dup_pairs(sigs)
 
 
+def q_media_payload(spark, sf_dir):
+    """Audio/video multimodal plumbing with ORACLE-CHECKED invariants
+    (the q_image_payload pattern for the other two modalities):
+    synthesize a PCM16 clip and an FVID frame container per doc with
+    doc_id-derived durations/frame counts, run feature extraction and
+    frame sampling over the binary columns, and project columns whose
+    values SQL can recompute (durations, sample/frame counts, the
+    sampled-frame count ceil(n/k)) or assert (RMS/ZCR bounds, thumb
+    decode) — any codec/plumbing defect flips a value."""
+    from crawlspark.sources import mediagen as M
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        F.concat(F.lit("med://"), F.col("doc_id")).alias("media_id"),
+        (400 + (F.col("doc_id") % 5) * 200).cast("long").alias("dur_ms"),
+        (4 + F.col("doc_id") % 4).cast("int").alias("nf"),
+    )
+    aud = d.withColumn(
+        "a", M.make_audio_udf(8000)(F.col("media_id"), F.col("dur_ms"))
+    ).withColumn("feat", M.audio_features_udf(F.col("a.bytes")))
+    vid = d.withColumn(
+        "v", M.make_video_udf(16, 16, 10)(F.col("media_id"), F.col("nf"))
+    ).select("media_id", F.col("v.bytes").alias("payload"))
+    sampled = (
+        M.sample_frames(vid, "payload", "media_id", every_k=2)
+        .groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min_by("frame", "frame_idx").alias("thumb"),
+        )
+        .select(
+            "media_id",
+            "n_sampled",
+            M.frame_decodes_udf(F.col("thumb")).alias("thumb_ok"),
+        )
+    )
+    return aud.join(sampled, "media_id").select(
+        "doc_id",
+        F.col("a.duration_ms").alias("duration_ms"),
+        F.col("a.n_samples").alias("n_samples"),
+        F.col("nf").alias("n_frames"),
+        "n_sampled",
+        (F.col("feat.rms") > 0).alias("rms_positive"),
+        (
+            (F.col("feat.zcr") >= 0) & (F.col("feat.zcr") <= 1)
+        ).alias("zcr_in_range"),
+        "thumb_ok",
+    )
+
+
 def q_dup_components(spark, sf_dir):
     """Duplicate clusters from the near-dup pairs: min-label
     propagation to a fixpoint (the canonical-doc pick that actually
@@ -608,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pdf_split": q_pdf_split,
         "q_hamming_neardup": q_hamming_neardup,
         "q_dup_components": q_dup_components,
+        "q_media_payload": q_media_payload,
         "q_cosine_topk": q_cosine_topk,
         "q_incremental_delta": q_incremental_delta,
         "q_recrawl_due": q_recrawl_due,
@@ -944,6 +995,20 @@ SELECT a.doc_id AS a, b.doc_id AS b,
        bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
 FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sig, b.sig)) <= 3
+""",
+        # every column is a closed-form function of doc_id (or an
+        # always-true gate a codec defect would flip) — the same
+        # invariant-projection pattern as q_image_payload
+        "q_media_payload": """
+SELECT doc_id,
+       (400 + (doc_id % 5) * 200)::BIGINT AS duration_ms,
+       (8000 * (400 + (doc_id % 5) * 200) // 1000)::INT AS n_samples,
+       (4 + doc_id % 4)::INT AS n_frames,
+       ((4 + doc_id % 4 + 1) // 2)::BIGINT AS n_sampled,
+       true AS rms_positive,
+       true AS zcr_in_range,
+       true AS thumb_ok
+FROM documents WHERE doc_id < 200
 """,
         "q_dup_components": """
 WITH RECURSIVE

@@ -1,0 +1,72 @@
+"""Audio/video payload columns: fake codecs, feature extraction,
+frame sampling (sources/mediagen.py)."""
+
+import numpy as np
+import pytest
+
+from crawlspark.sources.mediagen import (
+    decode_audio,
+    decode_audio_real,
+    encode_audio,
+    iter_frames,
+    iter_frames_real,
+    make_video,
+    samples_for,
+    video_meta,
+)
+from crawlspark.sources.docgen import decode_image
+
+
+def test_audio_roundtrip_deterministic():
+    s = samples_for("aud://1", 4000)
+    buf = encode_audio(s, 8000)
+    got, sr = decode_audio(buf)
+    assert sr == 8000
+    assert np.array_equal(got, s)
+    assert np.array_equal(samples_for("aud://1", 4000), s)  # deterministic
+    assert not np.array_equal(samples_for("aud://2", 4000), s)
+
+
+def test_video_container_and_frames():
+    buf = make_video("vid://7", 16, 16, 10, 5)
+    w, h, fps, n = video_meta(buf)
+    assert (w, h, fps, n) == (16, 16, 10, 5)
+    frames = list(iter_frames(buf))
+    assert len(frames) == 5
+    px = decode_image(frames[3])
+    assert px.shape == (16, 16, 3)
+    # frames genuinely differ (id-dependent pixels per frame)
+    assert not np.array_equal(decode_image(frames[0]), px)
+
+
+def test_real_codec_slots_are_gated():
+    with pytest.raises(NotImplementedError):
+        decode_audio_real(b"RIFFxxxx")
+    with pytest.raises(NotImplementedError):
+        list(iter_frames_real(b"\x00\x00\x00 ftypisom"))
+
+
+def test_sample_frames_spark(spark):
+    from pyspark.sql import functions as F
+
+    from crawlspark.sources.mediagen import make_video_udf, sample_frames
+
+    d = spark.range(3).select(
+        F.concat(F.lit("vid://"), F.col("id")).alias("video_id"),
+        (F.lit(4) + F.col("id").cast("int")).alias("nf"),  # 4,5,6 frames
+    )
+    vid = d.select(
+        "video_id",
+        make_video_udf(16, 16, 10)(F.col("video_id"), F.col("nf"))[
+            "bytes"
+        ].alias("payload"),
+    )
+    rows = sample_frames(vid, "payload", "video_id", every_k=2).collect()
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r["video_id"], []).append(r["frame_idx"])
+    assert sorted(by_vid["vid://0"]) == [0, 2]        # 4 frames
+    assert sorted(by_vid["vid://1"]) == [0, 2, 4]     # 5 frames
+    assert sorted(by_vid["vid://2"]) == [0, 2, 4]     # 6 frames
+    px = decode_image(bytes(rows[0]["frame"]))
+    assert px.shape == (16, 16, 3)
