@@ -124,6 +124,62 @@ def fetch_url(
     return status, body, redirect_to
 
 
+def head_url(
+    url: str, cfg: HttpFetcherConfig
+) -> tuple[int | None, str | None, str | None]:
+    """One HEAD (the HttpMethod.HEAD directive,
+    HttpClientFetcherConfig's httpMethods) ->
+    (status, last_modified, etag). No body crosses the wire — the
+    real-socket form of the engine's headers-only projection."""
+    import urllib3
+
+    try:
+        r = _pool(cfg).request(
+            "HEAD",
+            url,
+            redirect=False,
+            timeout=urllib3.Timeout(
+                connect=cfg.connect_timeout_s, read=cfg.read_timeout_s
+            ),
+            headers={"User-Agent": cfg.user_agent},
+        )
+    except Exception:
+        return None, None, None
+    return (
+        int(r.status),
+        r.headers.get("Last-Modified"),
+        r.headers.get("ETag"),
+    )
+
+
+def fetch_headers_df(spark, urls_df, cfg: HttpFetcherConfig | None = None):
+    """urls_df(url) -> (url, h_status, last_modified, etag) over real
+    HEAD requests — the schema ``CrawlEngine`` consumes as its
+    headers-only dim for the metadata-checksum band / HEAD-before-GET
+    directive (superstep.py builds the same projection from pages_df
+    in fixture mode). Distributed mapInPandas, one pool per worker."""
+    cfg = cfg or HttpFetcherConfig()
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [head_url(str(u), cfg) for u in pdf["url"]]
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "h_status": pd.array(
+                        [r[0] for r in rows], dtype="Int32"
+                    ),
+                    "last_modified": [r[1] for r in rows],
+                    "etag": [r[2] for r in rows],
+                }
+            )
+
+    return urls_df.mapInPandas(
+        gen,
+        schema="url string, h_status int, last_modified string, etag string",
+    )
+
+
 def http_fetch_batches(cfg: HttpFetcherConfig | None = None):
     """The engine's fetch-slot generator over real sockets — same
     signature and retry semantics as ``webgen.fetch_batches``

@@ -66,6 +66,16 @@ def server():
             self.end_headers()
             self.wfile.write(body)
 
+        def do_HEAD(self):
+            st, hdrs, body = routes.get(
+                self.path, (404, {}, b"")
+            )
+            self.send_response(st)
+            for k, v in hdrs.items():
+                self.send_header(k, v)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+
         def log_message(self, *a):  # quiet
             pass
 
@@ -174,3 +184,30 @@ def test_socket_crawl_matches_join_crawl(spark, server, tmp_path):
     db = eng_sock.docs_df().toPandas().sort_values("image_id")
     assert da["image_id"].tolist() == db["image_id"].tolist()
     assert da["checksum"].tolist() == db["checksum"].tolist()
+
+
+def test_head_headers_df(spark, server):
+    """Real HEAD requests produce the engine's headers-dim schema —
+    Last-Modified/ETag captured, no body fetched (the HttpMethod.HEAD
+    directive over sockets)."""
+    from crawlspark.sources.httpfetch import fetch_headers_df
+
+    base, routes = server
+    routes["/stamped"] = (
+        200,
+        {
+            "Content-Type": "text/html",
+            "Last-Modified": "Wed, 01 May 2024 00:00:00 GMT",
+            "ETag": '"v42"',
+        },
+        b"<html><body>s</body></html>",
+    )
+    urls = spark.createDataFrame(
+        [(f"{base}/stamped",), (f"{base}/missing",)], "url string"
+    )
+    got = {r["url"]: r for r in fetch_headers_df(spark, urls).collect()}
+    s = got[f"{base}/stamped"]
+    assert s["h_status"] == 200
+    assert s["last_modified"] == "Wed, 01 May 2024 00:00:00 GMT"
+    assert s["etag"] == '"v42"'
+    assert got[f"{base}/missing"]["h_status"] == 404
