@@ -241,7 +241,9 @@ def main(argv: list[str] | None = None) -> int:
         if name == "export":
             p.add_argument("--out", required=True)
             p.add_argument(
-                "--format", choices=("parquet", "csv", "json", "xml"), default="parquet"
+                "--format",
+                choices=("parquet", "orc", "csv", "json", "xml"),
+                default="parquet",
             )
     args = ap.parse_args(argv)
 
@@ -304,6 +306,7 @@ def main(argv: list[str] | None = None) -> int:
         ).read()
         sink = {
             "parquet": C.parquet_committer,
+            "orc": C.orc_committer,
             "csv": C.csv_committer,
             "json": C.json_committer,
             "xml": C.xml_committer,

@@ -106,3 +106,9 @@ def parquet_committer(ops: DataFrame, path: str) -> None:
     """Columnar sink: resolved state as parquet (the Iceberg table
     slot — swap for ``resolved.writeTo(table)`` with a catalog)."""
     resolve_operations(ops).write.mode("overwrite").parquet(path)
+
+
+def orc_committer(ops: DataFrame, path: str) -> None:
+    """Columnar sink #2 (Spark-builtin ORC) — same resolved-state
+    contract as the parquet committer for ORC-native warehouses."""
+    resolve_operations(ops).write.mode("overwrite").orc(path)

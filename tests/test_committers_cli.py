@@ -49,10 +49,12 @@ def test_file_committers(ops, spark, tmp_path):
     C.csv_committer(ops, str(tmp_path / "csv"))
     C.json_committer(ops, str(tmp_path / "json"))
     C.parquet_committer(ops, str(tmp_path / "pq"))
+    C.orc_committer(ops, str(tmp_path / "orc"))
     csv = spark.read.option("header", True).csv(str(tmp_path / "csv"))
     js = spark.read.json(str(tmp_path / "json"))
     pq = spark.read.parquet(str(tmp_path / "pq"))
-    assert csv.count() == js.count() == pq.count() == 2
+    orc = spark.read.orc(str(tmp_path / "orc"))
+    assert csv.count() == js.count() == pq.count() == orc.count() == 2
     assert "bytes_b64" in js.columns and "bytes_len" in csv.columns
 
 

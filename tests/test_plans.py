@@ -130,3 +130,19 @@ def test_baseline_broadcast_auto_strategy(spark, tmp_path):
     # Catalyst may still pick broadcast for a genuinely tiny frame via
     # autoBroadcastJoinThreshold — what must be gone is the FORCED
     # hint; assert on the optimized logical plan instead
+
+
+def test_lsh_signature_plan_has_no_per_row_hash(spark):
+    """The sign-LSH plane weights are a driver-side literal matrix —
+    the signature plan must contain NO md5 (the old shape hashed
+    (plane, dim) per row: n_planes x dim md5s per vector) and no
+    CreateArray of the weights (re-evaluated per row; the weights ride
+    as one array Literal)."""
+    from crawlspark.operators.similarity import lsh_signatures
+
+    emb = spark.createDataFrame(
+        [(1, "a", [0.1, 0.2, 0.3])],
+        "vec_id long, label string, embedding array<double>",
+    )
+    plan = lsh_signatures(emb, n_planes=4)._jdf.queryExecution().optimizedPlan().toString()
+    assert "md5" not in plan.lower(), plan[:2000]
