@@ -89,6 +89,16 @@ def extract_links(base_url: str, html: str | None) -> list[tuple[str, int]]:
     for m in _META_REFRESH_RE.finditer(html):
         found.append((m.start(), m.group(1)))
 
+    return _finalize_links(base, found)
+
+
+def _finalize_links(
+    base: str, found: list[tuple[int, str]]
+) -> list[tuple[str, int]]:
+    """Shared extractor tail: document order, resolution against the
+    base, scheme/length caps, first-occurrence-wins per-doc dedup —
+    identical across Html/Regex/XmlFeed extractors so they are
+    drop-in alternatives in the parse-transformer slot."""
     found.sort(key=lambda t: t[0])
     out: list[tuple[str, int]] = []
     seen: set[str] = set()
@@ -103,6 +113,47 @@ def extract_links(base_url: str, html: str | None) -> list[tuple[str, int]]:
         seen.add(url)
         out.append((url, len(out)))
     return out
+
+
+def extract_links_regex(
+    base_url: str, text: str | None, patterns: list[str]
+) -> list[tuple[str, int]]:
+    """RegexLinkExtractor (web/.../link/impl/RegexLinkExtractor
+    .java:98-150): every match of every configured pattern is a link
+    candidate — for plain-text or otherwise non-HTML content. Same
+    (url, position) contract as ``extract_links``."""
+    if not text:
+        return []
+    found: list[tuple[int, str]] = []
+    for p in patterns:
+        for m in re.finditer(p, text):
+            found.append((m.start(), m.group()))
+    return _finalize_links(base_url, found)
+
+
+_FEED_RSS_LINK_RE = re.compile(r"<link[^>/]*>\s*([^<\s]+)\s*</link>", re.I)
+_FEED_ATOM_LINK_RE = re.compile(
+    r"<link\b[^>]*\bhref\s*=\s*[\"']([^\"']+)[\"']", re.I
+)
+_FEED_ENCLOSURE_RE = re.compile(
+    r"<enclosure\b[^>]*\burl\s*=\s*[\"']([^\"']+)[\"']", re.I
+)
+
+
+def extract_links_xml_feed(
+    base_url: str, xml: str | None
+) -> list[tuple[str, int]]:
+    """XmlFeedLinkExtractor (web/.../link/impl/XmlFeedLinkExtractor
+    .java:99-120): RSS ``<link>url</link>``, Atom ``<link href>`` and
+    ``<enclosure url>`` targets, in document order, resolved against
+    the feed URL."""
+    if not xml:
+        return []
+    found: list[tuple[int, str]] = []
+    for rx in (_FEED_RSS_LINK_RE, _FEED_ATOM_LINK_RE, _FEED_ENCLOSURE_RE):
+        for m in rx.finditer(xml):
+            found.append((m.start(), m.group(1)))
+    return _finalize_links(base_url, found)
 
 
 _LINK_HDR_CANON_RE = re.compile(

@@ -66,3 +66,38 @@ def test_robots_meta():
     )
     assert extract_robots_meta("<p>x</p>") == (False, False)
     assert extract_robots_meta(None) == (False, False)
+
+
+def test_extract_links_regex():
+    from crawlspark.functions.links import extract_links_regex
+
+    text = (
+        "see https://a.b/x and also https://a.b/x again, "
+        "plus http://c.d/y?z=1 but not ftp://no.pe/f"
+    )
+    got = extract_links_regex(
+        "http://base/", text, [r"https?://[^\s,]+"]
+    )
+    assert got == [("https://a.b/x", 0), ("http://c.d/y?z=1", 1)]
+    assert extract_links_regex("http://base/", None, [r"x"]) == []
+
+
+def test_extract_links_xml_feed():
+    from crawlspark.functions.links import extract_links_xml_feed
+
+    rss = (
+        "<rss><channel>"
+        "<item><link>http://a.b/one</link>"
+        '<enclosure url="/media/ep1.mp3" type="audio/mpeg"/></item>'
+        '<item><link href="http://a.b/atomish"/></item>'
+        "<item><link>relative/two</link></item>"
+        "</channel></rss>"
+    )
+    got = extract_links_xml_feed("http://feeds.a.b/f.xml", rss)
+    urls = [u for u, _ in got]
+    assert urls == [
+        "http://a.b/one",
+        "http://feeds.a.b/media/ep1.mp3",
+        "http://a.b/atomish",
+        "http://feeds.a.b/relative/two",
+    ]
