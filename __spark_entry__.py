@@ -232,6 +232,10 @@ def q_langid(spark, sf_dir):
     return X.langid(_t(spark, sf_dir, "documents"))
 
 
+def q_bpe_token_stats(spark, sf_dir):
+    return X.bpe_token_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_minhash_signatures(spark, sf_dir):
     return X.minhash_signatures(_t(spark, sf_dir, "documents")).select(
         "doc_id", F.col("i").cast("long").alias("i"), "minhash"
@@ -648,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_stats": q_token_stats,
         "q_quality_scores": q_quality_scores,
         "q_langid": q_langid,
+        "q_bpe_token_stats": q_bpe_token_stats,
         "q_minhash_signatures": q_minhash_signatures,
         "q_minhash_dup_pairs": q_minhash_dup_pairs,
         "q_simhash": q_simhash,
@@ -892,6 +897,16 @@ FROM (SELECT doc_id,
              md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
       FROM docs2)
 GROUP BY fingerprint HAVING count(*) > 1
+""",
+        "q_bpe_token_stats": f"""
+SELECT doc_id,
+       len({w})::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(lower(trim(text)),
+           '{X.BPE_TOKEN_RX.replace("'", "''")}'))::BIGINT AS n_bpe_tokens,
+       round(len(regexp_extract_all(lower(trim(text)),
+           '{X.BPE_TOKEN_RX.replace("'", "''")}'))::DOUBLE
+             / len({w}), 4) AS bpe_per_word
+FROM documents
 """,
         "q_token_stats": f"""
 SELECT lang, count(*) AS n_docs,

@@ -140,6 +140,30 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
 
 # -- token / quality / language ----------------------------------------------
 
+# BPE-ish pre-tokenizer: the GPT-2 pattern family reduced to the
+# lookahead-free subset Java regex and RE2 agree on — contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+# whitespace runs. A real learned-merges tokenizer slots in as a
+# pandas UDF over the same column; this regex pass is the
+# SQL-expressible token-count proxy training-data budgeting uses.
+BPE_TOKEN_RX = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|\s"
+
+
+def bpe_token_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens, bpe_per_word) — whitespace
+    vs BPE-ish token counts per document; the fertility ratio is the
+    number a token-budgeted corpus plan actually needs."""
+    t = F.lower(F.trim(F.col("text")))
+    w = words_col(F.col("text"))
+    bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RX), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_tokens"),
+        F.round(bpe / F.size(w), 4).alias("bpe_per_word"),
+    )
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """Per-language token statistics."""
     w = words_col(F.col("text"))
