@@ -425,6 +425,20 @@ def q_media_payload(spark, sf_dir):
     )
 
 
+def q_ivf_cells(spark, sf_dir):
+    """IVF coarse-quantizer cell occupancy (ivf_cell_stats)."""
+    return S.ivf_cell_stats(_t(spark, sf_dir, "embeddings")).select(
+        "cell", "n_vectors", "n_labels"
+    )
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN top-k: probe the n_probe best cells per query, exact
+    cosine only inside them — the inverted-file scale path beside
+    sign-LSH."""
+    return S.ivf_topk(_t(spark, sf_dir, "embeddings"))
+
+
 def q_dup_components(spark, sf_dir):
     """Duplicate clusters from the near-dup pairs: min-label
     propagation to a fixpoint (the canonical-doc pick that actually
@@ -664,6 +678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hamming_neardup": q_hamming_neardup,
         "q_dup_components": q_dup_components,
         "q_media_payload": q_media_payload,
+        "q_ivf_cells": q_ivf_cells,
+        "q_ivf_topk": q_ivf_topk,
         "q_cosine_topk": q_cosine_topk,
         "q_incremental_delta": q_incremental_delta,
         "q_recrawl_due": q_recrawl_due,
@@ -796,6 +812,24 @@ def _lsh_sig_expr(n_planes: int) -> str:
 
 
 _EN = "[" + ", ".join(f"'{s}'" for s in LANG_STOPWORDS["en"]) + "]"
+
+
+def _ivf_score_case(n_cells: int = 16, n_dims: int = 64) -> str:
+    """Per-centroid dot product as a CASE over the probed cell index —
+    the same centroid literals (similarity.ivf_centroids) and the same
+    truncated fold window as the Spark op."""
+    from crawlspark.operators.similarity import ivf_centroids
+
+    cases = []
+    for j, c in enumerate(ivf_centroids(n_cells, n_dims)):
+        lit = "[" + ", ".join(repr(x) for x in c) + "]"
+        fold = (
+            f"list_sum(list_transform("
+            f"range(1, least(len(embedding), {n_dims}) + 1), "
+            f"i -> embedding[i]::DOUBLE * ({lit})[i]))"
+        )
+        cases.append(f"WHEN {j} THEN {fold}")
+    return "CASE j " + " ".join(cases) + " END"
 
 
 def _cos_fold(a: str, b: str) -> str:
@@ -1190,6 +1224,45 @@ hits AS (
 SELECT q.query_id, round(coalesce(h.n, 0) / 3.0, 4) AS recall
 FROM (SELECT DISTINCT query_id FROM exact) q
 LEFT JOIN hits h ON q.query_id = h.query_id
+""",
+        "q_ivf_cells": f"""
+WITH sc AS (
+  SELECT vec_id, label, j, {_ivf_score_case()} AS score
+  FROM embeddings, (SELECT unnest(range(16)) AS j) r),
+asg AS (
+  SELECT vec_id, label, j,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, j) AS rk
+  FROM sc)
+SELECT j::INT AS cell, count(*) AS n_vectors,
+       count(DISTINCT label) AS n_labels
+FROM asg WHERE rk = 1 GROUP BY j
+""",
+        "q_ivf_topk": f"""
+WITH sc AS (
+  SELECT vec_id, label, embedding, j, {_ivf_score_case()} AS score
+  FROM embeddings, (SELECT unnest(range(16)) AS j) r),
+ranked0 AS (
+  SELECT vec_id, embedding, j,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, j) AS rk
+  FROM sc),
+asg AS (SELECT vec_id, embedding, j AS cell FROM ranked0 WHERE rk = 1),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qv, j AS cell
+  FROM ranked0 WHERE vec_id < 5 AND rk <= 4),
+cand AS (
+  SELECT p.query_id, b.vec_id AS neighbor_id,
+         {_cos_fold('p.qv', 'b.embedding')} AS c
+  FROM probes p JOIN asg b USING (cell)
+  WHERE b.vec_id != p.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, c,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, neighbor_id) AS rk
+  FROM cand)
+SELECT query_id, neighbor_id, round(c, 6) AS cos, rk
+FROM ranked WHERE rk <= 3
 """,
         "q_embedding_neardup": f"""
 WITH unioned AS (

@@ -403,3 +403,128 @@ def hamming64_dup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_dist)
     )
+
+
+def ivf_centroids(n_cells: int, n_dims: int) -> list[list[float]]:
+    """Deterministic unit-norm coarse centroids — the same hash-seeded
+    construction as the LSH planes (_plane_weights), L2-normalized
+    driver-side so cell assignment by max dot product is max cosine.
+    No k-means iterations: for a hash-partitioned coarse quantizer the
+    seeded directions are the deterministic stand-in (a learned
+    codebook drops into the same literal slot)."""
+    import math
+
+    out = []
+    for row in _plane_weights(n_cells, n_dims):
+        n = math.sqrt(sum(x * x for x in row))
+        out.append([x / n for x in row])
+    return out
+
+
+def _ivf_scored(emb: DataFrame, n_cells: int, n_dims: int) -> DataFrame:
+    """(vec_id, label, embedding, j, score): dot of each vector against
+    each centroid literal — truncated to min(len, n_dims) dims on both
+    sides, the same index window the oracle folds over."""
+    cents = ivf_centroids(n_cells, n_dims)
+    v = F.slice(F.col("embedding"), 1, F.lit(n_dims))
+    pairs = [
+        F.struct(
+            F.lit(j).alias("j"),
+            _dot(v, F.slice(F.lit(c), 1, F.size(v))).alias("score"),
+        )
+        for j, c in enumerate(cents)
+    ]
+    return emb.select(
+        "vec_id", "label", "embedding", F.explode(F.array(*pairs)).alias("cs")
+    ).select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.col("cs.j").alias("j"),
+        F.col("cs.score").alias("score"),
+    )
+
+
+def ivf_cells(
+    emb: DataFrame, n_cells: int = 16, n_dims: int = 64
+) -> DataFrame:
+    """IVF coarse assignment: (vec_id, label, cell) — each vector joins
+    its max-dot centroid (ties broken by lowest cell id). ONE pass over
+    the data; the centroid matrix rides in the plan as literals."""
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("j"))
+    return (
+        _ivf_scored(emb, n_cells, n_dims)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "label", F.col("j").alias("cell"))
+    )
+
+
+def ivf_cell_stats(
+    emb: DataFrame, n_cells: int = 16, n_dims: int = 64
+) -> DataFrame:
+    """Cell occupancy — the IVF analog of lsh_bucket_stats (decides
+    n_probe / codebook size before the ANN join)."""
+    return (
+        ivf_cells(emb, n_cells, n_dims)
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_dims: int = 64,
+) -> DataFrame:
+    """IVF ANN top-k: queries probe their ``n_probe`` best cells and
+    the exact cosine runs only against vectors assigned there — the
+    inverted-file scale path beside the sign-LSH one (lsh_ann). At
+    10^10 vectors the cells frame is a bucketed table and this is one
+    cell-equi-join instead of a brute-force product; recall tunes with
+    n_probe exactly like a real IVF index.
+    (query_id, neighbor_id, cos, rk)."""
+    base = emb.join(
+        ivf_cells(emb, n_cells, n_dims).select("vec_id", "cell"), "vec_id"
+    )
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("j"))
+    probes = (
+        _ivf_scored(emb.filter(F.col("vec_id") < n_queries), n_cells, n_dims)
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= n_probe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("j").alias("cell"),
+        )
+    )
+    cand = probes.join(base, "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            _dot(F.col("qv"), F.col("embedding"))
+            / (_norm(F.col("qv")) * _norm(F.col("embedding")))
+        ).alias("c"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("c"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("c", 6).alias("cos"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

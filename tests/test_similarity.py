@@ -34,3 +34,30 @@ def test_ann_recall_bounds(spark):
     assert ((r["recall"] >= 0.0) & (r["recall"] <= 1.0)).all()
     # buckets keep the nearest neighbors often enough to be useful
     assert r["recall"].mean() > 0.0
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    """Probing ALL cells makes IVF equal exact search (the sharp
+    deterministic property: candidates == everything), and recall is
+    monotone in n_probe — partial probing returns a subset of cells'
+    true scores, never wrong scores."""
+    from crawlspark.operators.similarity import ivf_topk
+
+    emb = _emb(spark)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in cosine_topk(emb, 5, 3).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in ivf_topk(emb, 5, 3, n_cells=16, n_probe=16).collect()
+    }
+    assert full == exact  # n_probe = n_cells == brute force
+    part = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in ivf_topk(emb, 5, 3, n_cells=16, n_probe=4).collect()
+    }
+    hits = set(exact) & set(part)
+    assert hits  # partial probing still finds true neighbors...
+    for key in hits:  # ...with the identical fold scores
+        assert exact[key] == part[key]
