@@ -236,6 +236,10 @@ def q_bpe_token_stats(spark, sf_dir):
     return X.bpe_token_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_profile(spark, sf_dir):
+    return X.corpus_profile(_t(spark, sf_dir, "documents"))
+
+
 def q_minhash_signatures(spark, sf_dir):
     return X.minhash_signatures(_t(spark, sf_dir, "documents")).select(
         "doc_id", F.col("i").cast("long").alias("i"), "minhash"
@@ -667,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_scores": q_quality_scores,
         "q_langid": q_langid,
         "q_bpe_token_stats": q_bpe_token_stats,
+        "q_corpus_profile": q_corpus_profile,
         "q_minhash_signatures": q_minhash_signatures,
         "q_minhash_dup_pairs": q_minhash_dup_pairs,
         "q_simhash": q_simhash,
@@ -931,6 +936,20 @@ FROM (SELECT doc_id,
              md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
       FROM docs2)
 GROUP BY fingerprint HAVING count(*) > 1
+""",
+        # quantile_cont == Spark's exact percentile (both interpolate
+        # at rank (n-1)*p)
+        "q_corpus_profile": f"""
+WITH d AS (
+  SELECT lang, source, length(text) AS len,
+         len({w}) AS n_tokens
+  FROM documents)
+SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+       min(len)::BIGINT AS len_min,
+       quantile_cont(len, 0.5) AS len_p50,
+       max(len)::BIGINT AS len_max,
+       sum(n_tokens)::BIGINT AS total_tokens
+FROM d GROUP BY lang
 """,
         "q_bpe_token_stats": f"""
 SELECT doc_id,

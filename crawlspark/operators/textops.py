@@ -464,3 +464,28 @@ def consecutive_jaccard(docs: DataFrame) -> DataFrame:
             "jaccard_next"
         ),
     )
+
+
+def corpus_profile(docs: DataFrame) -> DataFrame:
+    """Per-language corpus profile — the planning numbers a
+    training-data pipeline reads before any dedup/filter pass:
+    document and distinct-source counts, exact length quantiles
+    (interpolated median, same arithmetic as SQL quantile_cont) and
+    token budget. One groupBy; percentile here is Spark's exact
+    implementation (fine per-group at profile granularity — swap for
+    approx_percentile when a single group exceeds executor memory,
+    and the oracle gate drops with it)."""
+    d = docs.select(
+        "lang",
+        "source",
+        F.length(F.col("text")).alias("len"),
+        F.size(words_col(F.col("text"))).alias("n_tokens"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("len").cast("long").alias("len_min"),
+        F.percentile(F.col("len"), F.lit(0.5)).alias("len_p50"),
+        F.max("len").cast("long").alias("len_max"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
