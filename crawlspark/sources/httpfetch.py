@@ -255,3 +255,26 @@ def fetch_robots_df(spark, roots_df, cfg: HttpFetcherConfig | None = None):
             yield pd.DataFrame({"host": pdf["host"], "body": bodies})
 
     return roots_df.mapInPandas(gen, schema="host string, body string")
+
+
+def fetch_sitemaps_df(spark, locs_df, cfg: HttpFetcherConfig | None = None):
+    """(host, url) -> (host, xml): fetch sitemap documents over real
+    sockets (GenericSitemapResolver's HTTP fetch,
+    web/.../sitemap/impl/GenericSitemapResolver.java — one redirect
+    honored like the robots fetch; non-200 yields null xml == no
+    sitemap). Feed the result to the engine's ``sitemaps_df`` dim
+    exactly like a fixture table; ``<sitemapindex>`` recursion happens
+    in the parser (functions/sitemaps.py) over the returned bodies."""
+    cfg = cfg or HttpFetcherConfig()
+
+    def gen(batches):
+        for pdf in batches:
+            bodies = []
+            for u in pdf["url"]:
+                status, body, redir = fetch_url(str(u), cfg)
+                if redir is not None:
+                    status, body, _ = fetch_url(redir, cfg)
+                bodies.append(body if status == 200 else None)
+            yield pd.DataFrame({"host": pdf["host"], "xml": bodies})
+
+    return locs_df.mapInPandas(gen, schema="host string, xml string")

@@ -211,3 +211,34 @@ def test_head_headers_df(spark, server):
     assert s["last_modified"] == "Wed, 01 May 2024 00:00:00 GMT"
     assert s["etag"] == '"v42"'
     assert got[f"{base}/missing"]["h_status"] == 404
+
+
+def test_fetch_sitemaps_df(spark, server):
+    """Sitemap bodies fetched over real sockets (redirect honored,
+    404 -> null) and parsed by the standard parser."""
+    from crawlspark.functions.sitemaps import parse_sitemap
+    from crawlspark.sources.httpfetch import fetch_sitemaps_df
+
+    base, routes = server
+    routes["/sitemap.xml"] = (301, {"Location": "/sm2.xml"}, b"")
+    routes["/sm2.xml"] = (
+        200,
+        {"Content-Type": "application/xml"},
+        b'<?xml version="1.0"?><urlset>'
+        b"<url><loc>http://h.x/a</loc><lastmod>2024-01-02</lastmod></url>"
+        b"<url><loc>http://h.x/b</loc></url></urlset>",
+    )
+    locs = spark.createDataFrame(
+        [
+            ("127.0.0.1", f"{base}/sitemap.xml"),
+            ("127.0.0.1", f"{base}/no-such-map.xml"),
+        ],
+        "host string, url string",
+    )
+    got = fetch_sitemaps_df(spark, locs).collect()
+    bodies = [r["xml"] for r in got]
+    assert sum(b is not None for b in bodies) == 1
+    xml = next(b for b in bodies if b)
+    entries, children = parse_sitemap("http://h.x/sitemap.xml", xml)
+    assert children == []
+    assert [e["url"] for e in entries] == ["http://h.x/a", "http://h.x/b"]
