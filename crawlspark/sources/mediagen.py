@@ -291,3 +291,51 @@ def frame_decodes_udf(frame: pd.Series) -> pd.Series:
         except Exception:
             out.append(False)
     return pd.Series(out)
+
+
+def video_neardup_pairs(
+    video_df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "video_id",
+    every_k: int = 2,
+    max_dist: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Video near-dup pairs via sampled-frame perceptual hashes — the
+    composition a multimodal dedup pipeline actually runs: sample
+    every k-th frame (mapInPandas), phash each frame (the image
+    payload op), find near-matching frame pairs with the banded
+    64-bit Hamming join, then aggregate to video pairs that share at
+    least ``min_shared`` near-identical sampled frames.
+
+    (a, b, n_shared_frames, min_hamming), a < b. Scale shape: the
+    expensive step is the frame-phash band join — bucketed equi-join,
+    never all-pairs over videos; frame volume is |videos| x
+    ceil(frames/k) slim rows."""
+    from ..operators.similarity import hamming64_dup_pairs
+    from .docgen import phash_udf
+
+    frames = sample_frames(video_df, payload_col, id_col, every_k)
+    sigs = frames.select(
+        F.concat_ws("#", F.col(id_col), F.col("frame_idx")).alias("fid"),
+        phash_udf(F.col("frame")).alias("sig"),
+    )
+    fpairs = hamming64_dup_pairs(
+        sigs, id_col="fid", sig_col="sig", max_dist=max_dist
+    )
+    va = F.split(F.col("a"), "#").getItem(0)
+    vb = F.split(F.col("b"), "#").getItem(0)
+    return (
+        fpairs.select(
+            F.least(va, vb).alias("a"),
+            F.greatest(va, vb).alias("b"),
+            "hamming",
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("n_shared_frames"),
+            F.min("hamming").cast("long").alias("min_hamming"),
+        )
+        .filter(F.col("n_shared_frames") >= min_shared)
+    )

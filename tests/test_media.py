@@ -70,3 +70,44 @@ def test_sample_frames_spark(spark):
     assert sorted(by_vid["vid://2"]) == [0, 2, 4]     # 6 frames
     px = decode_image(bytes(rows[0]["frame"]))
     assert px.shape == (16, 16, 3)
+
+
+def test_video_neardup_pairs_spark(spark):
+    """A lossy re-encode of the same video must pair with the original
+    (sampled frames phash-near), unrelated videos must not."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.sources.docgen import (
+        decode_image,
+        encode_image,
+    )
+    from crawlspark.sources.mediagen import (
+        encode_video,
+        iter_frames,
+        make_video,
+        video_neardup_pairs,
+    )
+
+    orig = make_video("vid://x", 32, 32, 10, 6)
+    # near-dup twin: every frame jpeg-roundtripped (phash moves a little)
+    twin = encode_video(
+        [
+            encode_image(decode_image(fr), "jpeg")
+            for fr in iter_frames(orig)
+        ],
+        32,
+        32,
+        10,
+    )
+    other = make_video("vid://unrelated", 32, 32, 10, 6)
+    df = spark.createDataFrame(
+        [("v-orig", orig), ("v-twin", twin), ("v-other", other)],
+        "video_id string, payload binary",
+    )
+    got = {
+        (r["a"], r["b"]): r["n_shared_frames"]
+        for r in video_neardup_pairs(df).collect()
+    }
+    assert ("v-orig", "v-twin") in got, got
+    assert got[("v-orig", "v-twin")] >= 2
+    assert all({a, b} == {"v-orig", "v-twin"} for a, b in got), got
