@@ -339,3 +339,52 @@ def video_neardup_pairs(
         )
         .filter(F.col("n_shared_frames") >= min_shared)
     )
+
+
+def audio_fingerprint64(samples: np.ndarray) -> int:
+    """64-bit audio fingerprint: sign of consecutive window-energy
+    deltas over 65 equal windows (a chromaprint-style construction
+    reduced to energy-only — amplitude-scale invariant, robust to
+    re-quantization, deterministic)."""
+    if len(samples) < 65:
+        samples = np.pad(samples.astype(np.float64), (0, 65 - len(samples)))
+    x = samples.astype(np.float64)
+    bounds = np.linspace(0, len(x), 66).astype(int)
+    e = np.array(
+        [float(np.mean(x[bounds[i]:bounds[i + 1]] ** 2) if bounds[i+1] > bounds[i] else 0.0)
+         for i in range(65)]
+    )
+    bits = e[1:] > e[:-1]
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+@F.pandas_udf(T.LongType())
+def audio_fingerprint_udf(buf: pd.Series) -> pd.Series:
+    return pd.Series(
+        [audio_fingerprint64(decode_audio(b)[0]) for b in buf],
+        dtype="int64",
+    )
+
+
+def audio_neardup_pairs(
+    audio_df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "audio_id",
+    max_dist: int = 4,
+) -> DataFrame:
+    """Audio near-dup pairs: fingerprint each clip (Arrow UDF over the
+    binary column) and join near-matching fingerprints with the banded
+    64-bit Hamming join — the same bucketed scale shape as
+    text/image/video near-dup. (a, b, hamming), a < b."""
+    from ..operators.similarity import hamming64_dup_pairs
+
+    sigs = audio_df.select(
+        F.col(id_col).alias("aid"),
+        audio_fingerprint_udf(F.col(payload_col)).alias("sig"),
+    )
+    return hamming64_dup_pairs(
+        sigs, id_col="aid", sig_col="sig", max_dist=max_dist
+    )

@@ -111,3 +111,31 @@ def test_video_neardup_pairs_spark(spark):
     assert ("v-orig", "v-twin") in got, got
     assert got[("v-orig", "v-twin")] >= 2
     assert all({a, b} == {"v-orig", "v-twin"} for a, b in got), got
+
+
+def test_audio_neardup_pairs_spark(spark):
+    """A re-quantized copy of a clip pairs with the original (energy
+    deltas keep their signs); a different clip does not."""
+    from crawlspark.sources.mediagen import (
+        audio_neardup_pairs,
+        encode_audio,
+        samples_for,
+    )
+
+    a = samples_for("aud://one", 8000)
+    a_quant = ((a.astype(np.int32) // 8) * 8).astype(np.int16)
+    b = samples_for("aud://two", 8000)
+    df = spark.createDataFrame(
+        [
+            ("a", encode_audio(a, 8000)),
+            ("a2", encode_audio(a_quant, 8000)),
+            ("b", encode_audio(b, 8000)),
+        ],
+        "audio_id string, payload binary",
+    )
+    got = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in audio_neardup_pairs(df).collect()
+    }
+    assert ("a", "a2") in got, got
+    assert all({x, y} == {"a", "a2"} for x, y in got), got
