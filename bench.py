@@ -119,6 +119,8 @@ HEADLINE = [
     "q_lsh_bucket_stats",
     "q_hamming_neardup",
     "q_dup_components",
+    "q_ivf_topk",
+    "q_corpus_profile",
 ]
 
 
