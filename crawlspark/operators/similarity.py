@@ -490,14 +490,28 @@ def ivf_topk(
     cell-equi-join instead of a brute-force product; recall tunes with
     n_probe exactly like a real IVF index.
     (query_id, neighbor_id, cos, rk)."""
-    base = emb.join(
-        ivf_cells(emb, n_cells, n_dims).select("vec_id", "cell"), "vec_id"
-    )
+    # score EVERY vector against the codebook exactly once; the slim
+    # (vec_id, j, rk) rank frame is checkpointed and both the cell
+    # assignment (rk = 1) and the query probes (rk <= n_probe) are
+    # filters over it — the 16-centroid scoring tree appears once in
+    # the whole plan (at production scale this is the materialized
+    # bucketed cells table)
     wq = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("j"))
-    probes = (
-        _ivf_scored(emb.filter(F.col("vec_id") < n_queries), n_cells, n_dims)
+    ranked = (
+        _ivf_scored(emb, n_cells, n_dims)
         .withColumn("rk", F.row_number().over(wq))
-        .filter(F.col("rk") <= n_probe)
+        .select("vec_id", "j", "rk")
+        .localCheckpoint(eager=True)
+    )
+    cells = ranked.filter(F.col("rk") == 1).select(
+        "vec_id", F.col("j").alias("cell")
+    )
+    base = emb.join(cells, "vec_id")
+    probes = (
+        ranked.filter(
+            (F.col("vec_id") < n_queries) & (F.col("rk") <= n_probe)
+        )
+        .join(emb.filter(F.col("vec_id") < n_queries), "vec_id")
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
