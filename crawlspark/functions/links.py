@@ -404,3 +404,26 @@ def make_parse_transformer(
             yield out
 
     return parse
+
+
+def extract_links_dom(
+    base_url: str,
+    html: str | None,
+    tag: str,
+    attr: str = "href",
+) -> list[tuple[str, int]]:
+    """DomLinkExtractor for a tag+attribute selector
+    (web/.../link/impl/DomLinkExtractor.java — jsoup selectors; the
+    deterministic subset here is element tag + attribute name, the
+    same grammar as transformers.split_dom): every ``<tag ...>`` with
+    the attribute contributes its value, in document order, through
+    the shared finalize tail. CSS class/pseudo selectors live in the
+    same slot as a pandas UDF."""
+    if not html:
+        return []
+    rx = re.compile(
+        rf"<{tag}\b[^>]*\b{re.escape(attr)}\s*=\s*[\"']([^\"']+)[\"']",
+        re.I,
+    )
+    found = [(m.start(), m.group(1)) for m in rx.finditer(html)]
+    return _finalize_links(base_url, found)

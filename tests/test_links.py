@@ -101,3 +101,19 @@ def test_extract_links_xml_feed():
         "http://a.b/atomish",
         "http://feeds.a.b/relative/two",
     ]
+
+
+def test_extract_links_dom():
+    from crawlspark.functions.links import extract_links_dom
+
+    html = (
+        '<html><body><area href="/map1">'
+        '<a href="/skip-not-area">x</a>'
+        '<area shape="rect" href="http://o.t/map2"></body></html>'
+    )
+    got = extract_links_dom("http://h.x/page", html, "area")
+    assert got == [
+        ("http://h.x/map1", 0),
+        ("http://o.t/map2", 1),
+    ]
+    assert extract_links_dom("http://h.x/", None, "a") == []
