@@ -61,6 +61,7 @@ def _engine(spark, args, resume: bool):
 
     cfg = _build_cfg(args)
     fetcher = None
+    sitemaps = None
     if getattr(args, "site", None):
         # synthetic-site mode: the fetch slot is webgen's generator
         # fetcher (real-HTTP mapInPandas shape), which honors
@@ -82,6 +83,7 @@ def _engine(spark, args, resume: bool):
 
         from .sources.httpfetch import (
             HttpFetcherConfig,
+            discover_sitemaps_df,
             fetch_robots_df,
             make_http_fetcher,
         )
@@ -100,13 +102,15 @@ def _engine(spark, args, resume: bool):
                         f"{parts.scheme}://{parts.netloc}",
                     )
                 )
-        robots = fetch_robots_df(
-            spark,
-            spark.createDataFrame(
-                sorted(set(roots)), "host string, root string"
-            ),
-            hcfg,
+        roots_df = spark.createDataFrame(
+            sorted(set(roots)), "host string, root string"
         )
+        robots = fetch_robots_df(spark, roots_df, hcfg)
+        # sitemap discovery over the same sockets (locator priority:
+        # robots Sitemap: directives, then default paths; first 200
+        # body wins per host) — default-on like the reference's
+        # GenericSitemapResolver
+        sitemaps = discover_sitemaps_df(spark, roots_df, robots, hcfg)
         fetcher = make_http_fetcher(hcfg)
     else:
         pages = spark.read.parquet(args.pages) if args.pages else None
@@ -117,9 +121,23 @@ def _engine(spark, args, resume: bool):
         )
     if resume:
         return CrawlEngine.resume(
-            spark, args.workdir, cfg, pages, robots, fetcher=fetcher
+            spark,
+            args.workdir,
+            cfg,
+            pages,
+            robots,
+            fetcher=fetcher,
+            sitemaps_df=sitemaps,
         )
-    return CrawlEngine(spark, args.workdir, cfg, pages, robots, fetcher=fetcher)
+    return CrawlEngine(
+        spark,
+        args.workdir,
+        cfg,
+        pages,
+        robots,
+        fetcher=fetcher,
+        sitemaps_df=sitemaps,
+    )
 
 
 def _read_seeds(args) -> list[str]:

@@ -278,3 +278,45 @@ def fetch_sitemaps_df(spark, locs_df, cfg: HttpFetcherConfig | None = None):
             yield pd.DataFrame({"host": pdf["host"], "xml": bodies})
 
     return locs_df.mapInPandas(gen, schema="host string, xml string")
+
+
+def discover_sitemaps_df(
+    spark, roots_df, robots_df, cfg: HttpFetcherConfig | None = None
+):
+    """(host, root) + fetched robots -> (host, xml): the full
+    GenericSitemapLocator + GenericSitemapResolver HTTP path — robots
+    ``Sitemap:`` directives first, then the default paths
+    (functions/sitemaps.sitemap_locations), candidates tried IN ORDER
+    over real sockets per host and the FIRST 200 body winning (the
+    resolver stops at the first resolvable sitemap, so lower-priority
+    candidates are never fetched). One redirect honored per candidate
+    like the robots fetch. Feed the result to
+    ``CrawlEngine(..., sitemaps_df=...)``."""
+    from ..functions.robots import parse_robots_txt
+    from ..functions.sitemaps import sitemap_locations
+
+    cfg = cfg or HttpFetcherConfig()
+    j = roots_df.join(robots_df, "host", "left")
+
+    def gen(batches):
+        for pdf in batches:
+            hosts, bodies = [], []
+            for host, root, body in zip(
+                pdf["host"], pdf["root"], pdf["body"]
+            ):
+                sm = parse_robots_txt(body, cfg.user_agent).sitemaps
+                xml = None
+                for u in sitemap_locations(str(root), sm):
+                    status, b, redir = fetch_url(u, cfg)
+                    if redir is not None:
+                        status, b, _ = fetch_url(redir, cfg)
+                    if status == 200 and b:
+                        xml = b
+                        break
+                hosts.append(host)
+                bodies.append(xml)
+            yield pd.DataFrame({"host": hosts, "xml": bodies})
+
+    return j.select("host", "root", "body").mapInPandas(
+        gen, schema="host string, xml string"
+    )

@@ -242,3 +242,37 @@ def test_fetch_sitemaps_df(spark, server):
     entries, children = parse_sitemap("http://h.x/sitemap.xml", xml)
     assert children == []
     assert [e["url"] for e in entries] == ["http://h.x/a", "http://h.x/b"]
+
+
+def test_discover_sitemaps_df(spark, server):
+    """Robots Sitemap: directive wins over default paths; hosts with
+    no resolvable sitemap yield null xml; resolution stops at the
+    first 200 (locator + resolver over real sockets)."""
+    from crawlspark.sources.httpfetch import (
+        discover_sitemaps_df,
+        fetch_robots_df,
+    )
+
+    base, routes = server
+    routes["/rules.txt"] = (
+        200,
+        {"Content-Type": "text/plain"},
+        (RULES + f"Sitemap: {base}/custom-map.xml\n").encode(),
+    )
+    routes["/custom-map.xml"] = (
+        200,
+        {"Content-Type": "application/xml"},
+        b'<?xml version="1.0"?><urlset>'
+        b"<url><loc>http://h.x/from-directive</loc></url></urlset>",
+    )
+    roots = spark.createDataFrame(
+        [("127.0.0.1", base), ("no-such-host.invalid", "http://no-such-host.invalid")],
+        "host string, root string",
+    )
+    robots = fetch_robots_df(spark, roots)
+    got = {
+        r["host"]: r["xml"]
+        for r in discover_sitemaps_df(spark, roots, robots).collect()
+    }
+    assert "from-directive" in (got["127.0.0.1"] or "")
+    assert got["no-such-host.invalid"] is None
