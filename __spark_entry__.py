@@ -240,6 +240,10 @@ def q_corpus_profile(spark, sf_dir):
     return X.corpus_profile(_t(spark, sf_dir, "documents"))
 
 
+def q_unigram_logprob(spark, sf_dir):
+    return X.unigram_logprob_scores(_t(spark, sf_dir, "documents"))
+
+
 def q_minhash_signatures(spark, sf_dir):
     return X.minhash_signatures(_t(spark, sf_dir, "documents")).select(
         "doc_id", F.col("i").cast("long").alias("i"), "minhash"
@@ -672,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_langid": q_langid,
         "q_bpe_token_stats": q_bpe_token_stats,
         "q_corpus_profile": q_corpus_profile,
+        "q_unigram_logprob": q_unigram_logprob,
         "q_minhash_signatures": q_minhash_signatures,
         "q_minhash_dup_pairs": q_minhash_dup_pairs,
         "q_simhash": q_simhash,
@@ -936,6 +941,18 @@ FROM (SELECT doc_id,
              md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
       FROM docs2)
 GROUP BY fingerprint HAVING count(*) > 1
+""",
+        "q_unigram_logprob": f"""
+WITH tok AS (
+  SELECT doc_id, unnest({w}) AS w FROM documents),
+freqs AS (
+  SELECT w, ln(count(*)::DOUBLE /
+              (SELECT count(*) FROM tok)) AS lp
+  FROM tok GROUP BY w)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(avg(lp), 4) AS mean_logprob
+FROM tok JOIN freqs USING (w)
+GROUP BY doc_id
 """,
         # quantile_cont == Spark's exact percentile (both interpolate
         # at rank (n-1)*p)

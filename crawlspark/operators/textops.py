@@ -489,3 +489,37 @@ def corpus_profile(docs: DataFrame) -> DataFrame:
         F.max("len").cast("long").alias("len_max"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+def unigram_logprob_scores(docs: DataFrame) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's
+    own unigram model — the cheap LM-score filter a training-data
+    pipeline runs before anything expensive (gibberish and boilerplate
+    both sit far from the corpus mode).
+
+    Two aggregations: (1) corpus unigram counts (one word shuffle with
+    map-side combine), (2) per-doc mean of ln p(w) over its tokens via
+    a token->frequency join. At the 10^12-token tier the frequency
+    table is Zipf-small relative to the corpus — broadcast or bucketed
+    join on the word key; everything JVM-side.
+
+    (doc_id, n_tokens, mean_logprob) — higher (closer to 0) = more
+    corpus-typical."""
+    tok = spread_small_input(docs).select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias("w")
+    )
+    freqs = tok.groupBy("w").agg(F.count("*").alias("c"))
+    total = freqs.agg(F.sum("c").alias("n")).select(
+        "n", F.lit(1).alias("__k")
+    )
+    freqs = freqs.withColumn("__k", F.lit(1)).join(
+        F.broadcast(total), "__k"
+    ).select("w", (F.log(F.col("c") / F.col("n"))).alias("lp"))
+    return (
+        tok.join(freqs, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg("lp"), 4).alias("mean_logprob"),
+        )
+    )
