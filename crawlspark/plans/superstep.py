@@ -288,6 +288,7 @@ class CrawlEngine:
         baseline_df: DataFrame | None = None,
         fetcher: Callable[[DataFrame], DataFrame] | None = None,
         sitemaps_df: DataFrame | None = None,
+        headers_df: DataFrame | None = None,
     ):
         """``baseline_df``: previous run's ledger delta input
         (url, checksum, depth, seq) — enables NEW/MODIFIED/UNMODIFIED
@@ -336,13 +337,20 @@ class CrawlEngine:
         # (the dataflow equivalent of an HTTP HEAD)
         self.headers = None
         if cfg.metadata_checksummer is not None or cfg.metadata_filters:
-            if pages_df is None:
+            if headers_df is not None:
+                # headers-only dim supplied directly — e.g. the
+                # real-socket HEAD form (sources/httpfetch
+                # .fetch_headers_df); expected columns
+                # (url, h_status, last_modified, etag)
+                hdr = headers_df.withColumnRenamed("h_status", "status")
+            elif pages_df is None:
                 raise ValueError(
                     "metadata_checksummer/metadata_filters need "
-                    "pages_df response headers (a fetcher would have "
-                    "to expose a headers-only batch form)"
+                    "response headers: pass pages_df or a headers_df "
+                    "(e.g. httpfetch.fetch_headers_df over HEAD)"
                 )
-            hdr = pages_df
+            else:
+                hdr = pages_df
             for c in ("last_modified", "etag"):
                 if c not in hdr.columns:
                     hdr = hdr.withColumn(c, F.lit(None).cast("string"))

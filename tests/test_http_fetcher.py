@@ -276,3 +276,44 @@ def test_discover_sitemaps_df(spark, server):
     }
     assert "from-directive" in (got["127.0.0.1"] or "")
     assert got["no-such-host.invalid"] is None
+
+
+def test_engine_headers_dim_from_real_head(spark, server, tmp_path):
+    """The metadata-checksum band runs over a REAL-HEAD headers dim
+    (no pages table): engine accepts headers_df, tracks metadata
+    checksums, and the crawl completes with the same fetch sequence."""
+    from crawlspark.sources.httpfetch import fetch_headers_df
+
+    base, routes = server
+    # headers for every route the crawl can touch
+    urls = spark.createDataFrame(
+        [
+            (base + p,)
+            for p in routes
+            if p not in ("/robots.txt", "/rules.txt")
+        ]
+        + [(base + "/missing",)],
+        "url string",
+    )
+    headers = fetch_headers_df(spark, urls)
+    cfg = CrawlConfig(
+        max_depth=3,
+        default_delay_ms=1000,
+        metadata_checksummer="last_modified",
+    )
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "head"),
+        cfg,
+        None,
+        spark.createDataFrame([("127.0.0.1", RULES)], "host string, body string"),
+        fetcher=make_http_fetcher(
+            HttpFetcherConfig(connect_timeout_s=5, read_timeout_s=5)
+        ),
+        headers_df=headers,
+    )
+    eng.bootstrap([base + "/"])
+    eng.run()
+    log = eng.fetch_log().toPandas()
+    assert len(log) > 0
+    assert not any("/private/" in u for u in log["url"])
