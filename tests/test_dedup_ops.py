@@ -128,3 +128,20 @@ def test_connected_components(spark):
         for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7, 9: 7}
+
+
+def test_spread_small_input_threshold(spark):
+    """Repartitions ONLY below session parallelism — a well-split
+    input passes through untouched (no shuffle added at real scale)."""
+    from crawlspark.operators.textops import spread_small_input
+
+    par = spark.sparkContext.defaultParallelism
+    small = spark.createDataFrame(
+        [(i, "t") for i in range(10)], "doc_id long, text string"
+    ).coalesce(1)
+    assert small.rdd.getNumPartitions() == 1
+    assert spread_small_input(small).rdd.getNumPartitions() == par * 2
+    wide = spark.range(1000).selectExpr(
+        "id as doc_id", "'t' as text"
+    ).repartition(par + 4)
+    assert spread_small_input(wide) is wide  # identity: no-op
