@@ -447,6 +447,17 @@ def q_ivf_topk(spark, sf_dir):
     return S.ivf_topk(_t(spark, sf_dir, "embeddings"))
 
 
+def q_winnow_dup_pairs(spark, sf_dir):
+    """Winnowing-style near-dup pairs (shared min rolling-hash window
+    -> exact Jaccard verify) with planted duplicates so the pair join
+    has real work."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return X.winnow_dup_pairs(d.unionByName(dup))
+
+
 def q_dup_components(spark, sf_dir):
     """Duplicate clusters from the near-dup pairs: min-label
     propagation to a fixpoint (the canonical-doc pick that actually
@@ -686,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_xml_split": q_xml_split,
         "q_pdf_split": q_pdf_split,
         "q_hamming_neardup": q_hamming_neardup,
+        "q_winnow_dup_pairs": q_winnow_dup_pairs,
         "q_dup_components": q_dup_components,
         "q_media_payload": q_media_payload,
         "q_ivf_cells": q_ivf_cells,
@@ -1067,6 +1079,40 @@ SELECT doc_id, i::BIGINT AS page_number, len(l)::BIGINT AS total_pages,
        ref || '#' || i AS child_ref, l[i] AS page_text
 FROM f, (SELECT unnest(range(1, 11)) AS i) r
 WHERE i <= len(l)
+""",
+        "q_winnow_dup_pairs": f"""
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20),
+th AS (
+  SELECT doc_id,
+         list_transform({_WORDS.format(t='text')},
+                        t -> {_H32.format(x='t')}) AS h,
+         list_distinct({_WORDS.format(t='text')}) AS ws
+  FROM docs2),
+mw AS (
+  SELECT doc_id, ws,
+         CASE WHEN len(h) >= 3 THEN
+           list_min(list_transform(range(1, len(h) - 1),
+             i -> (h[i] * 961 + h[i + 1] * 31 + h[i + 2]) % 1000000007))
+         END AS min_wh
+  FROM th),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM mw x JOIN mw y
+    ON x.min_wh = y.min_wh AND x.doc_id < y.doc_id
+  WHERE x.min_wh IS NOT NULL)
+SELECT a, b,
+       round(len(list_intersect(wa.ws, wb.ws))::DOUBLE /
+             (len(wa.ws) + len(wb.ws)
+              - len(list_intersect(wa.ws, wb.ws))), 4) AS jaccard
+FROM cand
+JOIN mw wa ON wa.doc_id = a
+JOIN mw wb ON wb.doc_id = b
+WHERE round(len(list_intersect(wa.ws, wb.ws))::DOUBLE /
+      (len(wa.ws) + len(wb.ws) - len(list_intersect(wa.ws, wb.ws))), 4)
+      >= 0.5
 """,
         # brute-force over the planted 200-sig set — the banded join's
         # pigeonhole guarantee (dist <= 3 < 8 bands) makes the LSH

@@ -523,3 +523,55 @@ def unigram_logprob_scores(docs: DataFrame) -> DataFrame:
             F.round(F.avg("lp"), 4).alias("mean_logprob"),
         )
     )
+
+
+def winnow_dup_pairs(
+    docs: DataFrame, threshold: float = 0.5, max_bucket: int = 10_000
+) -> DataFrame:
+    """Near-dup candidate pairs by SHARED MINIMIZING WINDOW
+    (winnowing/MOSS-style): two documents whose rolling-hash minimum
+    window coincides are candidates (edits far from the minimizing
+    window leave it intact — a different selection bias than MinHash
+    bands), then the exact word-set Jaccard verifies. One equi-join on
+    the window hash, capped like every bucketed pair join.
+    (a, b, jaccard), a < b, jaccard >= threshold."""
+    from .buckets import cap_buckets
+
+    fp = rolling_fingerprints(docs).filter(F.col("min_wh").isNotNull())
+    fp = cap_buckets(
+        fp.select("doc_id", "min_wh"), ["min_wh"], max_bucket,
+        "winnow_dup_pairs",
+    )
+    cand = (
+        fp.alias("x")
+        .join(
+            fp.alias("y"),
+            (F.col("x.min_wh") == F.col("y.min_wh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .distinct()
+    )
+    wsets = docs.select(
+        "doc_id", F.array_distinct(words_col(F.col("text"))).alias("ws")
+    )
+    j = (
+        cand.join(wsets.select(F.col("doc_id").alias("a"),
+                               F.col("ws").alias("wa")), "a")
+        .join(wsets.select(F.col("doc_id").alias("b"),
+                           F.col("ws").alias("wb")), "b")
+    )
+    inter = F.size(F.array_intersect(F.col("wa"), F.col("wb")))
+    union = F.size(F.array_union(F.col("wa"), F.col("wb")))
+    return (
+        j.select(
+            "a",
+            "b",
+            F.round(
+                inter.cast("double") / union.cast("double"), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
