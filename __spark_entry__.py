@@ -447,6 +447,29 @@ def q_ivf_topk(spark, sf_dir):
     return S.ivf_topk(_t(spark, sf_dir, "embeddings"))
 
 
+def q_ivf_train_centroids(spark, sf_dir):
+    """The DATA-TRAINED IVF codebook itself: deterministic sampled
+    k-means (md5-ordered sample, integer micro-unit means — see
+    similarity.ivf_train) pinned cell-by-cell, dim-by-dim against the
+    oracle's SQL re-derivation of the identical fit."""
+    return S.ivf_trained_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+def q_ivf_trained_cells(spark, sf_dir):
+    """Cell occupancy under the trained codebook — shows the fit
+    tracking the data distribution (balanced cells) where the fixed
+    hash-seeded codebook cannot."""
+    return S.ivf_trained_cell_stats(_t(spark, sf_dir, "embeddings"))
+
+
+def q_ivf_recall(spark, sf_dir):
+    """Recall@3 of the trained-IVF ANN (n_probe=4 of 16 cells) vs
+    exact brute-force top-3 — the quality gauge for the trained
+    inverted-file scale path (>= the sign-LSH path on this fixture;
+    asserted in tests/test_similarity.py)."""
+    return S.ivf_recall(_t(spark, sf_dir, "embeddings"))
+
+
 def q_winnow_dup_pairs(spark, sf_dir):
     """Winnowing-style near-dup pairs (shared min rolling-hash window
     -> exact Jaccard verify) with planted duplicates so the pair join
@@ -702,6 +725,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_payload": q_media_payload,
         "q_ivf_cells": q_ivf_cells,
         "q_ivf_topk": q_ivf_topk,
+        "q_ivf_train_centroids": q_ivf_train_centroids,
+        "q_ivf_trained_cells": q_ivf_trained_cells,
+        "q_ivf_recall": q_ivf_recall,
         "q_cosine_topk": q_cosine_topk,
         "q_incremental_delta": q_incremental_delta,
         "q_recrawl_due": q_recrawl_due,
@@ -863,6 +889,59 @@ def _cos_fold(a: str, b: str) -> str:
     )
     nrm = "sqrt(list_sum(list_transform({v}, x -> x::DOUBLE * x::DOUBLE)))"
     return f"({dot} / ({nrm.format(v=a)} * {nrm.format(v=b)}))"
+
+
+def _ivf_train_ctes(
+    n_cells: int = 16,
+    n_dims: int = 64,
+    n_iters: int = 2,
+    sample_cap: int = 4096,
+) -> str:
+    """SQL re-derivation of similarity.ivf_train's deterministic
+    sampled k-means, as a CTE chain ending in ``cents{n_iters}``
+    (cell, c DOUBLE[]). Bit-identical to the Spark fit by
+    construction: md5-ordered sample, round-6 cosine argmax
+    assignment (the verified _cos_fold arithmetic), and centroid
+    means computed in INTEGER micro-units so summation order cannot
+    leak engine nondeterminism into the codebook."""
+    mega = n_dims + 1
+    parts = [
+        f"""samp AS (
+  SELECT md5(vec_id::VARCHAR) AS ord, vec_id,
+         embedding[1:{n_dims}]::DOUBLE[] AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+  ORDER BY ord LIMIT {sample_cap})""",
+        f"""cents0 AS (
+  SELECT cell, c FROM (
+    SELECT row_number() OVER (ORDER BY ord) - 1 AS cell, v AS c
+    FROM samp) WHERE cell < {n_cells})""",
+    ]
+    for i in range(n_iters):
+        cos = _cos_fold("s.v", "c.c")
+        parts.append(
+            f"""asg{i} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT s.vec_id, s.v, c.cell,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY round({cos}, 6) DESC, c.cell) AS rk
+    FROM samp s, cents{i} c) WHERE rk = 1)"""
+        )
+        parts.append(
+            f"""stat{i} AS (
+  SELECT cell, r.i AS pos,
+         sum(round(v[r.i] * 1000000, 0)::BIGINT) AS s, count(*) AS n
+  FROM asg{i}, (SELECT unnest(range(1, {mega})) AS i) r
+  WHERE r.i <= len(v) GROUP BY cell, r.i)"""
+        )
+        parts.append(
+            f"""cents{i + 1} AS (
+  SELECT cell, list(s / (n * 1000000.0) ORDER BY pos) AS c
+  FROM stat{i} GROUP BY cell
+  UNION ALL
+  SELECT cell, c FROM cents{i}
+  WHERE cell NOT IN (SELECT cell FROM stat{i}))"""
+        )
+    return ",\n".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1345,6 +1424,71 @@ ranked AS (
   FROM cand)
 SELECT query_id, neighbor_id, round(c, 6) AS cos, rk
 FROM ranked WHERE rk <= 3
+""",
+        "q_ivf_train_centroids": f"""
+WITH {_ivf_train_ctes()}
+SELECT cell::INT AS cell, r.i::INT AS pos, round(c[r.i], 6) AS w
+FROM cents2, (SELECT unnest(range(1, 65)) AS i) r
+WHERE r.i <= len(c)
+""",
+        "q_ivf_trained_cells": f"""
+WITH {_ivf_train_ctes()},
+sc AS (
+  SELECT e.vec_id, e.label, c.cell AS j,
+         round({_cos_fold('e.embedding[1:64]', 'c.c')}, 6) AS score
+  FROM embeddings e, cents2 c),
+asg AS (
+  SELECT vec_id, label, j,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, j) AS rk
+  FROM sc)
+SELECT j::INT AS cell, count(*) AS n_vectors,
+       count(DISTINCT label) AS n_labels
+FROM asg WHERE rk = 1 GROUP BY j
+""",
+        "q_ivf_recall": f"""
+WITH {_ivf_train_ctes()},
+sc AS (
+  SELECT e.vec_id, e.embedding, c.cell AS j,
+         round({_cos_fold('e.embedding[1:64]', 'c.c')}, 6) AS score
+  FROM embeddings e, cents2 c),
+ranked0 AS (
+  SELECT vec_id, embedding, j,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, j) AS rk
+  FROM sc),
+asgf AS (SELECT vec_id, embedding, j AS cell FROM ranked0 WHERE rk = 1),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qv, j AS cell
+  FROM ranked0 WHERE vec_id < 5 AND rk <= 4),
+cand AS (
+  SELECT p.query_id, b.vec_id AS neighbor_id,
+         {_cos_fold('p.qv', 'b.embedding')} AS cs
+  FROM probes p JOIN asgf b USING (cell)
+  WHERE b.vec_id != p.query_id),
+ivfk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cs DESC, neighbor_id) AS rk
+    FROM cand) WHERE rk <= 3),
+exq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id < 5),
+exs AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         {_cos_fold('qv', 'e.embedding')} AS cs
+  FROM exq, embeddings e WHERE e.vec_id != query_id),
+exk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cs DESC, neighbor_id) AS rk
+    FROM exs) WHERE rk <= 3)
+SELECT e.query_id, count(i.query_id) AS n_hits,
+       count(i.query_id) / 3.0 AS recall
+FROM exk e LEFT JOIN ivfk i
+  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+GROUP BY e.query_id
 """,
         "q_embedding_neardup": f"""
 WITH unioned AS (

@@ -191,6 +191,16 @@ class CrawlConfig:
     # this cap; beyond it — the baseline is O(prior crawl), unbounded —
     # the joins go unhinted and Catalyst/AQE pick the strategy.
     baseline_broadcast_max_rows: int = 2_000_000
+    # host-keyed dim physical strategy (same auto pattern): the
+    # politeness host_state / crawl-delay dims and the stay-on-sitemap
+    # presence dim are O(distinct hosts ever seen) — 10^7-10^8 rows at
+    # the 10^10-URL tier, an OOM as a forced broadcast. They are
+    # broadcast only while a capped count says the dim is driver-safe;
+    # beyond the cap the joins go unhinted (Catalyst/AQE pick
+    # shuffle-hash / sort-merge). host_state grows monotonically, so
+    # its verdict is a ratchet: re-checked per superstep while small,
+    # permanently large once over the cap.
+    host_dim_broadcast_max_rows: int = 2_000_000
     # reference-trail variant marking (ProcessFinalize.java:205-219):
     # record pre-normalization raw spellings on the winning ledger row
     # (raw_variants column). The URL-seen set keys on the normalized

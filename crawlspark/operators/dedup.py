@@ -221,6 +221,7 @@ def connected_components(
     a_col: str = "a",
     b_col: str = "b",
     max_iter: int = 20,
+    on_max_iter: str = "raise",
 ) -> DataFrame:
     """Duplicate CLUSTERS from near-dup pairs: (id, component), where
     component = the minimum member id — the canonical-document pick a
@@ -229,15 +230,25 @@ def connected_components(
     keeping one doc per component is the step that actually shrinks
     the corpus).
 
-    Min-label propagation over the undirected pair graph: each round
-    every vertex takes the min label among itself and its neighbors —
-    a groupBy-min per round, converging in O(diameter) rounds (near-dup
-    clusters are shallow; genuinely chained corpora converge in
-    O(log n) with doubling, which this plain propagation upper-bounds
-    at ``max_iter``). Each round is ONE shuffle; the loop runs
-    driver-side with localCheckpoint per round so the plan never
+    Min-label propagation WITH pointer-jump doubling over the
+    undirected pair graph: each round every vertex takes the min label
+    among itself and its neighbors (one groupBy-min shuffle), then
+    labels are short-circuited through their own targets
+    (``component(v) <- component(component(v))``, one more equi-join)
+    — the label-doubling step that makes a diameter-D chain converge
+    in O(log D) rounds instead of O(D), so max_iter=20 covers chains
+    of ~2^20 hops (boilerplate near-dup families chain far past the
+    plain-propagation bound that silently truncated in r3). The loop
+    runs driver-side with localCheckpoint per round so the plan never
     nests, and stops early on a zero-change round (one tiny count
-    action per round — no row data ever collected)."""
+    action per round — no row data ever collected).
+
+    If ``max_iter`` rounds elapse with labels still changing the
+    result is NOT a fixed point: ``on_max_iter`` = "raise" (default)
+    raises RuntimeError, "warn" logs + warns and returns the
+    truncated labels — never a silent wrong answer."""
+    if on_max_iter not in ("raise", "warn"):
+        raise ValueError("on_max_iter must be 'raise' or 'warn'")
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(
@@ -252,6 +263,7 @@ def connected_components(
         .select("id", F.col("id").alias("component"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges.src == labels.id)
@@ -259,12 +271,25 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("component").alias("n_comp"))
         )
+        stepped = labels.join(neigh, "id", "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce("n_comp", "component")
+            ).alias("component"),
+        )
+        # pointer jump: component labels are themselves vertex ids, so
+        # re-resolving each label through ITS current label halves the
+        # remaining chain length every round (large-star flavor)
+        ptr = stepped.select(
+            F.col("id").alias("p_id"), F.col("component").alias("p_comp")
+        )
         nxt = (
-            labels.join(neigh, "id", "left")
+            stepped.join(ptr, stepped.component == ptr.p_id, "left")
             .select(
                 "id",
                 F.least(
-                    F.col("component"), F.coalesce("n_comp", "component")
+                    F.col("component"),
+                    F.coalesce("p_comp", "component"),
                 ).alias("component"),
             )
             .localCheckpoint()
@@ -278,4 +303,17 @@ def connected_components(
         labels = nxt
         if changed == 0:
             break
+    if changed != 0:
+        msg = (
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — components are "
+            "truncated; raise max_iter"
+        )
+        if on_max_iter == "raise":
+            raise RuntimeError(msg)
+        import logging
+        import warnings
+
+        logging.getLogger(__name__).warning(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels

@@ -104,12 +104,32 @@ def lsh_signatures(
     which at the 10^10-vector tier is the whole job. Same bits out
     (see _plane_weights). ``max_dims`` caps the literal width (plan
     size is linear in it — a 16x1024 literal tree measurably slows
-    analysis+codegen); vectors wider than the probed first row would
-    zip_with null weights — fixed-dim embedding columns only."""
-    probe = emb.select(F.size(F.col("embedding")).alias("d")).first()
+    analysis+codegen); fixed-dim embedding columns only: the probe
+    skips null rows, null-embedding rows get a null signature, and a
+    row WIDER than the probed dim raises (zip_with would otherwise
+    silently pad null weights into a meaningless signature)."""
+    probe = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select(F.size(F.col("embedding")).alias("d"))
+        .first()
+    )
     n_dims = min(probe["d"], max_dims) if probe else max_dims
     w = _plane_weights(n_planes, n_dims)
     esz = F.size(F.col("embedding"))
+    # row-local width assert: raises on ragged over-width embeddings
+    # instead of emitting silently-null projections. assert_true
+    # returns NULL when the condition holds, so the coalesce is a
+    # no-op on the happy path.
+    width_ok = F.assert_true(
+        F.col("embedding").isNull() | (esz <= F.lit(n_dims)),
+        F.concat(
+            F.lit("lsh_signatures: embedding wider than probed dim "),
+            F.lit(str(n_dims)),
+            F.lit(" (got "),
+            esz.cast("string"),
+            F.lit(") — fixed-dim columns only"),
+        ),
+    )
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
         # F.lit(list) emits ONE array Literal — F.array(*lits) would
@@ -123,6 +143,10 @@ def lsh_signatures(
             lambda acc, v: acc + v,
         )
         sig = sig + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    sig = sig + F.coalesce(width_ok.cast("long"), F.lit(0))
+    sig = F.when(F.col("embedding").isNull(), F.lit(None).cast("long")).otherwise(
+        sig
+    )
     return emb.select("vec_id", "label", sig.alias("lsh_sig"))
 
 
@@ -540,5 +564,299 @@ def ivf_topk(
             "neighbor_id",
             F.round("c", 6).alias("cos"),
             F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-trained IVF (deterministic sampled k-means)
+# ---------------------------------------------------------------------------
+#
+# The fixed hash-seeded codebook above (ivf_centroids) ignores the
+# data distribution; real embedding corpora cluster, so untrained
+# cells give unknown recall at small n_probe. ivf_train fits the
+# codebook to the data with Lloyd iterations over a capped
+# deterministic sample — engineered so the ENTIRE fit is
+# bit-reproducible on any engine (the DuckDB oracle re-derives the
+# identical centroids):
+#
+#   * sample   = first ``sample_cap`` vectors ordered by
+#                md5(vec_id) — deterministic, data-dependent, no RNG.
+#   * seeds    = the first ``n_cells`` of that same ordering (their
+#                raw values — no arithmetic, so exact on any engine).
+#   * assign   = argmax_j round(cosine(v, c_j), 6), ties to lowest j.
+#                The fold arithmetic is the verified-bit-identical
+#                _dot/_norm shape; the 6-digit round absorbs nothing
+#                in practice (folds are bit-equal) but pins the
+#                contract.
+#   * update   = per-cell per-dim mean computed in INTEGER
+#                micro-units: sum(round(x * 1e6)::long) / (n * 1e6).
+#                Integer addition is order-independent, so the mean
+#                is exactly reproducible regardless of partition
+#                order — the one place float summation order would
+#                otherwise leak engine nondeterminism into the
+#                codebook. Empty cells keep their previous centroid.
+#
+# Training cost at scale: the sample is capped (one TakeOrdered over
+# a projection), each iteration is one shuffle over <= sample_cap
+# rows, and the resulting codebook rides in the plan as literals just
+# like the fixed one — assignment of the full corpus stays a single
+# scan with no join.
+
+
+def _fold_norm(c: list[float]) -> float:
+    """sqrt of the left-fold sum of squares — the exact arithmetic
+    _norm / DuckDB list_sum run, applied driver-side to a centroid."""
+    import math
+
+    acc = 0.0
+    for x in c:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+def _trained_scored(
+    emb: DataFrame,
+    cents: list[list[float]],
+    n_dims: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(..., j, score): round-6 cosine of each vector (sliced to
+    ``n_dims``) against each trained-centroid literal. Centroid norms
+    are exact driver-side folds, so the whole score is bit-identical
+    to the oracle's runtime fold."""
+    v = F.slice(F.col(vec_col), 1, n_dims)
+    pairs = []
+    for j, c in enumerate(cents):
+        cos = _dot(v, F.slice(F.lit(c), 1, F.size(v))) / (
+            _norm(v) * F.lit(_fold_norm(c))
+        )
+        pairs.append(
+            F.struct(F.lit(j).alias("j"), F.round(cos, 6).alias("score"))
+        )
+    return emb.select(
+        "*", F.explode(F.array(*pairs)).alias("__cs")
+    ).select(
+        *emb.columns,
+        F.col("__cs.j").alias("j"),
+        F.col("__cs.score").alias("score"),
+    )
+
+
+def ivf_train(
+    emb: DataFrame,
+    n_cells: int = 16,
+    n_dims: int = 64,
+    n_iters: int = 2,
+    sample_cap: int = 4096,
+) -> list[list[float]]:
+    """Deterministic sampled k-means codebook: ``n_cells`` centroids
+    fitted with ``n_iters`` Lloyd iterations over the md5-ordered
+    sample (see module section comment for the bit-reproducibility
+    contract). Returns the centroids as exact python doubles — feed
+    them to ivf_trained_* or straight into _trained_scored."""
+    samp = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select(
+            F.md5(F.col("vec_id").cast("string")).alias("__ord"),
+            F.slice(F.col("embedding"), 1, n_dims)
+            .cast("array<double>")
+            .alias("v"),
+        )
+        .orderBy("__ord")
+        .limit(sample_cap)
+        .localCheckpoint(eager=True)
+    )
+    seeds = samp.orderBy("__ord").limit(n_cells).collect()
+    cents = [[float(x) for x in r["v"]] for r in seeds]
+    for _ in range(n_iters):
+        asg = (
+            _trained_scored(samp, cents, n_dims, vec_col="v")
+            .withColumn(
+                "__rk",
+                F.row_number().over(
+                    Window.partitionBy("__ord").orderBy(
+                        F.desc("score"), F.asc("j")
+                    )
+                ),
+            )
+            .filter(F.col("__rk") == 1)
+            .select(F.col("j").alias("cell"), "v")
+        )
+        stats = (
+            asg.select("cell", F.posexplode("v").alias("pos", "x"))
+            .withColumn(
+                "micro", F.round(F.col("x") * F.lit(1e6), 0).cast("long")
+            )
+            .groupBy("cell", "pos")
+            .agg(F.sum("micro").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )  # bounded: n_cells * n_dims rows — a dim collect, not data
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in stats:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["s"] / (
+                r["n"] * 1_000_000
+            )
+        cents = [
+            [dims[p] for p in sorted(dims)]
+            if (dims := by_cell.get(j))
+            else list(cents[j])
+            for j in range(n_cells)
+        ]
+    return cents
+
+
+def ivf_trained_centroids(
+    emb: DataFrame,
+    n_cells: int = 16,
+    n_dims: int = 64,
+    n_iters: int = 2,
+    sample_cap: int = 4096,
+) -> DataFrame:
+    """The trained codebook as a frame: (cell, pos, w) with pos
+    1-based and w rounded to 6 — pins the k-means fit itself to the
+    oracle, not just its downstream assignments."""
+    cents = ivf_train(emb, n_cells, n_dims, n_iters, sample_cap)
+    spark = emb.sparkSession
+    rows = [
+        (j, d + 1, w)
+        for j, c in enumerate(cents)
+        for d, w in enumerate(c)
+    ]
+    return spark.createDataFrame(
+        rows, "cell int, pos int, w_raw double"
+    ).select("cell", "pos", F.round("w_raw", 6).alias("w"))
+
+
+def ivf_trained_cell_stats(
+    emb: DataFrame,
+    n_cells: int = 16,
+    n_dims: int = 64,
+    n_iters: int = 2,
+    sample_cap: int = 4096,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Cell occupancy under the TRAINED codebook — the health gauge
+    that shows the fit tracking the data (balanced cells) where the
+    fixed codebook piles everything into a few."""
+    cents = centroids or ivf_train(
+        emb, n_cells, n_dims, n_iters, sample_cap
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("j"))
+    return (
+        _trained_scored(
+            emb.select("vec_id", "label", "embedding"), cents, n_dims
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .groupBy(F.col("j").alias("cell"))
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+    )
+
+
+def ivf_trained_topk(
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_dims: int = 64,
+    n_iters: int = 2,
+    sample_cap: int = 4096,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN top-k over the trained codebook — same single-scan
+    rank-frame shape as ivf_topk (cells = rk 1, probes = rk <=
+    n_probe, exact cosine only inside probed cells)."""
+    cents = centroids or ivf_train(
+        emb, n_cells, n_dims, n_iters, sample_cap
+    )
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("j"))
+    ranked = (
+        _trained_scored(emb.select("vec_id", "embedding"), cents, n_dims)
+        .withColumn("rk", F.row_number().over(wq))
+        .select("vec_id", "j", "rk")
+        .localCheckpoint(eager=True)
+    )
+    cells = ranked.filter(F.col("rk") == 1).select(
+        "vec_id", F.col("j").alias("cell")
+    )
+    base = emb.select("vec_id", "embedding").join(cells, "vec_id")
+    probes = (
+        ranked.filter(
+            (F.col("vec_id") < n_queries) & (F.col("rk") <= n_probe)
+        )
+        .join(emb.filter(F.col("vec_id") < n_queries), "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("j").alias("cell"),
+        )
+    )
+    cand = probes.join(base, "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            _dot(F.col("qv"), F.col("embedding"))
+            / (_norm(F.col("qv")) * _norm(F.col("embedding")))
+        ).alias("c"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("c"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("c", 6).alias("cos"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+def ivf_recall(
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_dims: int = 64,
+    n_iters: int = 2,
+    sample_cap: int = 4096,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Recall@k of the TRAINED IVF path against exact brute-force
+    top-k — the ann_recall analog for the inverted-file index.
+    (query_id, n_hits, recall); queries whose probed cells hold no
+    true neighbor report 0.0 rather than dropping out."""
+    cents = centroids or ivf_train(
+        emb, n_cells, n_dims, n_iters, sample_cap
+    )
+    exact = cosine_topk(emb, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_trained_topk(
+        emb, n_queries, k, n_cells, n_probe, n_dims, centroids=cents
+    ).select("query_id", F.col("neighbor_id").alias("nb"))
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id) & (exact.neighbor_id == approx.nb),
+        "left",
+    ).select(exact.query_id, approx.nb)
+    return (
+        hits.groupBy("query_id")
+        .agg(F.count("nb").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits") / F.lit(float(k))).alias("recall"),
         )
     )

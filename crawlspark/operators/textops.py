@@ -40,6 +40,29 @@ MH_PRIME = 2147483647  # 2^31 - 1
 SIMHASH_BITS = 32
 
 
+# persisted intermediates registered by operators that cache for
+# single-lineage plans (minhash_dup_pairs' wide signature frame).
+# Long-lived sessions call release_caches() between corpora so
+# MEMORY_AND_DISK frames don't accumulate without a release path —
+# the same pattern as CrawlEngine's per-superstep `caches` list.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def release_caches() -> int:
+    """Unpersist every intermediate registered by textops operators;
+    returns how many were released. Safe to call at any time — the
+    cached frames are performance-only (plans recompute if needed)."""
+    n = 0
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
 def str_hash32(col):
     """Stable 32-bit string hash, identical across Spark and DuckDB."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
@@ -296,8 +319,12 @@ def minhash_dup_pairs(
     the persist the plan re-executes the shingle explode+aggregate
     lineage 3x (buckets, w1, w2 — r2's slowest bench query at 4x the
     runner-up; 8 parquet scans, 0 reuse). test_plans asserts the
-    single-scan shape."""
+    single-scan shape. The persisted frame is registered in
+    ``_LIVE_CACHES`` — long-lived sessions release it with
+    ``release_caches()`` once the result is materialized (it is a
+    performance cache only; the plan recomputes if released early)."""
     wide = minhash_wide(docs).persist()
+    _LIVE_CACHES.append(wide)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),

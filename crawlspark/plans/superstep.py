@@ -307,6 +307,13 @@ class CrawlEngine:
         # memoized "is the baseline driver-safe to broadcast" verdict
         # (capped count on first use — see _baseline_hint)
         self._baseline_small: bool | None = None
+        # host-keyed dim strategies (host_dim_broadcast_max_rows):
+        # delays/presence are static per run -> memoized once;
+        # host_state grows monotonically -> ratcheted per superstep
+        # (re-counted while small, permanently large once over cap)
+        self._delays_small: bool | None = None
+        self._presence_small: bool | None = None
+        self._host_state_big = False
         self._orphans_done = baseline_df is None
         os.makedirs(workdir, exist_ok=True)
         self.fetcher = fetcher
@@ -487,6 +494,37 @@ class CrawlEngine:
                 self.baseline.limit(cap + 1).count() <= cap
             )
         return F.broadcast(proj) if self._baseline_small else proj
+
+    def _dim_small(self, df: DataFrame, cap: int) -> bool:
+        """One capped count: is this dim driver-safe to broadcast?
+        limit(cap+1) bounds the scan — never O(dim) driver work."""
+        return df.limit(cap + 1).count() <= cap
+
+    def _delays_broadcastable(self) -> bool:
+        """Crawl-delay dim (O(hosts with robots rules)) — static per
+        run, counted once."""
+        if self._delays_small is None:
+            self._delays_small = self._dim_small(
+                self.delays, self.cfg.host_dim_broadcast_max_rows
+            )
+        return self._delays_small
+
+    def _host_state_broadcastable(self, host_state) -> bool:
+        """Politeness last-sched state (O(distinct hosts ever seen)) —
+        grows monotonically, so the verdict is a ratchet: re-counted
+        per superstep while small (host_state is a localCheckpoint in
+        memory — the capped count is cheap), permanently non-broadcast
+        once over the cap."""
+        if host_state is None:
+            return True
+        if self._host_state_big:
+            return False
+        if not self._dim_small(
+            host_state, self.cfg.host_dim_broadcast_max_rows
+        ):
+            self._host_state_big = True
+            return False
+        return True
 
     def _ledger_df(self) -> DataFrame:
         """All URL-seen rows (every level part; a QUEUED row and its
@@ -868,6 +906,17 @@ class CrawlEngine:
         if extra_evaluated is not None:
             c = c.unionByName(extra_evaluated)
 
+        # variant marking must see the PRE-dedup frame: duplicate
+        # same-superstep discoveries (the first_wins 'losers') carry
+        # raw spellings the winner row must absorb
+        # (ProcessFinalize.java:205-219 marks the trail over ALL
+        # reference variations, not just the surviving row's own)
+        pre_dedup = None
+        if cfg.record_url_variants:
+            pre_dedup = c.cache()
+            caches.append(pre_dedup)
+            c = pre_dedup
+
         # first-discovery-wins across candidates ∪ sitemap locs: the
         # total order (parent_seq, out_pos, sub) places each host's
         # sitemap URLs directly before their trigger
@@ -898,9 +947,10 @@ class CrawlEngine:
         if cfg.record_url_variants:
             # reference-trail variant marking (ProcessFinalize.java:
             # 205-219): raw spellings that normalized to this url —
-            # the winner row absorbs every variant, losers or not
+            # aggregated over the PRE-first_wins frame so the winner
+            # row absorbs every variant, losers included
             variants = (
-                c.filter(
+                pre_dedup.filter(
                     F.col("raw_url").isNotNull()
                     & (F.col("raw_url") != F.col("url"))
                 )
@@ -1334,6 +1384,8 @@ class CrawlEngine:
             patterns=cfg.delay_patterns,
             scope=cfg.delay_scope,
             n_threads=cfg.delay_threads,
+            delays_broadcast=self._delays_broadcastable(),
+            state_broadcast=self._host_state_broadcastable(host_state),
         )
 
         # -- metadata checksum band (MetadataChecksumStage + the HEAD
@@ -1486,7 +1538,16 @@ class CrawlEngine:
             presence = self.sitemaps.select("host").distinct().withColumn(
                 "__has_sm", F.lit(True)
             )
-            parsed = parsed.join(F.broadcast(presence), "host", "left")
+            # presence is O(hosts with sitemaps): broadcast only while
+            # counted driver-safe (static per run — memoized once);
+            # beyond the cap the join goes unhinted.
+            if self._presence_small is None:
+                self._presence_small = self._dim_small(
+                    presence, self.cfg.host_dim_broadcast_max_rows
+                )
+            if self._presence_small:
+                presence = F.broadcast(presence)
+            parsed = parsed.join(presence, "host", "left")
         if (
             cfg.stay_on_domain
             or cfg.stay_on_protocol

@@ -6,9 +6,14 @@ caption string, phash long)`` — the FeaturedImageResolver analog
 (web/.../image/impl/FeaturedImageResolver.java:99-254: fetch/decode/
 scale/store the page's featured image).
 
-The container has no Pillow, so the *codec* is a deterministic fake
-(documented stub — ``decode_real`` raises NotImplementedError), while
-every Spark-side piece is real: binary columns, Arrow-vectorized
+Codec paths, most-real-first: ``decode_real`` uses Pillow when
+importable (import-gated; this container lacks Pillow so those tests
+skip, and ``decode_real`` raises ImportError with a clear message if
+called without it); real PNG bytes also decode through the vendored
+pure-Python codec (functions/pngcodec.py — zlib + filters, no
+third-party deps, CI-verifiable here); everything else uses the
+deterministic fake codec below. Every Spark-side piece is real
+regardless of codec: binary columns, Arrow-vectorized
 encode/decode/phash/PSNR UDF plumbing, schema, partitioning.
 
 Fake codec format (self-describing, lossy-capable):
@@ -107,20 +112,28 @@ def have_pil() -> bool:
 
 
 def decode_real(buf: bytes) -> np.ndarray:
-    """Real-format decode via Pillow when importable (activates
-    automatically: ``decode_image`` falls through here for any buffer
-    without the fake codec's magic). Raises NotImplementedError where
-    Pillow is absent — this container; the Spark plumbing (schema,
-    batching, UDF signatures) is identical either way."""
+    """Real-format decode (activates automatically: ``decode_image``
+    falls through here for any buffer without the fake codec's magic).
+    Pillow when importable; real PNG bytes also decode without Pillow
+    through the vendored pure-Python codec (functions/pngcodec.py), so
+    this container's CI exercises real bytes -> pixels end to end.
+    Non-PNG real formats without Pillow raise NotImplementedError; the
+    Spark plumbing (schema, batching, UDF signatures) is identical
+    either way."""
     try:
         import io
 
         from PIL import Image  # noqa: F401
 
         return np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"))
-    except ImportError as exc:  # pragma: no cover
+    except ImportError as exc:
+        from crawlspark.functions.pngcodec import PNG_SIG, decode_png
+
+        if buf[:8] == PNG_SIG:
+            return decode_png(buf)
         raise NotImplementedError(
-            "real image decode requires Pillow (not in this container); "
+            "real non-PNG decode requires Pillow (not in this container); "
+            "PNG decodes via the vendored functions/pngcodec.py and "
             "fake-codec bytes carry the CSIMG magic and decode natively"
         ) from exc
 

@@ -105,7 +105,7 @@ def fetch_url(
                 connect=cfg.connect_timeout_s, read=cfg.read_timeout_s
             ),
             headers={"User-Agent": cfg.user_agent},
-            preload_content=True,
+            preload_content=False,
         )
     except Exception:
         return None, None, None
@@ -117,9 +117,37 @@ def fetch_url(
             from urllib.parse import urljoin
 
             redirect_to = urljoin(url, loc)
-    data = r.data or b""
-    if cfg.max_body_bytes > 0 and len(data) > cfg.max_body_bytes:
-        data = data[: cfg.max_body_bytes]
+    # stream the body in chunks, stopping at max_body_bytes — a rogue
+    # multi-GB endpoint never materializes in worker memory (the cap
+    # is enforced DURING the read, not after a full buffer)
+    limit = cfg.max_body_bytes
+    chunks: list[bytes] = []
+    read = 0
+    truncated = False
+    try:
+        for chunk in r.stream(65536, decode_content=True):
+            chunks.append(chunk)
+            read += len(chunk)
+            if limit > 0 and read >= limit:
+                truncated = True
+                break
+    except Exception:
+        try:
+            r.close()
+        except Exception:
+            pass
+        return None, None, None
+    finally:
+        try:
+            if truncated:
+                # partially-read connection cannot be safely reused
+                r.close()
+            r.release_conn()
+        except Exception:
+            pass
+    data = b"".join(chunks)
+    if limit > 0 and len(data) > limit:
+        data = data[:limit]
     body = _decode(data, r.headers.get("Content-Type"))
     return status, body, redirect_to
 

@@ -145,3 +145,45 @@ def test_spread_small_input_threshold(spark):
         "id as doc_id", "'t' as text"
     ).repartition(par + 4)
     assert spread_small_input(wide) is wide  # identity: no-op
+
+
+def test_connected_components_long_chain_doubles(spark):
+    """50-vertex path graph (diameter 49): pointer-jump doubling must
+    converge in O(log D) rounds — max_iter=10 would truncate plain
+    propagation (r3's silent-wrong-answer trap) but is ample here."""
+    from crawlspark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 50)], "a long, b long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, max_iter=10).collect()
+    }
+    assert got == {i: 1 for i in range(1, 51)}
+
+
+def test_connected_components_nonconvergence_is_loud(spark, caplog):
+    """Hitting max_iter with labels still changing must never return
+    silently: default raises, on_max_iter='warn' logs + warns."""
+    import logging
+    import warnings
+
+    import pytest
+
+    from crawlspark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 50)], "a long, b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=1)
+    with caplog.at_level(logging.WARNING, logger="crawlspark.operators.dedup"):
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            labels = connected_components(
+                pairs, max_iter=1, on_max_iter="warn"
+            )
+            labels.collect()  # truncated but returned
+    assert any("did not converge" in r.message for r in caplog.records)
+    assert any(issubclass(x.category, RuntimeWarning) for x in w)

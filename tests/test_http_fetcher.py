@@ -317,3 +317,30 @@ def test_engine_headers_dim_from_real_head(spark, server, tmp_path):
     log = eng.fetch_log().toPandas()
     assert len(log) > 0
     assert not any("/private/" in u for u in log["url"])
+
+
+def test_max_body_bytes_truncates_during_stream(server):
+    """The body cap is enforced WHILE streaming (preload_content=False
+    + chunked read) — a large response is cut at max_body_bytes and the
+    fetch still succeeds; an uncapped fetch of the same route returns
+    the full body."""
+    from crawlspark.sources.httpfetch import fetch_url
+
+    base, routes = server
+    big = "<html><body>" + ("z" * 500_000) + "</body></html>"
+    routes["/big"] = (
+        200,
+        {"Content-Type": "text/html; charset=utf-8"},
+        big.encode(),
+    )
+    capped = HttpFetcherConfig(max_body_bytes=1024)
+    st, body, redir = fetch_url(f"{base}/big", capped)
+    assert st == 200 and redir is None
+    assert len(body.encode()) <= 1024
+    assert body == big[: len(body)]
+    uncapped = HttpFetcherConfig(max_body_bytes=0)
+    st2, body2, _ = fetch_url(f"{base}/big", uncapped)
+    assert st2 == 200 and body2 == big
+    # pool still usable after the truncated (closed) connection
+    st3, body3, _ = fetch_url(f"{base}/big", capped)
+    assert st3 == 200 and len(body3.encode()) <= 1024

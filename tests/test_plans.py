@@ -146,3 +146,101 @@ def test_lsh_signature_plan_has_no_per_row_hash(spark):
     )
     plan = lsh_signatures(emb, n_planes=4)._jdf.queryExecution().optimizedPlan().toString()
     assert "md5" not in plan.lower(), plan[:2000]
+
+
+def test_host_dim_broadcast_auto_strategy(spark):
+    """The politeness host_state / crawl-delay dims are O(distinct
+    hosts ever seen): the broadcast hint must appear ONLY when the
+    caller's counted strategy says so (r3's last two forced O(hosts)
+    broadcasts) — unhinted, Catalyst/AQE pick shuffle-hash/sort-merge
+    (auto-broadcast disabled here so the hint is observable)."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.operators.politeness import schedule_hosts
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        batch = spark.range(50).select(
+            F.concat(F.lit("http://h"), (F.col("id") % 5), F.lit(".x/p"), F.col("id")).alias("url"),
+            F.concat(F.lit("h"), (F.col("id") % 5), F.lit(".x")).alias("host"),
+            F.col("id").alias("seq"),
+            (F.col("id") * 10).alias("avail_ms"),
+        )
+        delays = spark.createDataFrame(
+            [(f"h{i}.x", None) for i in range(5)],
+            "host string, crawl_delay_ms long",
+        )
+        state = spark.createDataFrame(
+            [(f"h{i}.x", 0) for i in range(5)],
+            "host string, last_sched_ms long",
+        )
+
+        def plan_of(db, sb):
+            df = schedule_hosts(
+                batch, delays, state, 1000,
+                delays_broadcast=db, state_broadcast=sb,
+            )
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        hinted = plan_of(True, True)
+        assert hinted.count("BroadcastHashJoin") == 2, hinted[:3000]
+        unhinted = plan_of(False, False)
+        assert "BroadcastHashJoin" not in unhinted, unhinted[:3000]
+        # results identical either way — strategy is physical only
+        a = schedule_hosts(batch, delays, state, 1000).collect()
+        b = schedule_hosts(
+            batch, delays, state, 1000,
+            delays_broadcast=False, state_broadcast=False,
+        ).collect()
+        assert sorted((r["url"], r["sched_ms"]) for r in a) == sorted(
+            (r["url"], r["sched_ms"]) for r in b
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_engine_host_state_ratchet(spark, tmp_path):
+    """CrawlEngine's host_state verdict ratchets: with a 0-row cap the
+    first superstep flips it to permanently-large (never broadcast
+    again, never re-counted) and the crawl result is unchanged."""
+    from crawlspark.config import CrawlConfig
+    from crawlspark.plans.superstep import CrawlEngine
+
+    def page(u, links):
+        html = "<html><body>" + "".join(
+            f'<a href="{x}">x</a>' for x in links
+        ) + "</body></html>"
+        return (u, 200, html, None)
+
+    pages = spark.createDataFrame(
+        [
+            page("http://h.x/", ["http://h.x/a", "http://h.x/b"]),
+            page("http://h.x/a", []),
+            page("http://h.x/b", []),
+        ],
+        "url string, status int, html string, redirect_to string",
+    )
+    robots = spark.createDataFrame([("h.x", None)], "host string, body string")
+
+    def crawl(cap, tag):
+        eng = CrawlEngine(
+            spark,
+            str(tmp_path / tag),
+            CrawlConfig(max_depth=2, host_dim_broadcast_max_rows=cap),
+            pages,
+            robots,
+        )
+        eng.bootstrap(["http://h.x/"])
+        eng.run()
+        log = [
+            (r["url"], r["scheduled_at_ms"])
+            for r in eng.fetch_log().orderBy("seq").collect()
+        ]
+        return eng, log
+
+    eng_big, log_big = crawl(2_000_000, "hs_big")
+    assert eng_big._host_state_big is False
+    eng_zero, log_zero = crawl(0, "hs_zero")
+    assert eng_zero._host_state_big is True
+    assert log_big == log_zero

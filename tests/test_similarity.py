@@ -61,3 +61,34 @@ def test_ivf_topk_recall_vs_exact(spark):
     assert hits  # partial probing still finds true neighbors...
     for key in hits:  # ...with the identical fold scores
         assert exact[key] == part[key]
+
+
+def test_lsh_signatures_null_and_ragged_guard(spark):
+    """Probe skips null embeddings (r3 raised TypeError when row 1 was
+    null); null rows get a null signature; a row WIDER than the probed
+    dim raises instead of silently projecting null weights."""
+    import pytest
+
+    from crawlspark.operators.similarity import lsh_signatures
+
+    schema = "vec_id long, label string, embedding array<float>"
+    ok = spark.createDataFrame(
+        [(1, "x", None), (2, "x", [1.0, -2.0, 0.5]), (3, "x", [0.1, 0.2, 0.3])],
+        schema,
+    )
+    rows = {r["vec_id"]: r["lsh_sig"] for r in lsh_signatures(ok).collect()}
+    assert rows[1] is None
+    assert rows[2] is not None and rows[3] is not None
+    # same non-null rows produce identical signatures without the null
+    no_null = spark.createDataFrame(
+        [(2, "x", [1.0, -2.0, 0.5]), (3, "x", [0.1, 0.2, 0.3])], schema
+    )
+    rows2 = {
+        r["vec_id"]: r["lsh_sig"] for r in lsh_signatures(no_null).collect()
+    }
+    assert rows2 == {k: v for k, v in rows.items() if v is not None}
+    ragged = spark.createDataFrame(
+        [(1, "x", [1.0, 2.0]), (2, "x", [1.0, 2.0, 3.0, 4.0])], schema
+    )
+    with pytest.raises(Exception, match="wider than probed dim"):
+        lsh_signatures(ragged).collect()

@@ -89,3 +89,37 @@ def test_variants_off_by_default_column_null(spark, tmp_path):
         eng.levels.read().select("raw_variants").distinct().collect()
     )
     assert [v["raw_variants"] for v in vals] == [None]
+
+
+def test_loser_variant_absorbed_by_winner(spark, tmp_path):
+    """Variants from same-superstep duplicate discoveries (the
+    first_wins 'losers') must land on the winning row: here the
+    canonical spelling is linked FIRST (so it wins the dedup) and the
+    raw variant second — the loser's raw spelling still gets recorded
+    (ProcessFinalize.java:205-219 marks ALL reference variations)."""
+    cfg = CrawlConfig(
+        max_depth=2, default_delay_ms=1000, record_url_variants=True
+    )
+    pages = [
+        (ROOT, 200, _html([CANON_A, VARIANT_A]), None),
+        (CANON_A, 200, _html([]), None),
+    ]
+    pages_df = spark.createDataFrame(
+        pages, "url string, status int, html string, redirect_to string"
+    )
+    robots_df = spark.createDataFrame(
+        [(HOST, None)], "host string, body string"
+    )
+    eng = CrawlEngine(spark, str(tmp_path / "lv"), cfg, pages_df, robots_df)
+    eng.bootstrap([ROOT])
+    eng.run()
+    led = (
+        eng.levels.read()
+        .filter(
+            (F.col("url") == CANON_A) & (F.col("status") == "PROCESSED")
+        )
+        .select("raw_variants")
+        .collect()
+    )
+    assert len(led) == 1
+    assert led[0]["raw_variants"] == ["http://H.example:80/a"]
