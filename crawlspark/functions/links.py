@@ -412,18 +412,28 @@ def extract_links_dom(
     tag: str,
     attr: str = "href",
 ) -> list[tuple[str, int]]:
-    """DomLinkExtractor for a tag+attribute selector
-    (web/.../link/impl/DomLinkExtractor.java — jsoup selectors; the
-    deterministic subset here is element tag + attribute name, the
-    same grammar as transformers.split_dom): every ``<tag ...>`` with
-    the attribute contributes its value, in document order, through
-    the shared finalize tail. CSS class/pseudo selectors live in the
-    same slot as a pandas UDF."""
+    """DomLinkExtractor (web/.../link/impl/DomLinkExtractor.java —
+    jsoup selectors): every element matching ``tag`` with the
+    attribute contributes its value, in document order, through the
+    shared finalize tail. A bare element tag stays on the regex fast
+    path; anything richer — ``div.story a``, ``a#primary``,
+    ``ul > li > a[rel=nofollow]`` — runs through the real DOM walk in
+    functions/domselect.py (class/id/attribute/descendant/child
+    selectors; pseudo-classes raise loudly)."""
     if not html:
         return []
-    rx = re.compile(
-        rf"<{tag}\b[^>]*\b{re.escape(attr)}\s*=\s*[\"']([^\"']+)[\"']",
-        re.I,
-    )
-    found = [(m.start(), m.group(1)) for m in rx.finditer(html)]
+    from .domselect import is_bare_tag, select
+
+    if is_bare_tag(tag):
+        rx = re.compile(
+            rf"<{tag}\b[^>]*\b{re.escape(attr)}\s*=\s*[\"']([^\"']+)[\"']",
+            re.I,
+        )
+        found = [(m.start(), m.group(1)) for m in rx.finditer(html)]
+    else:
+        found = [
+            (n.order, n.attrs[attr])
+            for n in select(html, tag)
+            if n.attrs.get(attr)
+        ]
     return _finalize_links(base_url, found)

@@ -59,16 +59,33 @@ CHANGEFREQS = (
 )
 
 # changefreq -> minimum re-crawl period in ms for the recrawlable
-# resolver (GenericRecrawlableResolver.java:244-263). The reference
-# uses calendar arithmetic (plusMonths/plusYears); fixed 30/365-day
-# periods here — deterministic on both engines, documented deviation.
+# resolver (GenericRecrawlableResolver.java:244-263). Fixed spans for
+# the uniform units (an hour/day/week is constant in UTC — the session
+# timezone everywhere); monthly/yearly use CALENDAR arithmetic like
+# the reference's plusMonths/plusYears (CHANGEFREQ_CALENDAR_MONTHS,
+# day-of-month clamped — identical semantics in Spark timestampadd,
+# DuckDB + INTERVAL, and the simulator's add_months_clamped).
 CHANGEFREQ_PERIOD_MS = {
     "hourly": 3_600_000,
     "daily": 86_400_000,
     "weekly": 7 * 86_400_000,
-    "monthly": 30 * 86_400_000,
-    "yearly": 365 * 86_400_000,
 }
+
+CHANGEFREQ_CALENDAR_MONTHS = {"monthly": 1, "yearly": 12}
+
+
+def add_months_clamped(ms: int, n: int) -> int:
+    """Epoch-ms + n calendar months (UTC), day-of-month clamped to the
+    target month's last day — java.time plusMonths semantics, matching
+    Spark's timestampadd(MONTH) and DuckDB's + INTERVAL n MONTH."""
+    import calendar
+    from datetime import datetime, timezone
+
+    dt = datetime.fromtimestamp(ms / 1000.0, tz=timezone.utc)
+    y = dt.year + (dt.month - 1 + n) // 12
+    m = (dt.month - 1 + n) % 12 + 1
+    d = min(dt.day, calendar.monthrange(y, m)[1])
+    return int(dt.replace(year=y, month=m, day=d).timestamp() * 1000)
 
 
 def sitemap_locations(host_root: str, robots_sitemaps: list[str] | None) -> list[str]:

@@ -344,11 +344,57 @@ def split_dom(
 
     Spark-first: the DOM walk the reference does in jsoup is, for a
     tag selector, a regexp_extract_all + posexplode — one generated
-    projection, no Python, no shuffle. CSS class/attribute selectors
-    that genuinely need a DOM live in the same slot as a pandas UDF.
+    projection, no Python, no shuffle. Selectors that genuinely need
+    a DOM (``div.story``, ``#main p``, ``ul > li``) route through the
+    vendored CSS engine (functions/domselect.py) as an Arrow-batched
+    pandas UDF in the same slot — per-element OUTER markup
+    re-serialized from the parse tree, document order preserved.
     """
-    frag_rx = f"(?s)<{tag}[^>]*>.*?</{tag}>"
+    from crawlspark.functions.domselect import is_bare_tag
+
     c = F.col(col) if isinstance(col, str) else col
+    if not is_bare_tag(tag):
+        sel = tag
+
+        @F.pandas_udf("array<string>")
+        def _dom_frags(s: pd.Series) -> pd.Series:
+            from crawlspark.functions.domselect import select
+
+            out = []
+            for doc in s:
+                if not doc:
+                    out.append([])
+                    continue
+                nodes = select(doc, sel)
+                # DomSplitter.java:152-158 self-match guard: the one
+                # match IS the document's single top-level element
+                if (
+                    len(nodes) == 1
+                    and nodes[0].parent is not None
+                    and nodes[0].parent.tag == "#root"
+                    and sum(
+                        1
+                        for ch in nodes[0].parent.children
+                        if not isinstance(ch, str)
+                    )
+                    == 1
+                ):
+                    out.append([])
+                    continue
+                out.append([n.outer_html() for n in nodes])
+            return pd.Series(out)
+
+        embed = F.concat(F.lit(f"{tag}:nth("), F.col("pos"), F.lit(")"))
+        return (
+            df.select("*", F.posexplode(_dom_frags(c)).alias("pos", out_col))
+            .withColumn("embedded_ref", embed)
+            .withColumn(
+                "child_ref",
+                F.concat(F.col(ref_col), F.lit("!"), F.col("embedded_ref")),
+            )
+            .withColumnRenamed(ref_col, "parent_ref")
+        )
+    frag_rx = f"(?s)<{tag}[^>]*>.*?</{tag}>"
     frags = F.regexp_extract_all(c, F.lit(frag_rx), F.lit(0))
     whole = F.trim(c)
     self_match = (F.size(frags) == 1) & (frags.getItem(0) == whole)

@@ -63,3 +63,43 @@ def cap_buckets(
                 max_bucket,
             )
     return b.filter(F.col("__bn") <= max_bucket).drop("__bn")
+
+
+def overflow_adjacent_pairs(
+    buckets: DataFrame,
+    keys: list[str],
+    max_bucket: int,
+    id_col: str,
+    sort_col: str | None = None,
+) -> DataFrame:
+    """LINEAR-cost candidate pairs from the OVER-cap buckets that
+    :func:`cap_buckets` drops — the opt-in exact-pass fallback: rather
+    than omitting a degenerate bucket's pairs entirely, sort its
+    members within the bucket (by ``sort_col``, default the id) and
+    pair each row with its successor. A 10^6-row boilerplate bucket
+    emits 10^6-1 chained candidates instead of ~10^12 — one window
+    shuffle, bounded memory, no quadratic blowup.
+
+    The chain is complete for DEDUP semantics: downstream exact
+    verification keeps only true near-dups, and connected-components
+    clustering recovers the full duplicate family from the adjacent
+    chain (every member links to its sort-neighbor; identical or
+    near-identical docs sort adjacently). Non-adjacent direct pairs
+    within the bucket are intentionally not enumerated — that IS the
+    bound. Returns (a, b) with a < b, distinct."""
+    w = Window.partitionBy(*[F.col(k) for k in keys])
+    over = buckets.withColumn("__bn", F.count(F.lit(1)).over(w)).filter(
+        F.col("__bn") > max_bucket
+    )
+    ws = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col(sort_col or id_col), F.col(id_col)
+    )
+    nxt = F.lead(id_col).over(ws)
+    return (
+        over.select(
+            F.least(F.col(id_col), nxt).alias("a"),
+            F.greatest(F.col(id_col), nxt).alias("b"),
+        )
+        .filter(F.col("a").isNotNull() & (F.col("a") != F.col("b")))
+        .distinct()
+    )

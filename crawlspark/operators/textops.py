@@ -306,7 +306,10 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 
 
 def minhash_dup_pairs(
-    docs: DataFrame, threshold: float = 0.5, max_bucket: int = 10_000
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_bucket: int = 10_000,
+    overflow: str = "drop",
 ) -> DataFrame:
     """LSH candidate pairs (band-bucket join, no all-pairs) with
     estimated Jaccard >= threshold. (a, b, est_jaccard), a < b.
@@ -322,7 +325,17 @@ def minhash_dup_pairs(
     single-scan shape. The persisted frame is registered in
     ``_LIVE_CACHES`` — long-lived sessions release it with
     ``release_caches()`` once the result is materialized (it is a
-    performance cache only; the plan recomputes if released early)."""
+    performance cache only; the plan recomputes if released early).
+
+    ``overflow``: what happens to buckets over ``max_bucket``.
+    "drop" (default) omits their pairs with a logged warning;
+    "exact" routes their members through a sorted within-bucket
+    adjacent-chain pass (buckets.overflow_adjacent_pairs) — linear
+    candidates instead of quadratic, still exact-verified by the
+    signature-match estimate below, cluster-complete under
+    connected_components."""
+    if overflow not in ("drop", "exact"):
+        raise ValueError("overflow must be 'drop' or 'exact'")
     wide = minhash_wide(docs).persist()
     _LIVE_CACHES.append(wide)
     band_structs = [
@@ -343,8 +356,9 @@ def minhash_dup_pairs(
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     # degenerate buckets (> max_bucket docs) pair quadratically —
     # capped loudly (crawlspark.operators.buckets)
-    from .buckets import cap_buckets
+    from .buckets import cap_buckets, overflow_adjacent_pairs
 
+    raw_buckets = buckets
     buckets = cap_buckets(
         buckets, ["band", "bucket"], max_bucket, "minhash_dup_pairs"
     )
@@ -362,6 +376,11 @@ def minhash_dup_pairs(
         )
         .distinct()
     )
+    if overflow == "exact":
+        chained = overflow_adjacent_pairs(
+            raw_buckets, ["band", "bucket"], max_bucket, "doc_id"
+        ).select(F.col("a").alias("da"), F.col("b").alias("db"))
+        cand = cand.unionByName(chained).distinct()
     w1 = wide.select(
         F.col("doc_id").alias("da"),
         *[F.col(f"h{i}").alias(f"x{i}") for i in range(N_MINHASH)],

@@ -192,7 +192,11 @@ class CrawlSimulator:
         _recrawlable_col exactly): sitemap directives under FIRST,
         then first-matching min frequency (min_recrawl_ms catch-all),
         sitemap under LAST, else recrawlable."""
-        from ..functions.sitemaps import CHANGEFREQ_PERIOD_MS
+        from ..functions.sitemaps import (
+            CHANGEFREQ_CALENDAR_MONTHS,
+            CHANGEFREQ_PERIOD_MS,
+            add_months_clamped,
+        )
 
         cfg = self.cfg
         now = cfg.virtual_now_ms + e.avail_ms
@@ -213,6 +217,16 @@ class CrawlSimulator:
                 return True
             if sm_freq == "never":
                 return False
+            months = CHANGEFREQ_CALENDAR_MONTHS.get(sm_freq)
+            if months is not None:
+                # calendar month/year add, day clamped — mirrors the
+                # engine's timestampadd(MONTH) on the virtual clock
+                return (
+                    add_months_clamped(
+                        cfg.virtual_epoch_ms + sched0, months
+                    )
+                    <= cfg.virtual_epoch_ms + now
+                )
             period = CHANGEFREQ_PERIOD_MS.get(sm_freq)
             if period is not None:
                 return sched0 + period <= now

@@ -206,7 +206,10 @@ def _recrawlable_col(cfg: CrawlConfig):
     the catch-all, recrawlable otherwise. now = virtual clock at this
     row's availability; sitemap lastmod (a real date) maps onto the
     virtual clock via cfg.virtual_epoch_ms."""
-    from ..functions.sitemaps import CHANGEFREQ_PERIOD_MS
+    from ..functions.sitemaps import (
+        CHANGEFREQ_CALENDAR_MONTHS,
+        CHANGEFREQ_PERIOD_MS,
+    )
 
     now = F.lit(cfg.virtual_now_ms) + F.col("avail_ms")
     sched0 = F.col("base_sched")
@@ -216,6 +219,17 @@ def _recrawlable_col(cfg: CrawlConfig):
     for name, ms in CHANGEFREQ_PERIOD_MS.items():
         w = F.when(freq == name, F.lit(ms))
         period = w if period is None else period.when(freq == name, F.lit(ms))
+    # monthly/yearly are CALENDAR periods (plusMonths/plusYears —
+    # GenericRecrawlableResolver.java:224-244): project the virtual
+    # clock onto real timestamps, add clamped months, compare
+    epoch = F.lit(cfg.virtual_epoch_ms)
+    sched_ts = F.timestamp_millis((epoch + sched0).cast("long"))
+    now_ts = F.timestamp_millis((epoch + now).cast("long"))
+    cal_due = None
+    for name, months in CHANGEFREQ_CALENDAR_MONTHS.items():
+        due = F.timestamp_add("MONTH", F.lit(months), sched_ts) <= now_ts
+        w = F.when(freq == name, due)
+        cal_due = w if cal_due is None else cal_due.when(freq == name, due)
     sm_recrawl = (
         F.when(
             F.col("base_sm_lastmod").isNotNull(),
@@ -223,6 +237,7 @@ def _recrawlable_col(cfg: CrawlConfig):
         )
         .when(freq == "always", F.lit(True))
         .when(freq == "never", F.lit(False))
+        .when(cal_due.isNotNull(), cal_due)
         .when(period.isNotNull(), sched0 + period <= now)
         .otherwise(F.lit(True))
     )

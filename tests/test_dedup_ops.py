@@ -187,3 +187,38 @@ def test_connected_components_nonconvergence_is_loud(spark, caplog):
             labels.collect()  # truncated but returned
     assert any("did not converge" in r.message for r in caplog.records)
     assert any(issubclass(x.category, RuntimeWarning) for x in w)
+
+
+def test_overflow_exact_pass_recovers_dropped_bucket_pairs(spark):
+    """An over-cap degenerate bucket loses ALL its pairs under the
+    default drop policy; overflow='exact' recovers the duplicate
+    family through the linear adjacent-chain pass — candidate count
+    is n-1 (bounded), not n(n-1)/2, and connected_components stitches
+    the chain back into one cluster."""
+    from crawlspark.operators.dedup import connected_components
+    from crawlspark.operators.textops import minhash_dup_pairs
+
+    n = 30
+    rows = [(i, "identical boilerplate page body " * 8) for i in range(n)]
+    rows += [(100 + i, f"unique snowflake document number {i} " * 8) for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    dropped = minhash_dup_pairs(docs, max_bucket=10).collect()
+    # every identical doc sat in an over-cap bucket -> its pairs gone
+    # (the mildly-similar decoys may still pair among themselves)
+    assert not [r for r in dropped if r["a"] < 100 or r["b"] < 100]
+
+    exact = minhash_dup_pairs(
+        docs, max_bucket=10, overflow="exact"
+    ).filter("a < 100 and b < 100")
+    got = exact.collect()
+    # linear chain: exactly n-1 pairs, all at est_jaccard 1.0
+    assert len(got) == n - 1
+    assert all(r["est_jaccard"] == 1.0 for r in got)
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            exact.select("a", "b"), max_iter=10
+        ).collect()
+    }
+    assert comp == {i: 0 for i in range(n)}

@@ -117,3 +117,43 @@ def test_extract_links_dom():
         ("http://o.t/map2", 1),
     ]
     assert extract_links_dom("http://h.x/", None, "a") == []
+
+
+def test_extract_links_dom_css_selectors():
+    """Selector depth beyond a bare tag (DomLinkExtractor.java jsoup
+    grammar): class, id, attribute, descendant and direct-child
+    combinators all walk the real DOM (functions/domselect.py);
+    pseudo-classes raise instead of silently matching nothing."""
+    import pytest
+
+    from crawlspark.functions.links import extract_links_dom
+
+    html = (
+        "<html><body>"
+        '<div class="story lead"><a href="/in-story">s</a>'
+        '<ul><li><a href="/in-li" rel="nofollow">l</a></li></ul></div>'
+        '<div class="aside"><a href="/in-aside">a</a></div>'
+        '<a id="primary" href="/primary">p</a>'
+        "</body></html>"
+    )
+    base = "http://h.x/page"
+
+    got = extract_links_dom(base, html, "div.story a")
+    assert [u for u, _ in got] == ["http://h.x/in-story", "http://h.x/in-li"]
+
+    got = extract_links_dom(base, html, "a#primary")
+    assert [u for u, _ in got] == ["http://h.x/primary"]
+
+    got = extract_links_dom(base, html, "a[rel=nofollow]")
+    assert [u for u, _ in got] == ["http://h.x/in-li"]
+
+    # direct child: the story div's IMMEDIATE a only, not the li one
+    got = extract_links_dom(base, html, "div.story > a")
+    assert [u for u, _ in got] == ["http://h.x/in-story"]
+
+    # multi-class compound + backtracking shape (a > b c)
+    got = extract_links_dom(base, html, "div.story.lead a")
+    assert [u for u, _ in got] == ["http://h.x/in-story", "http://h.x/in-li"]
+
+    with pytest.raises(ValueError, match="pseudo-class"):
+        extract_links_dom(base, html, "a:visited")

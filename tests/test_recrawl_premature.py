@@ -216,3 +216,73 @@ def test_premature_metrics_and_no_politeness_slot(runs):
     for host, grp in fetched.groupby("host"):
         times = sorted(grp["scheduled_at_ms"])
         assert all(b - a >= 1000 for a, b in zip(times, times[1:]))
+
+
+def test_calendar_changefreq_month_boundary(spark):
+    """monthly/yearly are CALENDAR periods (plusMonths/plusYears —
+    GenericRecrawlableResolver.java:224-244), not fixed 30/365-day
+    spans: a crawl on Jan 31 2024 is due again Feb 29 2024 (29 days —
+    leap clamp), which the old fixed 30-day span would have called
+    premature. Engine Column and pure-Python simulator must agree at
+    the boundary on both sides."""
+    from datetime import datetime, timezone
+
+    from crawlspark.config import CrawlConfig
+    from crawlspark.oracle.simulator import CrawlSimulator, SimEntry
+    from crawlspark.plans.superstep import _recrawlable_col
+
+    jan31 = int(
+        datetime(2024, 1, 31, tzinfo=timezone.utc).timestamp() * 1000
+    )
+    feb29 = int(
+        datetime(2024, 2, 29, tzinfo=timezone.utc).timestamp() * 1000
+    )
+    feb28_2025 = int(
+        datetime(2025, 2, 28, tzinfo=timezone.utc).timestamp() * 1000
+    )
+
+    def engine_due(freq: str, now_ms: int) -> bool:
+        cfg = CrawlConfig(
+            recrawl_sitemap_check=True,
+            recrawl_sitemap_support="first",
+            virtual_epoch_ms=jan31,
+            virtual_now_ms=now_ms,
+        )
+        df = spark.createDataFrame(
+            [("http://h.x/u", 0, 0, None, freq)],
+            "url string, avail_ms long, base_sched long, "
+            "base_sm_lastmod string, base_sm_changefreq string",
+        )
+        return bool(
+            df.select(_recrawlable_col(cfg).alias("r")).first()["r"]
+        )
+
+    def sim_due(freq: str, now_ms: int) -> bool:
+        cfg = CrawlConfig(
+            recrawl_sitemap_check=True,
+            recrawl_sitemap_support="first",
+            virtual_epoch_ms=jan31,
+            virtual_now_ms=now_ms,
+        )
+        sim = CrawlSimulator({}, {}, cfg)
+        e = SimEntry(
+            url="http://h.x/u", host="h.x", depth=0, seq=0, avail_ms=0
+        )
+        return sim._recrawlable({"sched_ms": 0, "sm_changefreq": freq}, e)
+
+    month_ms = feb29 - jan31          # 29 days: the calendar period
+    year_ms = feb28_2025 - jan31      # Jan 31 '24 + 1y -> Feb 28 '25? no:
+    # plusMonths(12) from Jan 31 2024 = Jan 31 2025; use that instead
+    jan31_2025 = int(
+        datetime(2025, 1, 31, tzinfo=timezone.utc).timestamp() * 1000
+    )
+    year_ms = jan31_2025 - jan31
+
+    for freq, due_at in [("monthly", month_ms), ("yearly", year_ms)]:
+        for now, want in [(due_at - 1, False), (due_at, True)]:
+            assert engine_due(freq, now) is want, (freq, now, want)
+            assert sim_due(freq, now) is want, (freq, now, want)
+
+    # the leap clamp itself: 30-day fixed span would NOT be due at
+    # 29 days; the calendar period is
+    assert month_ms == 29 * 86_400_000

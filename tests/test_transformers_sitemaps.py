@@ -327,3 +327,43 @@ def test_cond_date_and_dom(spark, df):
     assert by_id[2]["after"] is True   # 2022-12-31
     assert by_id[3]["after"] is None   # null date propagates
     assert by_id[1]["has_item"] and not by_id[1]["no_item"]
+
+
+def test_split_dom_css_selector(spark):
+    """DomSplitter with a real CSS selector routes through the
+    vendored DOM engine: class-scoped descendant split, outer markup
+    re-serialized, self-match guard preserved, document order kept."""
+    df = spark.createDataFrame(
+        [
+            (
+                "http://h/a",
+                '<html><body><div class="wrap">'
+                '<item kind="x">one</item><skip>no</skip>'
+                "<item>two</item></div>"
+                "<item>outside</item></body></html>",
+            ),
+            # one match == the single top-level element -> no children
+            ("http://h/self", '<item class="wrap">solo</item>'),
+        ],
+        schema="ref string, html string",
+    )
+    out = (
+        TR.split_dom(df, "html", "div.wrap item")
+        .select("parent_ref", "pos", "child_ref", "fragment")
+        .collect()
+    )
+    assert [(r["parent_ref"], r["pos"], r["fragment"]) for r in out] == [
+        ("http://h/a", 0, '<item kind="x">one</item>'),
+        ("http://h/a", 1, "<item>two</item>"),
+    ]
+    assert out[0]["child_ref"] == "http://h/a!div.wrap item:nth(0)"
+    # self-match guard through the DOM path too
+    solo = TR.split_dom(
+        spark.createDataFrame(
+            [("http://h/s", '<item class="w">solo</item>')],
+            schema="ref string, html string",
+        ),
+        "html",
+        "item.w",
+    ).collect()
+    assert solo == []
