@@ -224,15 +224,29 @@ def resolve_sitemap_tree(
 
 @F.pandas_udf(SITEMAP_RECORDS_TYPE)
 def resolve_sitemap_tree_udf(
-    host: pd.Series, paths: pd.Series, xmls: pd.Series
+    host: pd.Series,
+    paths: pd.Series,
+    xmls: pd.Series,
+    rep_url: pd.Series,
 ) -> pd.Series:
     """Per-host tree resolution over the host's full sitemap set
     (paths/xmls: the collected dim rows — child 'fetches' are local
-    lookups, matching the fixture-supplied sitemap model)."""
+    lookups, matching the fixture-supplied sitemap model).
+
+    ``rep_url``: a representative URL of the host (the trigger) whose
+    scheme+netloc anchor the sitemap URLs — so non-default ports stay
+    inside the non-lenient directory scope (a bare ``http://{host}``
+    base would scope out every ``host:port`` loc). Null falls back to
+    ``http://{host}``."""
+    from urllib.parse import urlsplit
+
     out = []
-    for h, ps, xs in zip(host, paths, xmls):
-        lookup = {
-            f"http://{h}{p}": x for p, x in zip(list(ps), list(xs))
-        }
-        out.append(resolve_sitemap_tree(f"http://{h}/sitemap.xml", lookup))
+    for h, ps, xs, ru in zip(host, paths, xmls, rep_url):
+        if ru:
+            sp = urlsplit(str(ru))
+            base = f"{sp.scheme}://{sp.netloc}"
+        else:
+            base = f"http://{h}"
+        lookup = {f"{base}{p}": x for p, x in zip(list(ps), list(xs))}
+        out.append(resolve_sitemap_tree(f"{base}/sitemap.xml", lookup))
     return pd.Series(out, dtype=object)

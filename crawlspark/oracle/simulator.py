@@ -409,11 +409,21 @@ class CrawlSimulator:
             self._sitemap_resolved.add(host)
             files = self.sitemaps.get(host)
             if files:
+                from urllib.parse import urlsplit
+
                 from ..functions.sitemaps import resolve_sitemap_tree
 
+                # scheme+netloc from the trigger URL (port-aware, the
+                # engine's rep_url analog); bare host as fallback
+                sp = urlsplit(url)
+                base = (
+                    f"{sp.scheme}://{sp.netloc}"
+                    if sp.scheme and sp.netloc
+                    else f"http://{host}"
+                )
                 recs = resolve_sitemap_tree(
-                    f"http://{host}/sitemap.xml",
-                    {f"http://{host}{p}": x for p, x in files.items()},
+                    f"{base}/sitemap.xml",
+                    {f"{base}{p}": x for p, x in files.items()},
                 )
                 for rec in recs:
                     res.metrics["SITEMAP_URLS"] += 1

@@ -1206,7 +1206,12 @@ class CrawlEngine:
             .agg(
                 F.min(
                     F.struct("parent_seq", "out_pos", "avail_ms")
-                ).alias("t")
+                ).alias("t"),
+                # representative URL: anchors the sitemap base's
+                # scheme+netloc so non-default ports survive the
+                # non-lenient loc scope (deterministic min; one netloc
+                # per host in practice)
+                F.min("url").alias("rep_url"),
             )
         )
         # resolved-hosts state is DATAFLOW, not a driver set: the
@@ -1252,7 +1257,10 @@ class CrawlEngine:
             .withColumn(
                 "recs",
                 resolve_sitemap_tree_udf(
-                    F.col("host"), F.col("paths"), F.col("xmls")
+                    F.col("host"),
+                    F.col("paths"),
+                    F.col("xmls"),
+                    F.col("rep_url"),
                 ),
             )
             .select(

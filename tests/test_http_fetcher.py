@@ -344,3 +344,155 @@ def test_max_body_bytes_truncates_during_stream(server):
     # pool still usable after the truncated (closed) connection
     st3, body3, _ = fetch_url(f"{base}/big", capped)
     assert st3 == 200 and len(body3.encode()) <= 1024
+
+
+def test_e2e_socket_crawl_with_sitemaps_matches_join_and_oracle(
+    spark, tmp_path
+):
+    """The composed end-to-end --http path (the MockServer feature
+    suite shape, WebCrawlingTestCapturer.java:41-66): ONE crawl where
+    robots, the sitemap tree and every page are fetched over real
+    sockets — asserted against BOTH the pages-join engine and the
+    pure-Python CrawlSimulator for the identical fetch order,
+    outcomes, and committed document set."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from crawlspark.oracle.simulator import CrawlSimulator
+    from crawlspark.sources.httpfetch import discover_sitemaps_df
+
+    routes: dict = {}
+
+    class H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            st, hdrs, body = routes.get(
+                self.path, (404, {}, b"<html><body>nope</body></html>")
+            )
+            self.send_response(st)
+            for k, v in hdrs.items():
+                self.send_header(k, v)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        hh = {"Content-Type": "text/html; charset=utf-8"}
+        robots_body = (
+            "User-agent: *\nDisallow: /private\n"
+            f"Sitemap: {base}/sitemap.xml\n"
+        )
+        sm_xml = (
+            '<?xml version="1.0"?><urlset>'
+            f"<url><loc>{base}/sm1</loc></url>"
+            f"<url><loc>{base}/sm2</loc></url>"
+            "</urlset>"
+        )
+        routes["/robots.txt"] = (
+            200, {"Content-Type": "text/plain"}, robots_body.encode()
+        )
+        routes["/sitemap.xml"] = (
+            200, {"Content-Type": "application/xml"}, sm_xml.encode()
+        )
+        routes["/"] = (200, dict(hh), _page(
+            f"{base}/a", "/private/x", "/r", "/missing"
+        ).encode())
+        routes["/a"] = (200, dict(hh), _page("/b").encode())
+        routes["/b"] = (200, dict(hh), _page().encode())
+        routes["/sm1"] = (200, dict(hh), _page("/sm3").encode())
+        routes["/sm2"] = (200, dict(hh), _page().encode())
+        routes["/sm3"] = (200, dict(hh), _page().encode())
+        routes["/private/x"] = (200, dict(hh), _page().encode())
+        routes["/r"] = (301, {"Location": "/a"}, b"")
+
+        cfg = CrawlConfig(
+            max_depth=2, default_delay_ms=1000, use_sitemaps=True
+        )
+        seeds = [base + "/"]
+
+        # 1) pure-Python oracle
+        pages = {}
+        for path, (st, hdrs, body) in routes.items():
+            if path in ("/robots.txt", "/sitemap.xml"):
+                continue
+            redir = hdrs.get("Location")
+            pages[base + path] = {
+                "url": base + path,
+                "status": st,
+                "html": body.decode() or None,
+                "redirect_to": (base + redir) if redir else None,
+            }
+        pages[base + "/missing"] = {
+            "url": base + "/missing", "status": 404,
+            "html": "<html><body>nope</body></html>", "redirect_to": None,
+        }
+        sim = CrawlSimulator(
+            pages,
+            {"127.0.0.1": robots_body},
+            cfg,
+            sitemaps={"127.0.0.1": {"/sitemap.xml": sm_xml}},
+        ).run(seeds)
+
+        # 2) pages-join engine
+        eng_join = CrawlEngine(
+            spark,
+            str(tmp_path / "join"),
+            cfg,
+            spark.createDataFrame(
+                list(pages.values()),
+                "url string, status int, html string, redirect_to string",
+            ),
+            spark.createDataFrame(
+                [("127.0.0.1", robots_body)], "host string, body string"
+            ),
+            sitemaps_df=spark.createDataFrame(
+                [("127.0.0.1", "/sitemap.xml", sm_xml)],
+                "host string, path string, xml string",
+            ),
+        )
+        eng_join.bootstrap(seeds)
+        eng_join.run()
+
+        # 3) everything over real sockets
+        hcfg = HttpFetcherConfig(connect_timeout_s=5, read_timeout_s=5)
+        roots = spark.createDataFrame(
+            [("127.0.0.1", base)], "host string, root string"
+        )
+        robots_fetched = fetch_robots_df(spark, roots, hcfg)
+        sm_fetched = discover_sitemaps_df(spark, roots, robots_fetched, hcfg)
+        eng_sock = CrawlEngine(
+            spark,
+            str(tmp_path / "sock"),
+            cfg,
+            None,
+            robots_fetched,
+            fetcher=make_http_fetcher(hcfg),
+            sitemaps_df=sm_fetched,
+        )
+        eng_sock.bootstrap(seeds)
+        eng_sock.run()
+
+        a = eng_join.fetch_log().toPandas()
+        b = eng_sock.fetch_log().toPandas()
+        want = pd.DataFrame(sim.fetch_log)
+        for col in ("url", "outcome"):
+            assert a[col].tolist() == want[col].tolist(), col
+            assert b[col].tolist() == want[col].tolist(), col
+        assert (
+            b["scheduled_at_ms"].tolist()
+            == want["scheduled_at_ms"].tolist()
+        )
+        # sitemap URLs actually crawled over sockets, robots honored
+        assert base + "/sm1" in set(b["url"])
+        assert not any("/private/" in u for u in b["url"])
+        da = eng_join.docs_df().toPandas().sort_values("image_id")
+        db = eng_sock.docs_df().toPandas().sort_values("image_id")
+        assert da["image_id"].tolist() == db["image_id"].tolist()
+        assert da["checksum"].tolist() == db["checksum"].tolist()
+    finally:
+        srv.shutdown()
