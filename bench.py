@@ -120,6 +120,7 @@ HEADLINE = [
     "q_hamming_neardup",
     "q_dup_components",
     "q_ivf_topk",
+    "q_ivf_recall",
     "q_corpus_profile",
 ]
 
@@ -287,17 +288,38 @@ def _task_totals_from_evlog(evdir: str, t0_ms: int, t1_ms: int) -> dict:
     core-seconds number is the work-conservation evidence for the
     scaling doc: equal core-seconds at N and 4N cores means the job
     does not inflate work with parallelism — any wall-clock
-    efficiency loss is shared-box contention, not algorithmic."""
+    efficiency loss is shared-box contention, not algorithmic.
+
+    Also returns a PER-STAGE-GROUP breakdown (stage callsites
+    normalized to their crawlspark source line) so an N vs 4N pair
+    names WHICH stages inflate — shuffle/scheduler stages inflating
+    points at software; Arrow/Python codec stages inflating points at
+    the measured memory-bus ceiling. Keys: run core-seconds; also
+    tracked per group: cpu core-seconds, GC ms, shuffle write ms,
+    python-worker-included flag is implicit in the callsite."""
     import glob
+    import re
 
     run_ms = 0
     cpu_ns = 0
+    stage_name: dict[int, str] = {}
+    by_stage: dict[int, dict] = {}
     for path in glob.glob(os.path.join(evdir, "**"), recursive=True):
         if not os.path.isfile(path) or "appstatus" in os.path.basename(path):
             continue
         try:
             with open(path, errors="ignore") as f:
                 for line in f:
+                    if '"SparkListenerStageSubmitted"' in line:
+                        try:
+                            ev = json.loads(line)
+                        except ValueError:
+                            continue
+                        si = ev.get("Stage Info") or {}
+                        sid = si.get("Stage ID")
+                        if sid is not None:
+                            stage_name[sid] = si.get("Stage Name", "?")
+                        continue
                     if '"SparkListenerTaskEnd"' not in line:
                         continue
                     try:
@@ -309,14 +331,120 @@ def _task_totals_from_evlog(evdir: str, t0_ms: int, t1_ms: int) -> dict:
                     if not (t0_ms <= fin <= t1_ms):
                         continue
                     m = ev.get("Task Metrics") or {}
-                    run_ms += m.get("Executor Run Time", 0) or 0
-                    cpu_ns += m.get("Executor CPU Time", 0) or 0
+                    r = m.get("Executor Run Time", 0) or 0
+                    c = m.get("Executor CPU Time", 0) or 0
+                    run_ms += r
+                    cpu_ns += c
+                    sid = ev.get("Stage ID")
+                    d = by_stage.setdefault(
+                        sid, {"run_ms": 0, "cpu_ns": 0, "gc_ms": 0, "n": 0}
+                    )
+                    d["run_ms"] += r
+                    d["cpu_ns"] += c
+                    d["gc_ms"] += m.get("JVM GC Time", 0) or 0
+                    d["n"] += 1
         except OSError:
             continue
+    # group stages by normalized callsite: "<op> at <file>:<line>"
+    groups: dict[str, dict] = {}
+    for sid, d in by_stage.items():
+        name = stage_name.get(sid, "?")
+        key = re.sub(r"\$.*? at ", " at ", name).strip()
+        g = groups.setdefault(
+            key, {"run_s": 0.0, "cpu_s": 0.0, "gc_s": 0.0, "tasks": 0}
+        )
+        g["run_s"] += d["run_ms"] / 1000.0
+        g["cpu_s"] += d["cpu_ns"] / 1e9
+        g["gc_s"] += d["gc_ms"] / 1000.0
+        g["tasks"] += d["n"]
+    top = sorted(groups.items(), key=lambda kv: -kv[1]["run_s"])[:24]
     return {
         "core_seconds": round(run_ms / 1000.0, 1),
         "cpu_core_seconds": round(cpu_ns / 1e9, 1),
+        "stages": {
+            k: {kk: round(vv, 1) for kk, vv in v.items()}
+            for k, v in top
+        },
     }
+
+
+def _stage_section(best: dict, levels: list[int]) -> str:
+    """Per-stage core-second comparison between the two gate levels
+    (8 vs 32) — names WHICH stages inflate, upgrading the bandwidth
+    attribution from aggregate to per-stage. Reads the dedicated
+    same-day pair in BENCH/stages.json (written by a back-to-back
+    --crawl-only pair; kept separate from the gate's trials.json so a
+    degraded-box diagnostic day never displaces the gate estimator),
+    falling back to stage data on the gate's best trials if present."""
+    lo, hi = 8, 32
+    s_lo: dict = {}
+    s_hi: dict = {}
+    try:
+        with open("BENCH/stages.json") as f:
+            pair = json.load(f)
+        s_lo = (pair.get(str(lo)) or {}).get("stages") or {}
+        s_hi = (pair.get(str(hi)) or {}).get("stages") or {}
+    except OSError:
+        pass
+    if not (s_lo and s_hi) and lo in best and hi in best:
+        s_lo = best[lo].get("stages") or {}
+        s_hi = best[hi].get("stages") or {}
+    if not s_lo or not s_hi:
+        return ""
+    keys = sorted(
+        set(s_lo) | set(s_hi),
+        key=lambda k: -(s_hi.get(k, {}).get("run_s", 0.0)),
+    )
+    rows = []
+    for k in keys:
+        a = s_lo.get(k, {})
+        b = s_hi.get(k, {})
+        ra, rb = a.get("run_s", 0.0), b.get("run_s", 0.0)
+        if max(ra, rb) < 5:
+            continue
+        infl = f"{rb / ra:.2f}x" if ra else "-"
+        rows.append(
+            f"| {k[:58]} | {ra:.0f} | {a.get('cpu_s', 0):.0f} | "
+            f"{a.get('gc_s', 0):.0f} | {rb:.0f} | {b.get('cpu_s', 0):.0f} "
+            f"| {b.get('gc_s', 0):.0f} | {infl} |"
+        )
+    if not rows:
+        return ""
+    return f"""
+## Per-stage core-seconds, local[{lo}] vs local[{hi}]
+
+Stage groups from the Spark event log (task run / CPU / GC time
+summed per normalized stage callsite, best trial per level). This
+names WHICH stages inflate at 4x threads:
+
+| stage group | run{lo} | cpu{lo} | gc{lo} | run{hi} | cpu{hi} | gc{hi} | infl |
+|---|---|---|---|---|---|---|---|
+{chr(10).join(rows)}
+
+Reading: `parquet at <unknown>` is the fused fetch+parse+image-
+synthesize+commit pipeline — the mapInPandas stage whose output
+feeds the ledger/document parquet writes (Python workers doing
+numpy/zlib image synthesis; executor run time includes waiting on
+them). Its CPU time itself inflating near the bandwidth table's
+ratio — not just run time — is the memory-bus signature: the same
+instructions take more cycles when 4x threads share one bus. GC
+inflating on top of it is single-JVM heap contention (32 concurrent
+binary-heavy writers against one heap); a real 4N-executor cluster
+multiplies heaps and buses with nodes, which is exactly what this
+sandbox cannot. The seq-assignment / queue-materialize collect
+stages (dedup.py, superstep.py callsites) inflate similarly but are
+an order of magnitude smaller in absolute core-seconds.
+"""
+
+
+def _notes_section() -> str:
+    """Durable hand-written addendum: BENCH/NOTES.md survives the
+    auto-rewrite by being appended here on every regeneration."""
+    try:
+        with open("BENCH/NOTES.md") as f:
+            return "\n" + f.read()
+    except OSError:
+        return ""
 
 
 def _write_scaling_doc(
@@ -476,7 +604,7 @@ with scenario floors 4.2-8.3 docs/s (BASELINE.md — politeness-bound,
 it sleeps). crawlspark computes the same per-host schedule without
 sleeping: {best[max(levels)]['frontier_urls_per_sec']} urls/s at
 local[{max(levels)}].
-"""
+{_stage_section(best, levels)}{_notes_section()}"""
         )
     effs = "  ".join(f"{a}->{b}: {_eff(a, b):.3f}" for a, b in pairs)
     print(f"efficiency {effs}  (wrote BENCH/BASELINE.md)")
