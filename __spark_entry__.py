@@ -33,6 +33,7 @@ if _REPO not in _os.environ.get("PYTHONPATH", ""):
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -353,6 +354,51 @@ def q_pdf_split(spark, sf_dir):
     )
     return TR.split_pdf_pages(d, "pdf").select(
         "doc_id",
+        F.col("page_number").cast("long").alias("page_number"),
+        F.col("total_pages").cast("long").alias("total_pages"),
+        "child_ref",
+        "page_text",
+    )
+
+
+def q_pdf_bytes_split(spark, sf_dir):
+    """PdfPageSplitter over REAL PDF BYTES: each document's text is
+    written into a 2-page Flate-compressed PDF (vendored writer), the
+    byte-level splitter (vendored classic-xref parser; pypdf slot on
+    clusters) walks the page tree and extracts the text back, and the
+    oracle re-derives the pages straight from the text column — so a
+    hash match proves the encode -> parse -> split round-trip is
+    byte-faithful on real PDF structure."""
+    import pandas as pd
+
+    from crawlspark.functions import transformers as TR
+
+    @F.pandas_udf("binary")
+    def _mk_pdf(p1: pd.Series, p2: pd.Series) -> pd.Series:
+        from crawlspark.functions.pdfcodec import build_pdf
+
+        return pd.Series(
+            [
+                bytearray(build_pdf([a or "", b or ""]))
+                for a, b in zip(p1, p2)
+            ]
+        )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias(
+                "ref"
+            ),
+            _mk_pdf(
+                F.substring(F.col("text"), 1, 60),
+                F.substring(F.col("text"), 61, 60),
+            ).alias("pdf"),
+        )
+    )
+    return TR.split_pdf_bytes(d, "pdf").select(
+        "parent_ref",
         F.col("page_number").cast("long").alias("page_number"),
         F.col("total_pages").cast("long").alias("total_pages"),
         "child_ref",
@@ -805,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dom_split": q_dom_split,
         "q_xml_split": q_xml_split,
         "q_pdf_split": q_pdf_split,
+        "q_pdf_bytes_split": q_pdf_bytes_split,
         "q_hamming_neardup": q_hamming_neardup,
         "q_winnow_dup_pairs": q_winnow_dup_pairs,
         "q_dup_components": q_dup_components,
@@ -1308,6 +1355,20 @@ SELECT doc_id, i::BIGINT AS page_number, len(l)::BIGINT AS total_pages,
        ref || '#' || i AS child_ref, l[i] AS page_text
 FROM f, (SELECT unnest(range(1, 11)) AS i) r
 WHERE i <= len(l)
+""",
+        "q_pdf_bytes_split": """
+WITH d AS (
+  SELECT 'doc:' || doc_id AS parent_ref,
+         substr(text, 1, 60) AS p1,
+         substr(text, 61, 60) AS p2
+  FROM documents WHERE doc_id < 200),
+pg AS (
+  SELECT parent_ref, 1 AS pn, p1 AS page_text FROM d
+  UNION ALL
+  SELECT parent_ref, 2, p2 FROM d)
+SELECT parent_ref, pn::BIGINT AS page_number, 2::BIGINT AS total_pages,
+       parent_ref || '#' || pn AS child_ref, page_text
+FROM pg
 """,
         "q_winnow_dup_pairs": f"""
 WITH docs2 AS (
