@@ -260,8 +260,16 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--out", required=True)
             p.add_argument(
                 "--format",
-                choices=("parquet", "orc", "csv", "json", "xml"),
+                choices=(
+                    "parquet", "orc", "csv", "json", "xml",
+                    "elasticsearch", "solr",
+                ),
                 default="parquet",
+            )
+            p.add_argument(
+                "--index",
+                default="docs",
+                help="index name for the elasticsearch format",
             )
     args = ap.parse_args(argv)
 
@@ -322,14 +330,26 @@ def main(argv: list[str] | None = None) -> int:
         ops = AppendTable(
             spark, os.path.join(args.workdir, "documents"), schema=DOCS_SCHEMA
         ).read()
-        sink = {
-            "parquet": C.parquet_committer,
-            "orc": C.orc_committer,
-            "csv": C.csv_committer,
-            "json": C.json_committer,
-            "xml": C.xml_committer,
-        }[args.format]
-        sink(ops, args.out)
+        if args.format in ("elasticsearch", "solr"):
+            # --out is the server URL for the REST committers
+            from .sinks import rest as R
+
+            cfg = R.RestCommitterConfig(
+                base_url=args.out, index=args.index
+            )
+            {
+                "elasticsearch": R.es_bulk_committer,
+                "solr": R.solr_committer,
+            }[args.format](ops, cfg)
+        else:
+            sink = {
+                "parquet": C.parquet_committer,
+                "orc": C.orc_committer,
+                "csv": C.csv_committer,
+                "json": C.json_committer,
+                "xml": C.xml_committer,
+            }[args.format]
+            sink(ops, args.out)
         print(f"exported resolved documents to {args.out} ({args.format})")
     return 0
 
