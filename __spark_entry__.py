@@ -406,6 +406,126 @@ def q_pdf_bytes_split(spark, sf_dir):
     )
 
 
+def q_embedded_split(spark, sf_dir):
+    """RecursiveEmbeddedSplitter over REAL ZIP BYTES: each document's
+    text is packed into a zip holding a text member and a NESTED zip
+    (importer RecursiveEmbeddedSplitter.java:66-200 child contract:
+    ref = parent!member, package-file type, depth), split back
+    recursively, members text-extracted — the oracle re-derives every
+    child row straight from the text column, so a hash match proves
+    the zip encode -> recursive split -> extract round-trip."""
+    import io
+    import zipfile
+
+    from crawlspark.functions.parsers import (
+        parse_documents,
+        split_embedded,
+    )
+
+    @F.pandas_udf("binary")
+    def _mk_zip(p1: pd.Series, p2: pd.Series) -> pd.Series:
+        out = []
+        epoch = (1980, 1, 1, 0, 0, 0)
+        for a, b in zip(p1, p2):
+            inner = io.BytesIO()
+            with zipfile.ZipFile(inner, "w") as zi:
+                zi.writestr(
+                    zipfile.ZipInfo("deep.txt", epoch),
+                    ("m2: " + (b or "")).encode(),
+                )
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+                zf.writestr(
+                    zipfile.ZipInfo("top.txt", epoch),
+                    ("m1: " + (a or "")).encode(),
+                )
+                zf.writestr(
+                    zipfile.ZipInfo("inner.zip", epoch), inner.getvalue()
+                )
+            out.append(bytearray(buf.getvalue()))
+        return pd.Series(out)
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 300) & (F.length("text") >= 60))
+        .select(
+            F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias(
+                "ref"
+            ),
+            _mk_zip(
+                F.substring(F.col("text"), 1, 40),
+                F.substring(F.col("text"), 41, 20),
+            ).alias("bytes"),
+        )
+    )
+    return parse_documents(split_embedded(d)).select(
+        "parent_ref",
+        "ref",
+        "embedded_reference",
+        "embedded_type",
+        F.col("embed_depth").cast("long").alias("embed_depth"),
+        "content_type",
+        F.col("text").alias("member_text"),
+    )
+
+
+def q_content_detect(spark, sf_dir):
+    """ContentTypeDetector + CharsetDetector over real bytes of five
+    formats (PDF / PNG / HTML / UTF-16 text / ZIP), one per doc_id
+    residue — the oracle knows which format each row was encoded as,
+    so a hash match proves magic-byte + charset detection on real
+    payloads of every family."""
+    import io
+    import zipfile
+
+    import numpy as np
+
+    from crawlspark.functions.parsers import detect_udf
+
+    @F.pandas_udf("binary")
+    def _payload(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        from crawlspark.functions.pdfcodec import build_pdf
+        from crawlspark.functions.pngcodec import encode_png
+
+        out = []
+        for i, t in zip(ids, texts):
+            k = int(i) % 5
+            t = (t or "")[:40]
+            if k == 0:
+                b = build_pdf([t])
+            elif k == 1:
+                b = encode_png(
+                    np.full((4, 4, 3), int(i) % 251, dtype=np.uint8)
+                )
+            elif k == 2:
+                b = ("<html><body>" + t + "</body></html>").encode()
+            elif k == 3:
+                b = b"\xff\xfe" + t.encode("utf-16-le")
+            else:
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w") as zf:
+                    zf.writestr(
+                        zipfile.ZipInfo("a.txt", (1980, 1, 1, 0, 0, 0)),
+                        t[:10],
+                    )
+                b = buf.getvalue()
+            out.append(bytearray(b))
+        return pd.Series(out)
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _payload(F.col("doc_id"), F.col("text")).alias("bytes"),
+    )
+    return d.select(
+        "doc_id",
+        detect_udf()(F.col("bytes")).alias("_det"),
+    ).select(
+        "doc_id",
+        F.col("_det.content_type").alias("content_type"),
+        F.col("_det.charset").alias("charset"),
+    )
+
+
 def q_hamming_neardup(spark, sf_dir):
     """64-bit-signature banded near-dup join — the image-payload
     phash dedup op (multimodal: test_images drives it with REAL
@@ -852,6 +972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_xml_split": q_xml_split,
         "q_pdf_split": q_pdf_split,
         "q_pdf_bytes_split": q_pdf_bytes_split,
+        "q_embedded_split": q_embedded_split,
+        "q_content_detect": q_content_detect,
         "q_hamming_neardup": q_hamming_neardup,
         "q_winnow_dup_pairs": q_winnow_dup_pairs,
         "q_dup_components": q_dup_components,
@@ -1369,6 +1491,40 @@ pg AS (
 SELECT parent_ref, pn::BIGINT AS page_number, 2::BIGINT AS total_pages,
        parent_ref || '#' || pn AS child_ref, page_text
 FROM pg
+""",
+        "q_embedded_split": """
+WITH d AS (
+  SELECT 'doc:' || doc_id AS parent_ref,
+         'm1: ' || substr(text, 1, 40) AS m1,
+         'm2: ' || substr(text, 41, 20) AS m2
+  FROM documents WHERE doc_id < 300 AND length(text) >= 60)
+SELECT parent_ref, parent_ref || '!top.txt' AS ref,
+       'top.txt' AS embedded_reference,
+       'package-file' AS embedded_type, 1::BIGINT AS embed_depth,
+       'text/plain' AS content_type, m1 AS member_text
+FROM d
+UNION ALL
+SELECT parent_ref, parent_ref || '!inner.zip', 'inner.zip',
+       'package-file', 1, 'application/zip', ''
+FROM d
+UNION ALL
+SELECT parent_ref, parent_ref || '!inner.zip!deep.txt', 'deep.txt',
+       'package-file', 2, 'text/plain', m2
+FROM d
+""",
+        "q_content_detect": """
+SELECT doc_id::BIGINT AS doc_id,
+       CASE doc_id % 5
+         WHEN 0 THEN 'application/pdf'
+         WHEN 1 THEN 'image/png'
+         WHEN 2 THEN 'text/html'
+         WHEN 3 THEN 'text/plain'
+         ELSE 'application/zip' END AS content_type,
+       CASE doc_id % 5
+         WHEN 2 THEN 'utf-8'
+         WHEN 3 THEN 'utf-16-le'
+         ELSE NULL END AS charset
+FROM documents
 """,
         "q_winnow_dup_pairs": f"""
 WITH docs2 AS (

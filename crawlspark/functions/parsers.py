@@ -1,0 +1,369 @@
+"""DefaultParser-class document parsing: content-type + charset
+detection, recursive embedded-document (archive) splitting, and
+binary -> text extraction for the stdlib-parseable formats.
+
+Reference surface (the importer's parse stage, re-scoped to what a
+container with no Tika can honestly do):
+
+* ``ContentTypeDetector`` (importer/.../doc/ContentTypeDetector.java —
+  Tika magic-byte detection): ``detect_content_type`` sniffs the
+  magic prefixes of the formats this engine produces or crawls
+  (PDF, PNG/JPEG/GIF/WebP, zip/gzip/tar, HTML/XML/JSON/text).
+* ``CharsetDetector`` / ``CharsetTransformer`` (importer/.../charset/
+  CharsetDetector.java, handler/transformer/impl/CharsetTransformer
+  .java): BOM-first detection with a strict-UTF-8 probe fallback.
+* ``RecursiveEmbeddedSplitter`` (importer/.../handler/parser/impl/
+  RecursiveEmbeddedSplitter.java:66-200 + EmbeddedConfig.java):
+  archive members become child documents with the reference's child
+  contract — child ref = ``<parent>!<member-name>`` (line 183),
+  ``embedded_reference`` = the member name, ``embedded_type`` =
+  ``package-file``, recursion into nested archives bounded by
+  ``max_embedded_depth`` (-1 = unlimited), content-type skip lists.
+* ``DefaultParser`` text extraction (importer/.../handler/parser/
+  impl/DefaultParser.java), for stdlib-parseable types: HTML/XML tag
+  strip, PDF via the vendored codec (functions/pdfcodec.py), JSON
+  string-value walk, charset-decoded plain text. Unknown binaries
+  yield empty text with the detected type preserved — parse, never
+  guess.
+
+Spark shape: detection and per-member extraction are Arrow-batched
+pandas UDFs (bytes never leave the executor); the member explode is a
+JVM ``posexplode`` so downstream filters/joins stay columnar. Archive
+recursion happens *inside* one UDF call per row — an archive's
+members are a row-local tree, not a shuffle.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import json
+import re
+import tarfile
+import zipfile
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# content-type detection (ContentTypeDetector analog)
+# ---------------------------------------------------------------------------
+
+_MAGIC = [
+    (b"%PDF-", "application/pdf"),
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"PK\x03\x04", "application/zip"),
+    (b"PK\x05\x06", "application/zip"),  # empty archive
+    (b"\x1f\x8b", "application/gzip"),
+]
+
+_HTML_RE = re.compile(
+    rb"^\s*(?:<!doctype\s+html|<html[\s>]|<head[\s>]|<body[\s>])",
+    re.IGNORECASE,
+)
+_XML_RE = re.compile(rb"^\s*<\?xml")
+
+
+def detect_content_type(data: bytes | None) -> str:
+    """Magic-byte sniff; text formats by shape; octet-stream when
+    nothing matches (ContentTypeDetector.detect analog)."""
+    if not data:
+        return "application/octet-stream"
+    head = bytes(data[:512])
+    if head[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "image/webp"
+    for magic, ctype in _MAGIC:
+        if head.startswith(magic):
+            return ctype
+    if len(data) > 262 and data[257:262] == b"ustar":
+        return "application/x-tar"
+    if _HTML_RE.search(head):
+        return "text/html"
+    if _XML_RE.search(head):
+        return "application/xml"
+    stripped = head.lstrip()
+    if stripped[:1] in (b"{", b"["):
+        try:
+            json.loads(bytes(data).decode(detect_charset(data)))
+            return "application/json"
+        except (ValueError, UnicodeDecodeError):
+            pass
+    # printable-text heuristic over the decoded head
+    try:
+        text = head.decode(detect_charset(data), errors="strict")
+    except (UnicodeDecodeError, LookupError):
+        return "application/octet-stream"
+    if not text:
+        return "application/octet-stream"
+    printable = sum(ch.isprintable() or ch in "\n\r\t" for ch in text)
+    if printable / len(text) >= 0.9:
+        return "text/plain"
+    return "application/octet-stream"
+
+
+_BOMS = [
+    (b"\xef\xbb\xbf", "utf-8-sig"),
+    (b"\xff\xfe\x00\x00", "utf-32-le"),
+    (b"\x00\x00\xfe\xff", "utf-32-be"),
+    (b"\xff\xfe", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be"),
+]
+
+
+def detect_charset(data: bytes | None, default: str = "utf-8") -> str:
+    """BOM first, then a strict UTF-8 probe, then Latin-1 — the
+    CharsetDetector precedence without ICU."""
+    if not data:
+        return default
+    head = bytes(data[:4])
+    for bom, enc in _BOMS:
+        if head.startswith(bom):
+            return enc
+    try:
+        bytes(data[:4096]).decode("utf-8", errors="strict")
+        return "utf-8"
+    except UnicodeDecodeError:
+        return "latin-1"
+
+
+def detect_udf():
+    """Arrow-batched (content_type, charset) detection over a binary
+    column (UDF built lazily — needs an active session)."""
+
+    @F.pandas_udf("struct<content_type: string, charset: string>")
+    def _detect(data: pd.Series) -> pd.DataFrame:
+        types, charsets = [], []
+        for buf in data:
+            b = bytes(buf) if buf is not None else None
+            t = detect_content_type(b)
+            types.append(t)
+            charsets.append(
+                detect_charset(b)
+                if t.startswith("text/") or t in (
+                    "application/json", "application/xml"
+                )
+                else None
+            )
+        return pd.DataFrame({"content_type": types, "charset": charsets})
+
+    return _detect
+
+
+# ---------------------------------------------------------------------------
+# text extraction (DefaultParser analog, stdlib formats)
+# ---------------------------------------------------------------------------
+
+_TAG_RE = re.compile(
+    r"<script\b.*?</script\s*>|<style\b.*?</style\s*>|<!--.*?-->|<[^>]+>",
+    re.IGNORECASE | re.DOTALL,
+)
+_ENTITIES = {
+    "&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"',
+    "&#39;": "'", "&apos;": "'", "&nbsp;": " ",
+}
+
+
+def _strip_markup(text: str) -> str:
+    out = _TAG_RE.sub(" ", text)
+    for ent, ch in _ENTITIES.items():
+        out = out.replace(ent, ch)
+    return re.sub(r"\s+", " ", out).strip()
+
+
+def _json_strings(node) -> list[str]:
+    if isinstance(node, str):
+        return [node]
+    if isinstance(node, dict):
+        return [s for v in node.values() for s in _json_strings(v)]
+    if isinstance(node, list):
+        return [s for v in node for s in _json_strings(v)]
+    return []
+
+
+def extract_text(data: bytes | None, content_type: str | None = None) -> str:
+    """One document's bytes -> extracted text by detected type.
+    Unknown/binary types yield '' — never a mojibake guess."""
+    if not data:
+        return ""
+    b = bytes(data)
+    ctype = content_type or detect_content_type(b)
+    if ctype in ("text/html", "application/xml"):
+        return _strip_markup(b.decode(detect_charset(b), errors="replace"))
+    if ctype == "application/pdf":
+        from .pdfcodec import pdf_page_texts
+
+        try:
+            return "\n".join(pdf_page_texts(b))
+        except ValueError:
+            return ""
+    if ctype == "application/json":
+        try:
+            doc = json.loads(b.decode(detect_charset(b)))
+        except (ValueError, UnicodeDecodeError):
+            return ""
+        return " ".join(_json_strings(doc))
+    if ctype == "text/plain":
+        return b.decode(detect_charset(b), errors="replace")
+    return ""
+
+
+def parse_documents(
+    df: DataFrame, col: str = "bytes", out_col: str = "text"
+) -> DataFrame:
+    """DefaultParser stage: binary column -> detected content_type +
+    charset + extracted text, all Arrow-batched, schema stable."""
+
+    @F.pandas_udf("string")
+    def _extract(data: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                extract_text(bytes(b) if b is not None else None)
+                for b in data
+            ]
+        )
+
+    det = detect_udf()(F.col(col))
+    return (
+        df.withColumn("_det", det)
+        .withColumn("content_type", F.col("_det.content_type"))
+        .withColumn("charset", F.col("_det.charset"))
+        .drop("_det")
+        .withColumn(out_col, _extract(F.col(col)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# recursive embedded-document splitting (RecursiveEmbeddedSplitter)
+# ---------------------------------------------------------------------------
+
+ARCHIVE_TYPES = ("application/zip", "application/gzip", "application/x-tar")
+
+
+@dataclass(frozen=True)
+class EmbeddedConfig:
+    """EmbeddedConfig.java analog (the splitter-relevant knobs)."""
+
+    max_embedded_depth: int = -1  # -1 = unlimited, like the reference
+    skip_embedded_content_types: tuple = ()
+    skip_embedded_of_content_types: tuple = ()
+    max_members: int = 10_000  # zip-bomb guard per archive (logged)
+    max_member_bytes: int = 64 * 1024 * 1024  # per-member guard
+
+
+def _archive_members(data: bytes, ctype: str, name_hint: str):
+    """Yield (member_name, member_bytes) for one archive level."""
+    if ctype == "application/zip":
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            for info in zf.infolist():
+                if info.is_dir():
+                    continue
+                yield info.filename, zf.read(info)
+    elif ctype == "application/x-tar":
+        with tarfile.open(fileobj=io.BytesIO(data)) as tf:
+            for member in tf.getmembers():
+                if not member.isfile():
+                    continue
+                fh = tf.extractfile(member)
+                yield member.name, fh.read() if fh else b""
+    elif ctype == "application/gzip":
+        # single-member stream; name = the container's name minus .gz
+        # (gzip FNAME header wins when present)
+        with gzip.GzipFile(fileobj=io.BytesIO(data)) as gz:
+            body = gz.read()
+        inner = name_hint[:-3] if name_hint.endswith(".gz") else (
+            name_hint + ".out"
+        )
+        yield inner, body
+
+
+def _walk_embedded(
+    ref: str,
+    data: bytes,
+    cfg: EmbeddedConfig,
+    depth: int,
+    out: list,
+) -> None:
+    ctype = detect_content_type(data)
+    if ctype not in ARCHIVE_TYPES:
+        return
+    if cfg.max_embedded_depth >= 0 and depth + 1 > cfg.max_embedded_depth:
+        return  # over max depth — skipped, like the reference warn
+    if ctype in cfg.skip_embedded_of_content_types:
+        return  # skipEmbeddedOfContentTypes: don't descend into this
+    n = 0
+    try:
+        members = list(_archive_members(data, ctype, ref.split("!")[-1]))
+    except (zipfile.BadZipFile, tarfile.TarError, gzip.BadGzipFile,
+            OSError, EOFError) as exc:
+        raise ValueError(f"embedded split: bad archive at {ref}: {exc}")
+    for name, body in members:
+        if n >= cfg.max_members:
+            break
+        if len(body) > cfg.max_member_bytes:
+            continue
+        child_ctype = detect_content_type(body)
+        if child_ctype in cfg.skip_embedded_content_types:
+            continue
+        n += 1
+        child_ref = f"{ref}!{name}"  # RecursiveEmbeddedSplitter.java:183
+        out.append({
+            "ref": child_ref,
+            "embedded_reference": name,
+            "embedded_type": "package-file",
+            "embed_depth": depth + 1,
+            "content_type": child_ctype,
+            "bytes": body,
+        })
+        if child_ctype in ARCHIVE_TYPES:
+            _walk_embedded(child_ref, body, cfg, depth + 1, out)
+
+
+_CHILD_SCHEMA = (
+    "array<struct<ref: string, embedded_reference: string, "
+    "embedded_type: string, embed_depth: int, content_type: string, "
+    "bytes: binary>>"
+)
+
+
+def split_embedded(
+    df: DataFrame,
+    col: str = "bytes",
+    ref_col: str = "ref",
+    cfg: EmbeddedConfig = EmbeddedConfig(),
+) -> DataFrame:
+    """Archive rows -> one child row per (recursively) embedded member
+    with the reference's child contract; non-archive rows pass through
+    the explode with zero children (dropped). The recursion is
+    row-local inside one Arrow batch; the explode is JVM-side."""
+
+    @F.pandas_udf(_CHILD_SCHEMA)
+    def _children(refs: pd.Series, blobs: pd.Series) -> pd.Series:
+        rows = []
+        for ref, buf in zip(refs, blobs):
+            out: list = []
+            if buf is not None:
+                _walk_embedded(str(ref), bytes(buf), cfg, 0, out)
+            rows.append(out)
+        return pd.Series(rows)
+
+    kids = _children(F.col(ref_col), F.col(col))
+    return (
+        df.select(
+            F.col(ref_col).alias("parent_ref"),
+            F.explode(kids).alias("_kid"),
+        )
+        .select(
+            "parent_ref",
+            F.col("_kid.ref").alias("ref"),
+            F.col("_kid.embedded_reference").alias("embedded_reference"),
+            F.col("_kid.embedded_type").alias("embedded_type"),
+            F.col("_kid.embed_depth").alias("embed_depth"),
+            F.col("_kid.content_type").alias("content_type"),
+            F.col("_kid.bytes").alias("bytes"),
+        )
+    )

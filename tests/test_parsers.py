@@ -1,0 +1,231 @@
+"""DefaultParser-class parsing: content-type/charset detection,
+recursive embedded-archive splitting (child contract = the
+reference's ``parent!member`` refs, package-file type, depth cap,
+skip lists — RecursiveEmbeddedSplitter.java:66-200), and stdlib text
+extraction (HTML/XML/PDF/JSON/plain)."""
+
+import gzip
+import io
+import tarfile
+import zipfile
+
+import pytest
+
+from crawlspark.functions.parsers import (
+    EmbeddedConfig,
+    detect_charset,
+    detect_content_type,
+    extract_text,
+    parse_documents,
+    split_embedded,
+)
+from crawlspark.functions.pdfcodec import build_pdf
+from crawlspark.functions.pngcodec import encode_png
+
+
+def _zip(entries: dict[str, bytes]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, body in entries.items():
+            zf.writestr(zipfile.ZipInfo(name, (1980, 1, 1, 0, 0, 0)), body)
+    return buf.getvalue()
+
+
+def _tar(entries: dict[str, bytes]) -> bytes:
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, body in entries.items():
+            info = tarfile.TarInfo(name)
+            info.size = len(body)
+            tf.addfile(info, io.BytesIO(body))
+    return buf.getvalue()
+
+
+def _gz(body: bytes) -> bytes:
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(body)
+    return buf.getvalue()
+
+
+def test_detect_content_type_magic_and_shape():
+    import numpy as np
+
+    png = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    cases = [
+        (build_pdf(["x"]), "application/pdf"),
+        (png, "image/png"),
+        (b"\xff\xd8\xff\xe0JFIF", "image/jpeg"),
+        (b"GIF89a...", "image/gif"),
+        (b"RIFF\x00\x00\x00\x00WEBPVP8 ", "image/webp"),
+        (_zip({"a.txt": b"x"}), "application/zip"),
+        (_gz(b"payload"), "application/gzip"),
+        (_tar({"a.txt": b"x"}), "application/x-tar"),
+        (b"<!DOCTYPE html><html><body>hi</body></html>", "text/html"),
+        (b"  <html lang='en'><p>hi</p></html>", "text/html"),
+        (b"<?xml version='1.0'?><root/>", "application/xml"),
+        (b'{"k": ["v", 1]}', "application/json"),
+        ("plain text café".encode(), "text/plain"),
+        (b"\x00\x01\x02\x03 garbage \x80\x81", "application/octet-stream"),
+        (None, "application/octet-stream"),
+        (b"", "application/octet-stream"),
+    ]
+    for data, want in cases:
+        assert detect_content_type(data) == want, (want, data[:20])
+
+
+def test_detect_charset_boms_and_probe():
+    assert detect_charset("café".encode()) == "utf-8"
+    assert detect_charset(b"\xef\xbb\xbfhello") == "utf-8-sig"
+    assert detect_charset("hi".encode("utf-16")) in (
+        "utf-16-le", "utf-16-be"
+    )
+    assert detect_charset(b"caf\xe9 latin") == "latin-1"
+    assert detect_charset(b"") == "utf-8"
+
+
+def test_extract_text_by_type():
+    html = (b"<html><head><style>p{}</style><script>x<y</script></head>"
+            b"<body><p>Hello &amp; <b>world</b></p></body></html>")
+    assert extract_text(html) == "Hello & world"
+    assert extract_text(b"<?xml version='1.0'?><a><b>deep</b> text</a>") == (
+        "deep text"
+    )
+    assert extract_text(build_pdf(["page one", "page two"])) == (
+        "page one\npage two"
+    )
+    assert extract_text(b'{"title": "T", "tags": ["a", "b"], "n": 3}') == (
+        "T a b"
+    )
+    assert extract_text("café plain".encode()) == "café plain"
+    assert extract_text(b"\x00\x01\x80binary") == ""
+    assert extract_text(None) == ""
+
+
+def test_split_embedded_recursive_contract():
+    inner_zip = _zip({"deep.txt": b"deep text"})
+    outer = _zip({
+        "a.txt": b"alpha",
+        "docs/b.html": b"<html><body>bee</body></html>",
+        "nested.zip": inner_zip,
+    })
+    out = {
+        r["ref"]: r
+        for r in [
+            {
+                "ref": ref,
+                "embedded_reference": name,
+                "embedded_type": etype,
+                "embed_depth": depth,
+                "content_type": ctype,
+                "bytes": body,
+            }
+            for ref, name, etype, depth, ctype, body in _collect(outer)
+        ]
+    }
+    assert set(out) == {
+        "doc!a.txt", "doc!docs/b.html", "doc!nested.zip",
+        "doc!nested.zip!deep.txt",
+    }
+    assert out["doc!a.txt"]["content_type"] == "text/plain"
+    assert out["doc!docs/b.html"]["content_type"] == "text/html"
+    assert out["doc!nested.zip"]["content_type"] == "application/zip"
+    deep = out["doc!nested.zip!deep.txt"]
+    assert deep["embed_depth"] == 2
+    assert deep["embedded_reference"] == "deep.txt"
+    assert deep["embedded_type"] == "package-file"
+    assert deep["bytes"] == b"deep text"
+
+
+def _collect(data: bytes, cfg: EmbeddedConfig = EmbeddedConfig()):
+    from crawlspark.functions.parsers import _walk_embedded
+
+    out: list = []
+    _walk_embedded("doc", data, cfg, 0, out)
+    return [
+        (r["ref"], r["embedded_reference"], r["embedded_type"],
+         r["embed_depth"], r["content_type"], r["bytes"])
+        for r in out
+    ]
+
+
+def test_split_embedded_depth_cap_and_skips():
+    nested = _zip({"in.zip": _zip({"x.txt": b"x"})})
+    # depth 1: the inner zip appears as a member but is not descended
+    refs = [r[0] for r in _collect(
+        nested, EmbeddedConfig(max_embedded_depth=1)
+    )]
+    assert refs == ["doc!in.zip"]
+    # skip list drops text members but keeps descending
+    refs = [r[0] for r in _collect(
+        _zip({"a.txt": b"x", "b.zip": _zip({"c.txt": b"y"})}),
+        EmbeddedConfig(skip_embedded_content_types=("text/plain",)),
+    )]
+    assert refs == ["doc!b.zip"]
+
+
+def test_split_embedded_gzip_and_tar_names():
+    rows = _collect(_gz(b"hello gz"))
+    # container ref 'doc' has no .gz suffix -> synthesized member name
+    assert rows[0][0] == "doc!doc.out" and rows[0][5] == b"hello gz"
+    rows = _collect(_tar({"t/a.txt": b"tar text"}))
+    assert rows[0][0] == "doc!t/a.txt"
+
+
+def test_split_embedded_corrupt_archive_is_loud():
+    bad = b"PK\x03\x04" + b"\x00" * 40  # zip magic, garbage body
+    with pytest.raises(ValueError, match="bad archive"):
+        _collect(bad)
+
+
+def test_split_embedded_spark(spark):
+    """The Spark stage: archive binary column -> child rows, then
+    parse_documents extracts text per detected type."""
+    outer = _zip({
+        "a.txt": "café text".encode(),
+        "n.zip": _zip({"p.pdf": build_pdf(["inner pdf page"])}),
+    })
+    df = spark.createDataFrame(
+        [("http://h/arch.zip", bytearray(outer)),
+         ("http://h/plain", bytearray(b"not an archive"))],
+        "ref string, bytes binary",
+    )
+    kids = split_embedded(df).cache()
+    rows = {r["ref"]: r for r in kids.collect()}
+    assert set(rows) == {
+        "http://h/arch.zip!a.txt",
+        "http://h/arch.zip!n.zip",
+        "http://h/arch.zip!n.zip!p.pdf",
+    }
+    assert rows["http://h/arch.zip!n.zip!p.pdf"]["embed_depth"] == 2
+    parsed = {
+        r["ref"]: (r["content_type"], r["text"])
+        for r in parse_documents(kids).collect()
+    }
+    assert parsed["http://h/arch.zip!a.txt"] == (
+        "text/plain", "café text"
+    )
+    assert parsed["http://h/arch.zip!n.zip!p.pdf"] == (
+        "application/pdf", "inner pdf page"
+    )
+    kids.unpersist()
+
+
+def test_parse_documents_detect_columns(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", bytearray(b"<html><body>x</body></html>")),
+            ("b", bytearray("café".encode())),
+            ("c", bytearray(build_pdf(["pg"]))),
+            ("d", None),
+        ],
+        "ref string, bytes binary",
+    )
+    got = {
+        r["ref"]: (r["content_type"], r["charset"], r["text"])
+        for r in parse_documents(df).collect()
+    }
+    assert got["a"] == ("text/html", "utf-8", "x")
+    assert got["b"] == ("text/plain", "utf-8", "café")
+    assert got["c"] == ("application/pdf", None, "pg")
+    assert got["d"] == ("application/octet-stream", None, "")
