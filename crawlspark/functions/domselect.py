@@ -10,12 +10,18 @@ a crawler config actually uses:
     tag            div
     class          .story            div.story.lead
     id             #main             a#primary
-    attribute      [data-x]          a[rel=nofollow]   [href^=https]
+    attribute      [data-x]          a[rel=nofollow]
+      operators    [href^=https]  [src$=.png]  [alt*=cat]  [rel~=next]
     descendant     div.content a
     direct child   ul > li > a
+    pseudo-class   :first-child  :last-child  :only-child
+                   :nth-child(3)  :nth-child(even|odd|2n+1)
+                   :first-of-type  :last-of-type  :empty
+                   :not(<compound>)  :contains(text)   (jsoup-style,
+                   case-insensitive own+descendant text)
 
-Pseudo-classes (:nth-child, :not, ...) raise ValueError — loudly
-unsupported rather than silently wrong.
+Anything else (e.g. :has, sibling combinators) raises ValueError —
+loudly unsupported rather than silently wrong.
 
 Execution model: this is the SLOW PATH by design — a per-document
 Python DOM build used inside Arrow-batched UDFs (the same slot the
@@ -131,26 +137,98 @@ def parse_html(html: str) -> DomNode:
     return b.root
 
 
+_PSEUDO_RX = re.compile(r":([\w-]+)(?:\(([^)]*)\))?")
+
+_KNOWN_PSEUDOS = {
+    "first-child", "last-child", "only-child", "nth-child",
+    "first-of-type", "last-of-type", "empty", "not", "contains",
+}
+
+
+def _parse_nth(arg: str):
+    """nth-child argument -> predicate over a 1-based index."""
+    a = arg.strip().lower()
+    if a == "even":
+        a = "2n"
+    elif a == "odd":
+        a = "2n+1"
+    m = re.fullmatch(r"([+-]?\d*)n(\s*[+-]\s*\d+)?", a)
+    if m:
+        step = m.group(1)
+        step = int(step) if step not in ("", "+", "-") else (
+            -1 if step == "-" else 1
+        )
+        off = int(m.group(2).replace(" ", "")) if m.group(2) else 0
+        if step == 0:
+            return lambda i: i == off
+        return lambda i: (i - off) % step == 0 and (i - off) // step >= 0
+    if re.fullmatch(r"\d+", a):
+        want = int(a)
+        return lambda i: i == want
+    raise ValueError(f"unparseable :nth-child argument {arg!r}")
+
+
+def _split_pseudos(part: str) -> tuple[str, list]:
+    """Strip :pseudo(...) pieces (outside [attr] brackets, so attr
+    values may contain colons) and return (base, raw pseudo list)."""
+    base: list[str] = []
+    raw: list[tuple[str, str]] = []
+    i = 0
+    while i < len(part):
+        ch = part[i]
+        if ch == "[":
+            j = part.find("]", i)
+            j = len(part) - 1 if j < 0 else j
+            base.append(part[i : j + 1])
+            i = j + 1
+        elif ch == ":":
+            m = _PSEUDO_RX.match(part, i)
+            if not m:
+                raise ValueError(
+                    f"unparseable pseudo-class in selector part {part!r}"
+                )
+            raw.append((m.group(1), m.group(2) or ""))
+            i = m.end()
+        else:
+            base.append(ch)
+            i += 1
+    return "".join(base), raw
+
+
 def _parse_simple(part: str) -> dict:
     """One compound selector (no combinator) -> matcher spec."""
-    if ":" in part:
-        raise ValueError(
-            f"unsupported pseudo-class in selector part {part!r} "
-            "(tag/.class/#id/[attr] and descendant/child only)"
-        )
+    part, raw_pseudos = _split_pseudos(part)
+    pseudos = []
+    for name, arg in raw_pseudos:
+        if name not in _KNOWN_PSEUDOS:
+            raise ValueError(
+                f"unsupported pseudo-class :{name} in selector part "
+                f"{part!r}"
+            )
+        if name == "nth-child":
+            pseudos.append(("nth-child", _parse_nth(arg or "")))
+        elif name == "not":
+            pseudos.append(("not", _parse_simple(arg.strip())))
+        else:
+            pseudos.append((name, arg))
     m = _SIMPLE_RX.match(part)
+    if pseudos and not part:
+        # bare ':first-child' — match any element
+        return {"tag": "*", "classes": set(), "id": None, "attrs": [],
+                "pseudos": pseudos}
+
     if not m or (not m.group("tag") and not m.group("rest")):
         raise ValueError(f"unparseable selector part {part!r}")
     spec = {"tag": (m.group("tag") or "*").lower(), "classes": set(),
-            "id": None, "attrs": []}
+            "id": None, "attrs": [], "pseudos": pseudos}
     for piece in _PART_RX.findall(m.group("rest") or ""):
         if piece.startswith("."):
             spec["classes"].add(piece[1:])
         elif piece.startswith("#"):
             spec["id"] = piece[1:]
-        else:  # [attr], [attr=v], [attr^=v]
+        else:  # [attr], [attr=v], [attr^=v] and $= *= ~= variants
             body = piece[1:-1]
-            am = re.match(r"([\w-]+)\s*(\^?=)?\s*(.*)$", body)
+            am = re.match(r"([\w-]+)\s*([\^$*~]?=)?\s*(.*)$", body)
             if not am:
                 raise ValueError(f"unparseable attribute selector {piece!r}")
             name, op, val = am.group(1), am.group(2), am.group(3)
@@ -178,6 +256,41 @@ def parse_selector(sel: str) -> list[tuple[str, dict]]:
     return out
 
 
+def _elem_siblings(node: DomNode) -> list:
+    if node.parent is None:
+        return [node]
+    return [c for c in node.parent.children if isinstance(c, DomNode)]
+
+
+def _pseudo_matches(node: DomNode, name: str, arg) -> bool:
+    sibs = _elem_siblings(node)
+    if name == "first-child":
+        return sibs[0] is node
+    if name == "last-child":
+        return sibs[-1] is node
+    if name == "only-child":
+        return len(sibs) == 1
+    if name == "nth-child":
+        return arg(sibs.index(node) + 1)
+    if name == "first-of-type":
+        same = [s for s in sibs if s.tag == node.tag]
+        return same[0] is node
+    if name == "last-of-type":
+        same = [s for s in sibs if s.tag == node.tag]
+        return same[-1] is node
+    if name == "empty":
+        return not any(
+            isinstance(c, DomNode)
+            or (isinstance(c, str) and c.strip())
+            for c in node.children
+        )
+    if name == "not":
+        return not _matches(node, arg)
+    if name == "contains":
+        return str(arg).strip("\"'").lower() in node.text().lower()
+    raise ValueError(f"unsupported pseudo-class :{name}")
+
+
 def _matches(node: DomNode, spec: dict) -> bool:
     if spec["tag"] != "*" and node.tag != spec["tag"]:
         return False
@@ -189,11 +302,21 @@ def _matches(node: DomNode, spec: dict) -> bool:
         got = node.attrs.get(name)
         if got is None:
             return False
+        got = got or ""
         if op == "=" and got != val:
             return False
-        if op == "^=" and not (got or "").startswith(val):
+        if op == "^=" and not got.startswith(val):
             return False
-    return True
+        if op == "$=" and not got.endswith(val):
+            return False
+        if op == "*=" and val not in got:
+            return False
+        if op == "~=" and val not in got.split():
+            return False
+    return all(
+        _pseudo_matches(node, name, arg)
+        for name, arg in spec.get("pseudos", ())
+    )
 
 
 def _chain_matches(node: DomNode, chain: list[tuple[str, dict]]) -> bool:
