@@ -230,6 +230,20 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--workdir", required=True)
     p.add_argument("--from", dest="src", required=True)
+    p = sub.add_parser(
+        "import",
+        help="standalone importer: parse a directory of files "
+        "(detect type/charset, split archives, extract text) to parquet",
+    )
+    p.add_argument("--in", dest="src_dir", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument(
+        "--no-split-embedded",
+        action="store_true",
+        help="do not split archive members into child documents",
+    )
+    p.add_argument("--max-embedded-depth", type=int, default=-1)
+    p.add_argument("--cores", default=None)
     for name in ("crawl", "resume", "export", "configcheck"):
         p = sub.add_parser(name)
         p.add_argument("--workdir", required=True)
@@ -299,6 +313,19 @@ def main(argv: list[str] | None = None) -> int:
     from .session import get_spark
 
     spark = get_spark(f"crawlspark-{args.cmd}", cores=args.cores)
+    if args.cmd == "import":
+        from .functions.parsers import EmbeddedConfig, import_documents
+
+        out_df = import_documents(
+            spark,
+            args.src_dir,
+            split_archives=not args.no_split_embedded,
+            cfg=EmbeddedConfig(max_embedded_depth=args.max_embedded_depth),
+        )
+        out_df.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(f"imported {n} documents from {args.src_dir} to {args.out}")
+        return 0
     if args.cmd == "crawl":
         eng = _engine(spark, args, resume=False)
         seeds = _read_seeds(args)

@@ -367,3 +367,62 @@ def split_embedded(
             F.col("_kid.bytes").alias("bytes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# standalone importer (ImporterLauncher / crawler-fs analog)
+# ---------------------------------------------------------------------------
+
+
+def import_documents(
+    spark,
+    path: str,
+    split_archives: bool = True,
+    cfg: EmbeddedConfig = EmbeddedConfig(),
+) -> DataFrame:
+    """The reference's standalone Importer application over a
+    directory tree (importer/.../ImporterLauncher.java; also the
+    crawler-fs slot — ``binaryFile`` is Spark's local/remote file
+    fetcher): read every file as (path, bytes), optionally split
+    embedded archive members into child rows, then detect + extract.
+
+    Output schema: ref, parent_ref (null for top-level files),
+    embedded_reference, embed_depth, n_bytes, content_type, charset,
+    text. The binaryFile source is distributed and prunable — at
+    scale, partition pruning and maxPartitionBytes apply as for any
+    file scan."""
+    base = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select(
+            F.col("path").alias("ref"),
+            F.col("content").alias("bytes"),
+        )
+    )
+    docs = base.select(
+        "ref",
+        F.lit(None).cast("string").alias("parent_ref"),
+        F.lit(None).cast("string").alias("embedded_reference"),
+        F.lit(0).alias("embed_depth"),
+        "bytes",
+    )
+    if split_archives:
+        kids = split_embedded(base, cfg=cfg).select(
+            "ref",
+            "parent_ref",
+            "embedded_reference",
+            "embed_depth",
+            "bytes",
+        )
+        docs = docs.unionByName(kids)
+    return parse_documents(docs).select(
+        "ref",
+        "parent_ref",
+        "embedded_reference",
+        "embed_depth",
+        F.length("bytes").alias("n_bytes"),
+        "content_type",
+        "charset",
+        "text",
+    )

@@ -229,3 +229,44 @@ def test_parse_documents_detect_columns(spark):
     assert got["b"] == ("text/plain", "utf-8", "café")
     assert got["c"] == ("application/pdf", None, "pg")
     assert got["d"] == ("application/octet-stream", None, "")
+
+
+def test_cli_import_directory(spark, tmp_path):
+    """`crawlspark import`: a directory tree of mixed files -> parsed
+    parquet with archive members as child rows (the standalone
+    Importer application, ImporterLauncher.java analog)."""
+    from crawlspark.cli import main
+
+    src = tmp_path / "files"
+    (src / "sub").mkdir(parents=True)
+    (src / "page.html").write_bytes(
+        b"<html><body>web page</body></html>"
+    )
+    (src / "sub" / "doc.pdf").write_bytes(build_pdf(["pdf body"]))
+    (src / "bundle.zip").write_bytes(
+        _zip({"inner.txt": b"zipped text"})
+    )
+    out = tmp_path / "parsed"
+    assert main(
+        ["import", "--in", str(src), "--out", str(out)]
+    ) == 0
+    rows = {
+        r["ref"].split("/")[-1].split("!")[-1]: r
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert rows["page.html"]["content_type"] == "text/html"
+    assert rows["page.html"]["text"] == "web page"
+    assert rows["doc.pdf"]["content_type"] == "application/pdf"
+    assert rows["doc.pdf"]["text"] == "pdf body"
+    assert rows["bundle.zip"]["content_type"] == "application/zip"
+    kid = rows["inner.txt"]
+    assert kid["embed_depth"] == 1
+    assert kid["parent_ref"].endswith("bundle.zip")
+    assert kid["text"] == "zipped text"
+    # --no-split-embedded keeps only the 3 top-level files
+    out2 = tmp_path / "parsed2"
+    assert main(
+        ["import", "--in", str(src), "--out", str(out2),
+         "--no-split-embedded"]
+    ) == 0
+    assert spark.read.parquet(str(out2)).count() == 3
