@@ -643,6 +643,26 @@ def _trained_scored(
     )
 
 
+def _half_up(x: float, digits: int) -> float:
+    """Spark's round(col, d) semantics (BigDecimal HALF_UP over the
+    shortest decimal repr) applied driver-side."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(
+            Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _fold_dot(a: list[float], b: list[float]) -> float:
+    """Left-fold dot product — the exact op order _dot runs."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
 def ivf_train(
     emb: DataFrame,
     n_cells: int = 16,
@@ -654,7 +674,75 @@ def ivf_train(
     fitted with ``n_iters`` Lloyd iterations over the md5-ordered
     sample (see module section comment for the bit-reproducibility
     contract). Returns the centroids as exact python doubles — feed
-    them to ivf_trained_* or straight into _trained_scored."""
+    them to ivf_trained_* or straight into _trained_scored.
+
+    The fit runs DRIVER-SIDE over the collected sample: the sample is
+    capped at ``sample_cap`` rows by construction (one TakeOrdered
+    job, a bounded dim-class collect — NOT O(data)), and a driver
+    loop replaces what was previously ~3 Spark jobs per Lloyd
+    iteration of pure scheduler overhead on <=4096 rows. Arithmetic
+    is kept bit-identical to the distributed expressions (left-fold
+    dot/norm, HALF_UP round-6 scores, HALF_UP integer micro-unit
+    means); tests/test_similarity.py asserts this driver fit equals
+    the all-Spark fit (_ivf_train_spark) on the fixture."""
+    rows = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select(
+            F.md5(F.col("vec_id").cast("string")).alias("__ord"),
+            F.slice(F.col("embedding"), 1, n_dims)
+            .cast("array<double>")
+            .alias("v"),
+        )
+        .orderBy("__ord")
+        .limit(sample_cap)
+        .collect()
+    )
+    vecs = [[float(x) for x in r["v"]] for r in rows]
+    if not vecs:
+        raise ValueError("ivf_train: no non-null embeddings to sample")
+    cents = [list(v) for v in vecs[:n_cells]]
+    import math
+
+    vnorms = [
+        math.sqrt(_fold_dot(v, v)) for v in vecs
+    ]  # _norm's fold: sum of squares left-to-right, then sqrt
+    micros = [
+        [int(_half_up(x * 1e6, 0)) for x in v] for v in vecs
+    ]  # round(x*1e6, 0)::long, precomputed once (iteration-invariant)
+    for _ in range(n_iters):
+        cnorms = [_fold_norm(c) for c in cents]
+        sums = [[0] * n_dims for _ in range(n_cells)]
+        counts = [0] * n_cells
+        for v, nv, mv in zip(vecs, vnorms, micros):
+            best_j = 0
+            best_s = None
+            for j in range(n_cells):
+                s = _half_up(_fold_dot(v, cents[j]) / (nv * cnorms[j]), 6)
+                if best_s is None or s > best_s:
+                    best_j, best_s = j, s
+            counts[best_j] += 1
+            row = sums[best_j]
+            for p, m in enumerate(mv):
+                row[p] += m
+        cents = [
+            [sums[j][p] / (counts[j] * 1_000_000) for p in range(n_dims)]
+            if counts[j]
+            else list(cents[j])
+            for j in range(n_cells)
+        ]
+    return cents
+
+
+def _ivf_train_spark(
+    emb: DataFrame,
+    n_cells: int = 16,
+    n_dims: int = 64,
+    n_iters: int = 2,
+    sample_cap: int = 4096,
+) -> list[list[float]]:
+    """The all-Spark Lloyd loop ivf_train replaced (kept as the
+    equivalence oracle for the driver-side fit; also the shape a
+    >sample_cap-per-partition variant would scale through)."""
     samp = (
         emb.filter(F.col("embedding").isNotNull())
         .select(

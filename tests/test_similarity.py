@@ -92,3 +92,13 @@ def test_lsh_signatures_null_and_ragged_guard(spark):
     )
     with pytest.raises(Exception, match="wider than probed dim"):
         lsh_signatures(ragged).collect()
+
+
+def test_ivf_driver_fit_equals_spark_fit(spark):
+    """The driver-side Lloyd loop (bounded-sample collect) must be
+    BIT-identical to the all-Spark fit it replaced — same fold order,
+    same HALF_UP rounding, same integer micro-unit means."""
+    from crawlspark.operators.similarity import _ivf_train_spark, ivf_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assert ivf_train(emb) == _ivf_train_spark(emb)
