@@ -276,7 +276,7 @@ def main(argv: list[str] | None = None) -> int:
                 "--format",
                 choices=(
                     "parquet", "orc", "csv", "json", "xml",
-                    "elasticsearch", "solr",
+                    "elasticsearch", "solr", "sql",
                 ),
                 default="parquet",
             )
@@ -357,7 +357,14 @@ def main(argv: list[str] | None = None) -> int:
         ops = AppendTable(
             spark, os.path.join(args.workdir, "documents"), schema=DOCS_SCHEMA
         ).read()
-        if args.format in ("elasticsearch", "solr"):
+        if args.format == "sql":
+            # --out is the database path/DSN for the SQL committer
+            from .sinks import sql as S
+
+            S.sql_committer(
+                ops, S.SqlCommitterConfig(connection_url=args.out)
+            )
+        elif args.format in ("elasticsearch", "solr"):
             # --out is the server URL for the REST committers
             from .sinks import rest as R
 

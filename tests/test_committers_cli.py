@@ -97,6 +97,29 @@ def test_cli_crawl_and_export(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out"))
     assert out.count() > 0
     assert "caption" in out.columns and "phash" in out.columns
+    # same run through the SQL committer: table equals the folded log
+    rc = main(
+        [
+            "export",
+            "--workdir", str(tmp_path / "run"),
+            "--out", str(tmp_path / "docs.db"),
+            "--format", "sql",
+        ]
+    )
+    assert rc == 0
+    import sqlite3
+
+    con = sqlite3.connect(str(tmp_path / "docs.db"))
+    n_sql = con.execute("SELECT count(*) FROM docs").fetchone()[0]
+    caps = dict(
+        con.execute("SELECT image_id, caption FROM docs").fetchall()
+    )
+    con.close()
+    assert n_sql == out.count()
+    assert caps == {
+        r["image_id"]: r["caption"]
+        for r in out.select("image_id", "caption").collect()
+    }
 
 
 def test_cli_store_admin(spark, tmp_path, capsys):
