@@ -245,6 +245,22 @@ def q_unigram_logprob(spark, sf_dir):
     return X.unigram_logprob_scores(_t(spark, sf_dir, "documents"))
 
 
+# Fixed per-language keep-rates for the sampling query. (The
+# temperature_rates helper derives such a dict from corpus counts at
+# runtime; the query pins literals so the DuckDB oracle carries the
+# byte-identical md5-prefix thresholds.)
+SAMPLE_RATES = {"en": 0.5, "zh": 0.25, "de": 1.0}
+SAMPLE_DEFAULT_RATE = 0.75
+
+
+def q_stratified_sample(spark, sf_dir):
+    return X.stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        SAMPLE_RATES,
+        default_rate=SAMPLE_DEFAULT_RATE,
+    ).select("doc_id", "lang")
+
+
 def q_minhash_signatures(spark, sf_dir):
     return X.minhash_signatures(_t(spark, sf_dir, "documents")).select(
         "doc_id", F.col("i").cast("long").alias("i"), "minhash"
@@ -963,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_token_stats": q_bpe_token_stats,
         "q_corpus_profile": q_corpus_profile,
         "q_unigram_logprob": q_unigram_logprob,
+        "q_stratified_sample": q_stratified_sample,
         "q_minhash_signatures": q_minhash_signatures,
         "q_minhash_dup_pairs": q_minhash_dup_pairs,
         "q_simhash": q_simhash,
@@ -1012,6 +1029,25 @@ d AS (
          regexp_replace(coalesce(string_split(text, ' ')[2], 'w2'),
                         '[^a-z0-9]', '', 'g') AS w2
   FROM documents WHERE doc_id < 200)
+"""
+
+
+def _stratified_sample_sql() -> str:
+    """The identical md5-prefix-threshold predicate in ANSI SQL."""
+    prefix = "substring(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8)"
+
+    def cond(rate: float) -> str:
+        thr = X.sample_threshold_hex(rate)
+        return "TRUE" if thr is None else f"{prefix} < '{thr}'"
+
+    whens = "\n           ".join(
+        f"WHEN '{s}' THEN {cond(r)}"
+        for s, r in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE CASE lang {whens}
+      ELSE {cond(SAMPLE_DEFAULT_RATE)} END
 """
 
 
@@ -1410,6 +1446,7 @@ SELECT doc_id, n_tokens, n_punct, n_stopwords,
 FROM q
 """,
         "q_langid": _langid_sql(),
+        "q_stratified_sample": _stratified_sample_sql(),
         "q_minhash_signatures": f"""
 WITH {_minhash_base_sql()}
 SELECT doc_id, i::BIGINT AS i, minhash FROM sig

@@ -621,3 +621,91 @@ def winnow_dup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus balancing: deterministic stratified sampling
+# ---------------------------------------------------------------------------
+# Out-of-reference scope (the reference crawls; a training-data
+# pipeline must also BALANCE what it crawled). Sampling is hash-
+# thresholded, not RNG-based: a row is kept iff the first 8 hex chars
+# of md5(key ':' salt) sort below the stratum's threshold, so the
+# decision is a pure projection + filter — no shuffle, no state, the
+# same rows survive at any partitioning/cluster size, and the exact
+# same predicate is ANSI-SQL-expressible for the DuckDB oracle.
+
+HASH_SPACE = 16 ** 8  # 8-hex-char md5 prefix
+
+
+def sample_threshold_hex(rate: float) -> str | None:
+    """Keep-rate -> 8-hex-digit threshold (None = keep everything).
+    A row survives iff its md5-prefix string < the threshold string;
+    lowercase-hex lexicographic order == numeric order at equal width.
+    """
+    if rate >= 1.0:
+        return None
+    if rate <= 0.0:
+        return "00000000"
+    return format(int(round(rate * HASH_SPACE)), "08x")
+
+
+def temperature_rates(
+    counts: dict[str, int], temperature: float = 3.0
+) -> dict[str, float]:
+    """Per-stratum keep-rates for temperature-balanced sampling.
+
+    Multilingual-training rebalancing: sampling probability per
+    stratum ``p_l^(1/T)`` (normalized), converted to keep-rates
+    scaled so the largest implied rate is 1.0 — i.e. downsample
+    head strata toward the temperature distribution without
+    upsampling the tail. T=1 keeps the natural distribution
+    (all rates 1); T->inf approaches uniform stratum mass.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    total = sum(counts.values())
+    if total == 0:
+        return {k: 1.0 for k in counts}
+    probs = {k: v / total for k, v in counts.items() if v > 0}
+    powered = {k: p ** (1.0 / temperature) for k, p in probs.items()}
+    z = sum(powered.values())
+    # target share / natural share, rescaled so max == 1.0
+    ratios = {k: (powered[k] / z) / probs[k] for k in powered}
+    top = max(ratios.values())
+    rates = {k: r / top for k, r in ratios.items()}
+    rates.update({k: 1.0 for k, v in counts.items() if v == 0})
+    return rates
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    key_col: str = "doc_id",
+    strata_col: str = "lang",
+    salt: str = "s1",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling of the corpus.
+
+    Keeps each row iff md5(key ':' salt)[:8] < the stratum's
+    threshold. Changing ``salt`` redraws the sample; the same
+    (rates, salt) always selects the identical row set on any
+    cluster. Rows keep their full schema.
+    """
+    prefix = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"),
+                       F.lit(":" + salt))), 1, 8
+    )
+    keep = None
+    default_thr = sample_threshold_hex(default_rate)
+    expr = (
+        F.lit(True) if default_thr is None else prefix < F.lit(default_thr)
+    )
+    for stratum, rate in sorted(rates.items()):
+        thr = sample_threshold_hex(rate)
+        cond = (
+            F.lit(True) if thr is None else prefix < F.lit(thr)
+        )
+        expr = F.when(F.col(strata_col) == stratum, cond).otherwise(expr)
+    keep = expr
+    return docs.filter(keep)

@@ -222,3 +222,47 @@ def test_overflow_exact_pass_recovers_dropped_bucket_pairs(spark):
         ).collect()
     }
     assert comp == {i: 0 for i in range(n)}
+
+
+def test_temperature_rates_properties():
+    from crawlspark.operators.textops import temperature_rates
+
+    counts = {"en": 8000, "de": 1500, "zh": 500}
+    # T=1 keeps the natural distribution untouched
+    assert temperature_rates(counts, 1.0) == {
+        "en": 1.0, "de": 1.0, "zh": 1.0
+    }
+    r = temperature_rates(counts, 3.0)
+    # head language downsampled hardest; tail kept whole (max rate 1)
+    assert r["zh"] == 1.0
+    assert r["en"] < r["de"] < r["zh"]
+    assert all(0 < v <= 1.0 for v in r.values())
+    # empty stratum passes through at 1.0, zero total is all-keep
+    assert temperature_rates({"en": 0}, 2.0) == {"en": 1.0}
+
+
+def test_stratified_sample_deterministic_and_rate_shaped(spark):
+    from crawlspark.operators.textops import stratified_sample
+
+    docs = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, "en")
+        .when(F.col("id") % 4 == 1, "de")
+        .otherwise("zh")
+        .alias("lang"),
+    )
+    rates = {"en": 0.5, "de": 1.0, "zh": 0.1}
+    a = stratified_sample(docs, rates).orderBy("doc_id").collect()
+    b = stratified_sample(docs, rates).orderBy("doc_id").collect()
+    assert a == b  # hash threshold, not RNG: identical on re-run
+    by_lang = {}
+    for r in a:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    assert by_lang["de"] == 1000  # rate 1.0 keeps everything
+    assert 380 <= by_lang["en"] <= 620  # ~0.5 of 1000
+    assert 120 <= by_lang.get("zh", 0) <= 280  # ~0.1 of 2000
+    # a different salt redraws a different (same-sized-ish) sample
+    c = stratified_sample(docs, rates, salt="s2").orderBy(
+        "doc_id"
+    ).collect()
+    assert c != a
