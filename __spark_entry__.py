@@ -261,6 +261,36 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_pii_scrub(spark, sf_dir):
+    # The synthetic corpus carries no natural PII, so the query
+    # injects one deterministic email/IP/phone per row (the
+    # q_image_payload fixture pattern) and the operator must scrub
+    # exactly those — counts and the cleaned text are value-hashed.
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".7 or 555-123-4567"),
+        ).alias("text"),
+    )
+    return X.scrub_pii(d).select(
+        "doc_id", "n_email", "n_ip", "n_phone", "clean_text"
+    )
+
+
+SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def q_split_assign(spark, sf_dir):
+    return X.split_assign(
+        _t(spark, sf_dir, "documents"), SPLIT_WEIGHTS
+    ).select("doc_id", "split")
+
+
 def q_minhash_signatures(spark, sf_dir):
     return X.minhash_signatures(_t(spark, sf_dir, "documents")).select(
         "doc_id", F.col("i").cast("long").alias("i"), "minhash"
@@ -980,6 +1010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_profile": q_corpus_profile,
         "q_unigram_logprob": q_unigram_logprob,
         "q_stratified_sample": q_stratified_sample,
+        "q_pii_scrub": q_pii_scrub,
+        "q_split_assign": q_split_assign,
         "q_minhash_signatures": q_minhash_signatures,
         "q_minhash_dup_pairs": q_minhash_dup_pairs,
         "q_simhash": q_simhash,
@@ -1048,6 +1080,48 @@ def _stratified_sample_sql() -> str:
 SELECT doc_id, lang FROM documents
 WHERE CASE lang {whens}
       ELSE {cond(SAMPLE_DEFAULT_RATE)} END
+"""
+
+
+def _pii_scrub_sql() -> str:
+    """The identical sequential count-then-replace chain in SQL."""
+    inject = (
+        "text || ' reach user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com via 10.0.' || CAST(doc_id % 200 AS VARCHAR) || "
+        "'.7 or 555-123-4567'"
+    )
+    ctes = [f"s0 AS (SELECT doc_id, {inject} AS t FROM documents)"]
+    carried: list[str] = []
+    for i, (name, rx, repl) in enumerate(X.PII_PATTERNS):
+        prev = f"s{i}"
+        cols = ", ".join(carried + [
+            f"len(regexp_extract_all(t, '{rx}'))::BIGINT AS n_{name}",
+            f"regexp_replace(t, '{rx}', '{repl}', 'g') AS t",
+        ])
+        ctes.append(f"s{i + 1} AS (SELECT doc_id, {cols} FROM {prev})")
+        carried.append(f"n_{name}")
+    finals = ", ".join(carried)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, {finals}, t AS clean_text "
+        + f"FROM s{len(X.PII_PATTERNS)}"
+    )
+
+
+def _split_assign_sql() -> str:
+    prefix = "substring(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8)"
+    names = sorted(SPLIT_WEIGHTS)
+    total = sum(SPLIT_WEIGHTS.values())
+    whens, cum = [], 0.0
+    for name in names[:-1]:
+        cum += SPLIT_WEIGHTS[name] / total
+        thr = X.sample_threshold_hex(cum)
+        cond = "TRUE" if thr is None else f"p < '{thr}'"
+        whens.append(f"WHEN {cond} THEN '{name}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+    return f"""
+SELECT doc_id, {case} AS split
+FROM (SELECT doc_id, {prefix} AS p FROM documents)
 """
 
 
@@ -1447,6 +1521,8 @@ FROM q
 """,
         "q_langid": _langid_sql(),
         "q_stratified_sample": _stratified_sample_sql(),
+        "q_pii_scrub": _pii_scrub_sql(),
+        "q_split_assign": _split_assign_sql(),
         "q_minhash_signatures": f"""
 WITH {_minhash_base_sql()}
 SELECT doc_id, i::BIGINT AS i, minhash FROM sig

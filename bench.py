@@ -122,6 +122,7 @@ HEADLINE = [
     "q_ivf_topk",
     "q_ivf_recall",
     "q_corpus_profile",
+    "q_stratified_sample",
 ]
 
 

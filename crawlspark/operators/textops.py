@@ -709,3 +709,79 @@ def stratified_sample(
         expr = F.when(F.col(strata_col) == stratum, cond).otherwise(expr)
     keep = expr
     return docs.filter(keep)
+
+
+# ---------------------------------------------------------------------------
+# corpus hygiene: PII scrubbing + deterministic split assignment
+# ---------------------------------------------------------------------------
+
+# Patterns deliberately restricted to the regex subset Java
+# (java.util.regex, what Spark compiles) and RE2 (what the DuckDB
+# oracle compiles) agree on: no lookaround, no backrefs.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email",
+     r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+]
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace emails / IPv4s / phone numbers with typed placeholders.
+
+    Sequential semantics (well-defined when patterns overlap, e.g. an
+    IP inside an email domain): each pattern is counted on, then
+    replaced in, the text as left by the previous pattern. All
+    JVM-side Column algebra — regexp_extract_all for the counts,
+    regexp_replace for the rewrite; no Python in the loop.
+    Output: every input column except ``text_col``, plus ``n_<kind>``
+    counts and ``clean_text``.
+    """
+    out = docs
+    t = F.col(text_col)
+    for name, rx, repl in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(t, F.lit(rx), F.lit(0)))
+            .cast("long"),
+        ).withColumn(text_col, F.regexp_replace(t, rx, repl))
+    return out.withColumnRenamed(text_col, "clean_text")
+
+
+def split_assign(
+    docs: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "s1",
+) -> DataFrame:
+    """Deterministic train/val/test (any named splits) assignment.
+
+    The md5(key:salt) 8-hex prefix falls into cumulative-weight
+    ranges: split i owns [cum_{i-1}, cum_i) of the hash space.
+    Pure projection — no shuffle, no RNG, stable under repartitioning,
+    and every row lands in exactly one split (ranges tile the space;
+    the last split absorbs rounding slack). Adds a ``split`` column.
+    """
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("split_assign: weights must sum > 0")
+    names = sorted(weights)  # deterministic range order
+    prefix = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"),
+                       F.lit(":" + salt))), 1, 8
+    )
+    # first-match-wins CASE over ascending cumulative thresholds
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name] / total
+        thr = sample_threshold_hex(cum)
+        cond = F.lit(True) if thr is None else prefix < F.lit(thr)
+        expr = (
+            F.when(cond, F.lit(name)) if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    split = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    )
+    return docs.withColumn("split", split)

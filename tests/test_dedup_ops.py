@@ -266,3 +266,51 @@ def test_stratified_sample_deterministic_and_rate_shaped(spark):
         "doc_id"
     ).collect()
     assert c != a
+
+
+def test_scrub_pii_sequential_semantics(spark):
+    from crawlspark.operators.textops import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob@x.org and carol@y.co twice"),
+            (2, "server at 10.0.0.1 call 555-123-4567"),
+            # an @ followed by an IP is NOT an email (the TLD must be
+            # alphabetic) — the ip pattern claims it instead
+            (3, "odd user@10.0.0.1 case"),
+            (4, "nothing to scrub"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert got[1]["n_email"] == 2 and got[1]["n_ip"] == 0
+    assert got[1]["clean_text"] == "mail <EMAIL> and <EMAIL> twice"
+    assert got[2]["n_ip"] == 1 and got[2]["n_phone"] == 1
+    assert got[2]["clean_text"] == "server at <IP> call <PHONE>"
+    assert got[3]["n_email"] == 0 and got[3]["n_ip"] == 1
+    assert got[3]["clean_text"] == "odd user@<IP> case"
+    assert got[4]["clean_text"] == "nothing to scrub"
+
+
+def test_split_assign_exhaustive_and_proportional(spark):
+    from crawlspark.operators.textops import split_assign
+
+    docs = spark.range(10000).select(F.col("id").alias("doc_id"))
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = split_assign(docs, w)
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert sum(counts.values()) == 10000  # every row in exactly 1 split
+    assert 7700 <= counts["train"] <= 8300
+    assert 800 <= counts["val"] <= 1200
+    assert 800 <= counts["test"] <= 1200
+    # deterministic: same assignment on re-run
+    again = {
+        r["doc_id"]: r["split"] for r in split_assign(docs, w).collect()
+    }
+    first = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert first == again
