@@ -1294,7 +1294,10 @@ def _ivf_train_ctes(
         parts.append(
             f"""stat{i} AS (
   SELECT cell, r.i AS pos,
-         sum(round(v[r.i] * 1000000, 0)::BIGINT) AS s, count(*) AS n
+         sum((CASE WHEN v[r.i] >= 0
+              THEN floor(v[r.i] * 1000000 + 0.5)
+              ELSE ceil(v[r.i] * 1000000 - 0.5) END)::BIGINT) AS s,
+         count(*) AS n
   FROM asg{i}, (SELECT unnest(range(1, {mega})) AS i) r
   WHERE r.i <= len(v) GROUP BY cell, r.i)"""
         )
@@ -1907,7 +1910,9 @@ FROM ranked WHERE rk <= 3
 """,
         "q_ivf_train_centroids": f"""
 WITH {_ivf_train_ctes()}
-SELECT cell::INT AS cell, r.i::INT AS pos, round(c[r.i], 6) AS w
+SELECT cell::INT AS cell, r.i::INT AS pos,
+       (CASE WHEN c[r.i] >= 0 THEN floor(c[r.i] * 1000000 + 0.5)
+             ELSE ceil(c[r.i] * 1000000 - 0.5) END) / 1000000.0 AS w
 FROM cents2, (SELECT unnest(range(1, 65)) AS i) r
 WHERE r.i <= len(c)
 """,

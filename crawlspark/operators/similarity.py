@@ -590,18 +590,39 @@ def ivf_topk(
 #                in practice (folds are bit-equal) but pins the
 #                contract.
 #   * update   = per-cell per-dim mean computed in INTEGER
-#                micro-units: sum(round(x * 1e6)::long) / (n * 1e6).
-#                Integer addition is order-independent, so the mean
-#                is exactly reproducible regardless of partition
-#                order — the one place float summation order would
-#                otherwise leak engine nondeterminism into the
-#                codebook. Empty cells keep their previous centroid.
+#                micro-units: sum(micro(x))::long / (n * 1e6), where
+#                micro(x) = floor(x*1e6 + 0.5) (ceil(x*1e6 - 0.5)
+#                when negative) — half-away-from-zero evaluated on
+#                the BINARY double. Spark's round() rounds the
+#                shortest decimal repr while DuckDB rounds the binary
+#                value, and they disagree on repr-boundary inputs
+#                (seen live: a mean of 0.0318095 at sf0.01); the
+#                floor form is plain IEEE arithmetic every engine
+#                computes bit-identically. Integer addition is
+#                order-independent, so the mean is exactly
+#                reproducible regardless of partition order — the one
+#                place float summation order would otherwise leak
+#                engine nondeterminism into the codebook. Empty cells
+#                keep their previous centroid. The projected codebook
+#                (ivf_trained_centroids' ``w``) quantizes the final
+#                mean through the same micro() for the same reason.
 #
 # Training cost at scale: the sample is capped (one TakeOrdered over
 # a projection), each iteration is one shuffle over <= sample_cap
 # rows, and the resulting codebook rides in the plan as literals just
 # like the fixed one — assignment of the full corpus stays a single
 # scan with no join.
+
+
+def _micro_half_away(x: float) -> int:
+    """micro(x): x*1e6 rounded half-away-from-zero on the binary
+    double — floor/ceil arithmetic only, so Python, Spark, and DuckDB
+    agree bit-for-bit (decimal-repr round() does not; see the
+    bit-reproducibility contract above)."""
+    import math
+
+    y = x * 1e6
+    return int(math.floor(y + 0.5)) if y >= 0 else int(math.ceil(y - 0.5))
 
 
 def _fold_norm(c: list[float]) -> float:
@@ -682,7 +703,7 @@ def ivf_train(
     loop replaces what was previously ~3 Spark jobs per Lloyd
     iteration of pure scheduler overhead on <=4096 rows. Arithmetic
     is kept bit-identical to the distributed expressions (left-fold
-    dot/norm, HALF_UP round-6 scores, HALF_UP integer micro-unit
+    dot/norm, HALF_UP round-6 scores, binary half-away micro-unit
     means); tests/test_similarity.py asserts this driver fit equals
     the all-Spark fit (_ivf_train_spark) on the fixture."""
     rows = (
@@ -707,8 +728,8 @@ def ivf_train(
         math.sqrt(_fold_dot(v, v)) for v in vecs
     ]  # _norm's fold: sum of squares left-to-right, then sqrt
     micros = [
-        [int(_half_up(x * 1e6, 0)) for x in v] for v in vecs
-    ]  # round(x*1e6, 0)::long, precomputed once (iteration-invariant)
+        [_micro_half_away(x) for x in v] for v in vecs
+    ]  # micro(x)::long, precomputed once (iteration-invariant)
     for _ in range(n_iters):
         cnorms = [_fold_norm(c) for c in cents]
         sums = [[0] * n_dims for _ in range(n_cells)]
@@ -773,8 +794,14 @@ def _ivf_train_spark(
         )
         stats = (
             asg.select("cell", F.posexplode("v").alias("pos", "x"))
+            .withColumn("__y", F.col("x") * F.lit(1e6))
             .withColumn(
-                "micro", F.round(F.col("x") * F.lit(1e6), 0).cast("long")
+                "micro",
+                F.when(
+                    F.col("__y") >= 0, F.floor(F.col("__y") + F.lit(0.5))
+                )
+                .otherwise(F.ceil(F.col("__y") - F.lit(0.5)))
+                .cast("long"),
             )
             .groupBy("cell", "pos")
             .agg(F.sum("micro").alias("s"), F.count("*").alias("n"))
@@ -807,13 +834,14 @@ def ivf_trained_centroids(
     cents = ivf_train(emb, n_cells, n_dims, n_iters, sample_cap)
     spark = emb.sparkSession
     rows = [
-        (j, d + 1, w)
+        # quantize through micro() — NOT round(w, 6): the means are
+        # micro-unit rationals that land on decimal half-boundaries,
+        # where Spark's repr-round and the oracle's binary-round split
+        (j, d + 1, _micro_half_away(w) / 1e6)
         for j, c in enumerate(cents)
         for d, w in enumerate(c)
     ]
-    return spark.createDataFrame(
-        rows, "cell int, pos int, w_raw double"
-    ).select("cell", "pos", F.round("w_raw", 6).alias("w"))
+    return spark.createDataFrame(rows, "cell int, pos int, w double")
 
 
 def ivf_trained_cell_stats(
