@@ -79,6 +79,11 @@ def detect_content_type(data: bytes | None) -> str:
         return "image/webp"
     for magic, ctype in _MAGIC:
         if head.startswith(magic):
+            if ctype == "application/zip":
+                # an office container is a zip with telltale members
+                office = _sniff_office_zip(bytes(data))
+                if office:
+                    return office
             return ctype
     if len(data) > 262 and data[257:262] == b"ustar":
         return "application/x-tar"
@@ -175,6 +180,125 @@ def _strip_markup(text: str) -> str:
     return re.sub(r"\s+", " ", out).strip()
 
 
+# ---------------------------------------------------------------------------
+# office containers (OOXML + OpenDocument) — zip + XML, stdlib-only
+# ---------------------------------------------------------------------------
+# The reference routes these through Tika's container detector +
+# OOXML/ODF parsers (importer DefaultParser); structurally they are
+# zip archives with well-known member names, so detection and text
+# extraction need nothing beyond zipfile + ElementTree.
+
+DOCX_TYPE = (
+    "application/vnd.openxmlformats-officedocument."
+    "wordprocessingml.document"
+)
+XLSX_TYPE = (
+    "application/vnd.openxmlformats-officedocument."
+    "spreadsheetml.sheet"
+)
+PPTX_TYPE = (
+    "application/vnd.openxmlformats-officedocument."
+    "presentationml.presentation"
+)
+ODF_PREFIX = "application/vnd.oasis.opendocument."
+OFFICE_TYPES = (DOCX_TYPE, XLSX_TYPE, PPTX_TYPE)
+
+_OOXML_MARKERS = [
+    ("word/document.xml", DOCX_TYPE),
+    ("xl/workbook.xml", XLSX_TYPE),
+    ("ppt/presentation.xml", PPTX_TYPE),
+]
+
+
+def _sniff_office_zip(data: bytes) -> str | None:
+    """A PK-magic blob that is really an office document: OOXML by
+    part name, ODF by the (stored-first) ``mimetype`` member.
+    Returns None for plain zips and unreadable archives."""
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            names = set(zf.namelist())
+            if "mimetype" in names:
+                mt = zf.read("mimetype").decode("ascii", "replace").strip()
+                if mt.startswith(ODF_PREFIX):
+                    return mt
+            if "[Content_Types].xml" in names:
+                for marker, ctype in _OOXML_MARKERS:
+                    if marker in names:
+                        return ctype
+    except (zipfile.BadZipFile, OSError, KeyError, ValueError):
+        return None
+    return None
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _xml_block_texts(xml_bytes: bytes, block_tags: set[str],
+                     text_tags: set[str] | None) -> list[str]:
+    """Join the ``text_tags`` runs inside each ``block_tags`` element
+    (a paragraph / row / slide-shape), one output string per block.
+    ``text_tags=None`` takes every text node (itertext) — the ODF
+    mixed-content case where text sits directly in the paragraph."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(xml_bytes)
+    except ET.ParseError:
+        return []
+    blocks: list[str] = []
+    for el in root.iter():
+        if _local(el.tag) in block_tags:
+            if text_tags is None:
+                joined = "".join(el.itertext())
+            else:
+                joined = "".join(
+                    (t.text or "")
+                    for t in el.iter()
+                    if _local(t.tag) in text_tags and t.text
+                )
+            if joined:
+                blocks.append(joined)
+    return blocks
+
+
+def _extract_office_text(data: bytes, ctype: str) -> str:
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            if ctype == DOCX_TYPE:
+                return "\n".join(_xml_block_texts(
+                    zf.read("word/document.xml"), {"p"}, {"t"}
+                ))
+            if ctype == XLSX_TYPE:
+                # shared strings + inline strings, in file order
+                parts: list[str] = []
+                if "xl/sharedStrings.xml" in zf.namelist():
+                    parts += _xml_block_texts(
+                        zf.read("xl/sharedStrings.xml"), {"si"}, {"t"}
+                    )
+                for name in sorted(zf.namelist()):
+                    if name.startswith("xl/worksheets/sheet"):
+                        parts += _xml_block_texts(
+                            zf.read(name), {"is"}, {"t"}
+                        )
+                return "\n".join(parts)
+            if ctype == PPTX_TYPE:
+                parts = []
+                for name in sorted(zf.namelist()):
+                    if re.fullmatch(r"ppt/slides/slide\d+\.xml", name):
+                        parts += _xml_block_texts(
+                            zf.read(name), {"p"}, {"t"}
+                        )
+                return "\n".join(parts)
+            if ctype.startswith(ODF_PREFIX):
+                return "\n".join(_xml_block_texts(
+                    zf.read("content.xml"), {"p", "h"}, None
+                ))
+    except (zipfile.BadZipFile, OSError, KeyError, ValueError):
+        return ""
+    return ""
+
+
 def _json_strings(node) -> list[str]:
     if isinstance(node, str):
         return [node]
@@ -209,6 +333,8 @@ def extract_text(data: bytes | None, content_type: str | None = None) -> str:
         return " ".join(_json_strings(doc))
     if ctype == "text/plain":
         return b.decode(detect_charset(b), errors="replace")
+    if ctype in OFFICE_TYPES or ctype.startswith(ODF_PREFIX):
+        return _extract_office_text(b, ctype)
     return ""
 
 

@@ -270,3 +270,127 @@ def test_cli_import_directory(spark, tmp_path):
          "--no-split-embedded"]
     ) == 0
     assert spark.read.parquet(str(out2)).count() == 3
+
+
+# ---------------------------------------------------------------------------
+# office containers (OOXML + ODF)
+# ---------------------------------------------------------------------------
+
+_W = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
+_A = 'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"'
+
+
+def _docx(paragraphs: list[str]) -> bytes:
+    body = "".join(
+        f"<w:p><w:r><w:t>{p}</w:t></w:r></w:p>" for p in paragraphs
+    )
+    return _zip({
+        "[Content_Types].xml": b"<Types/>",
+        "word/document.xml": (
+            f'<w:document {_W}><w:body>{body}</w:body></w:document>'
+        ).encode(),
+    })
+
+
+def _xlsx(strings: list[str]) -> bytes:
+    sst = "".join(f"<si><t>{s}</t></si>" for s in strings)
+    return _zip({
+        "[Content_Types].xml": b"<Types/>",
+        "xl/workbook.xml": b"<workbook/>",
+        "xl/sharedStrings.xml": f"<sst>{sst}</sst>".encode(),
+        "xl/worksheets/sheet1.xml": b"<worksheet/>",
+    })
+
+
+def _pptx(slides: list[list[str]]) -> bytes:
+    entries = {
+        "[Content_Types].xml": b"<Types/>",
+        "ppt/presentation.xml": b"<presentation/>",
+    }
+    for i, texts in enumerate(slides, 1):
+        body = "".join(
+            f"<a:p><a:r><a:t>{t}</a:t></a:r></a:p>" for t in texts
+        )
+        entries[f"ppt/slides/slide{i}.xml"] = (
+            f"<sld {_A}>{body}</sld>".encode()
+        )
+    return _zip(entries)
+
+
+def _odt(paragraphs: list[str]) -> bytes:
+    t = 'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"'
+    body = "".join(
+        f"<text:p>{p}</text:p>" for p in paragraphs
+    )
+    return _zip({
+        "mimetype": b"application/vnd.oasis.opendocument.text",
+        "content.xml": (
+            f"<office:document-content {t} "
+            'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0">'
+            f"<office:body>{body}</office:body>"
+            "</office:document-content>"
+        ).encode(),
+    })
+
+
+def test_detect_office_containers():
+    from crawlspark.functions.parsers import (
+        DOCX_TYPE, PPTX_TYPE, XLSX_TYPE, detect_content_type,
+    )
+
+    assert detect_content_type(_docx(["hi"])) == DOCX_TYPE
+    assert detect_content_type(_xlsx(["a"])) == XLSX_TYPE
+    assert detect_content_type(_pptx([["s"]])) == PPTX_TYPE
+    assert (
+        detect_content_type(_odt(["p"]))
+        == "application/vnd.oasis.opendocument.text"
+    )
+    # a plain zip (no office markers) stays a zip
+    assert (
+        detect_content_type(_zip({"readme.txt": b"x"}))
+        == "application/zip"
+    )
+
+
+def test_extract_office_text():
+    from crawlspark.functions.parsers import extract_text
+
+    assert (
+        extract_text(_docx(["first para", "second para"]))
+        == "first para\nsecond para"
+    )
+    assert extract_text(_xlsx(["cell one", "cell two"])) == (
+        "cell one\ncell two"
+    )
+    assert extract_text(_pptx([["title"], ["bullet a", "bullet b"]])) == (
+        "title\nbullet a\nbullet b"
+    )
+    # ODF mixed content: text directly in the paragraph plus spans
+    from crawlspark.functions import parsers as P
+    odt = _zip({
+        "mimetype": b"application/vnd.oasis.opendocument.text",
+        "content.xml": (
+            b'<doc xmlns:text="urn:x"><text:p>lead '
+            b"<text:span>inner</text:span> tail</text:p></doc>"
+        ),
+    })
+    assert P.extract_text(odt) == "lead inner tail"
+
+
+def test_office_docs_flow_through_parse_documents(spark):
+    from crawlspark.functions.parsers import DOCX_TYPE, parse_documents
+
+    df = spark.createDataFrame(
+        [("d1", bytearray(_docx(["spark text"]))),
+         ("d2", bytearray(b"plain body"))],
+        "doc_id string, bytes binary",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in parse_documents(df).select(
+            "doc_id", "content_type", "text"
+        ).collect()
+    }
+    assert rows["d1"]["content_type"] == DOCX_TYPE
+    assert rows["d1"]["text"] == "spark text"
+    assert rows["d2"]["content_type"] == "text/plain"
