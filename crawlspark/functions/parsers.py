@@ -107,8 +107,36 @@ def detect_content_type(data: bytes | None) -> str:
         return "application/octet-stream"
     printable = sum(ch.isprintable() or ch in "\n\r\t" for ch in text)
     if printable / len(text) >= 0.9:
+        if _looks_like_email(text):
+            return "message/rfc822"
         return "text/plain"
     return "application/octet-stream"
+
+
+_EMAIL_HEADERS = {
+    "from", "to", "subject", "date", "received", "return-path",
+    "message-id", "mime-version",
+}
+_HEADER_LINE_RE = re.compile(r"^([A-Za-z][A-Za-z0-9-]*):\s")
+
+
+def _looks_like_email(text: str) -> bool:
+    """RFC-822 shape: the head starts with a header block — >= 3
+    header-formed lines among the first lines, at least two of them
+    well-known mail headers."""
+    lines = text.splitlines()[:10]
+    if not lines or not _HEADER_LINE_RE.match(lines[0]):
+        return False
+    formed, known = 0, 0
+    for ln in lines:
+        if ln == "":
+            break  # end of header block
+        m = _HEADER_LINE_RE.match(ln)
+        if m:
+            formed += 1
+            if m.group(1).lower() in _EMAIL_HEADERS:
+                known += 1
+    return formed >= 3 and known >= 2
 
 
 _BOMS = [
@@ -299,6 +327,65 @@ def _extract_office_text(data: bytes, ctype: str) -> str:
     return ""
 
 
+# ---------------------------------------------------------------------------
+# RFC-822 / MIME email — stdlib `email` package
+# ---------------------------------------------------------------------------
+
+
+def _parse_email(data: bytes):
+    import email
+    from email import policy
+
+    return email.message_from_bytes(data, policy=policy.default)
+
+
+def _extract_email_text(data: bytes) -> str:
+    """Subject line + the text bodies: every text/plain part, falling
+    back to stripped text/html when a multipart carries no plain
+    alternative (Tika's email parser shape)."""
+    try:
+        msg = _parse_email(data)
+    except Exception:  # noqa: BLE001 — malformed mail -> no text
+        return ""
+    parts: list[str] = []
+    subject = msg.get("Subject", "")
+    if subject:
+        parts.append(str(subject))
+    plains, htmls = [], []
+    for part in msg.walk():
+        if part.is_multipart() or part.get_filename():
+            continue  # containers and attachments are not body text
+        ct = part.get_content_type()
+        try:
+            body = part.get_content()
+        except Exception:  # noqa: BLE001
+            continue
+        if not isinstance(body, str):
+            continue
+        if ct == "text/plain":
+            plains.append(body.strip())
+        elif ct == "text/html":
+            htmls.append(_strip_markup(body))
+    parts += plains if plains else htmls
+    return "\n".join(p for p in parts if p)
+
+
+def _email_attachments(data: bytes):
+    """(filename, payload bytes) per attachment — the email analog of
+    an archive's member listing."""
+    msg = _parse_email(data)
+    i = 0
+    for part in msg.walk():
+        if part.is_multipart():
+            continue
+        name = part.get_filename()
+        if not name:
+            continue
+        i += 1
+        payload = part.get_payload(decode=True) or b""
+        yield name, payload
+
+
 def _json_strings(node) -> list[str]:
     if isinstance(node, str):
         return [node]
@@ -335,6 +422,8 @@ def extract_text(data: bytes | None, content_type: str | None = None) -> str:
         return b.decode(detect_charset(b), errors="replace")
     if ctype in OFFICE_TYPES or ctype.startswith(ODF_PREFIX):
         return _extract_office_text(b, ctype)
+    if ctype == "message/rfc822":
+        return _extract_email_text(b)
     return ""
 
 
@@ -368,6 +457,9 @@ def parse_documents(
 # ---------------------------------------------------------------------------
 
 ARCHIVE_TYPES = ("application/zip", "application/gzip", "application/x-tar")
+# containers the embedded splitter descends into: archives by member,
+# emails by MIME attachment
+CONTAINER_TYPES = ARCHIVE_TYPES + ("message/rfc822",)
 
 
 @dataclass(frozen=True)
@@ -405,6 +497,8 @@ def _archive_members(data: bytes, ctype: str, name_hint: str):
             name_hint + ".out"
         )
         yield inner, body
+    elif ctype == "message/rfc822":
+        yield from _email_attachments(data)
 
 
 def _walk_embedded(
@@ -415,7 +509,7 @@ def _walk_embedded(
     out: list,
 ) -> None:
     ctype = detect_content_type(data)
-    if ctype not in ARCHIVE_TYPES:
+    if ctype not in CONTAINER_TYPES:
         return
     if cfg.max_embedded_depth >= 0 and depth + 1 > cfg.max_embedded_depth:
         return  # over max depth — skipped, like the reference warn
@@ -425,7 +519,7 @@ def _walk_embedded(
     try:
         members = list(_archive_members(data, ctype, ref.split("!")[-1]))
     except (zipfile.BadZipFile, tarfile.TarError, gzip.BadGzipFile,
-            OSError, EOFError) as exc:
+            OSError, EOFError, ValueError) as exc:
         raise ValueError(f"embedded split: bad archive at {ref}: {exc}")
     for name, body in members:
         if n >= cfg.max_members:
@@ -440,12 +534,15 @@ def _walk_embedded(
         out.append({
             "ref": child_ref,
             "embedded_reference": name,
-            "embedded_type": "package-file",
+            "embedded_type": (
+                "mail-attachment" if ctype == "message/rfc822"
+                else "package-file"
+            ),
             "embed_depth": depth + 1,
             "content_type": child_ctype,
             "bytes": body,
         })
-        if child_ctype in ARCHIVE_TYPES:
+        if child_ctype in CONTAINER_TYPES:
             _walk_embedded(child_ref, body, cfg, depth + 1, out)
 
 

@@ -394,3 +394,66 @@ def test_office_docs_flow_through_parse_documents(spark):
     assert rows["d1"]["content_type"] == DOCX_TYPE
     assert rows["d1"]["text"] == "spark text"
     assert rows["d2"]["content_type"] == "text/plain"
+
+
+# ---------------------------------------------------------------------------
+# RFC-822 / MIME email
+# ---------------------------------------------------------------------------
+
+
+def _eml(attachments: dict[str, bytes] | None = None,
+         html_only: bool = False) -> bytes:
+    from email.message import EmailMessage
+
+    msg = EmailMessage()
+    msg["From"] = "alice@example.com"
+    msg["To"] = "bob@example.com"
+    msg["Subject"] = "quarterly numbers"
+    msg["Date"] = "Mon, 17 Aug 2026 10:00:00 +0000"
+    if html_only:
+        msg.set_content(
+            "<html><body><p>see the <b>chart</b></p></body></html>",
+            subtype="html",
+        )
+    else:
+        msg.set_content("hello from the body")
+    for name, body in (attachments or {}).items():
+        msg.add_attachment(
+            body, maintype="application", subtype="octet-stream",
+            filename=name,
+        )
+    return bytes(msg)
+
+
+def test_detect_and_extract_email():
+    from crawlspark.functions.parsers import (
+        detect_content_type, extract_text,
+    )
+
+    raw = _eml()
+    assert detect_content_type(raw) == "message/rfc822"
+    assert extract_text(raw) == "quarterly numbers\nhello from the body"
+    # html-only multipart falls back to stripped markup
+    assert extract_text(_eml(html_only=True)) == (
+        "quarterly numbers\nsee the chart"
+    )
+    # ordinary prose with a colon is NOT an email
+    assert detect_content_type(b"note: buy milk\nand bread\n") == (
+        "text/plain"
+    )
+
+
+def test_email_attachments_split_recursively():
+    inner_zip = _zip({"inner.txt": b"deep text"})
+    raw = _eml(attachments={"report.csv": b"a,b\n1,2\n",
+                            "bundle.zip": inner_zip})
+    kids = _collect(raw)
+    by_ref = {k[0]: k for k in kids}
+    ref, name, etype, depth, ctype, body = by_ref["doc!report.csv"]
+    assert etype == "mail-attachment" and body == b"a,b\n1,2\n"
+    # the zip attachment recurses into its own members
+    ref, name, etype, depth, ctype, body = by_ref[
+        "doc!bundle.zip!inner.txt"
+    ]
+    assert body == b"deep text" and etype == "package-file"
+    assert depth == 2
