@@ -282,6 +282,40 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
+def _doc_edges(spark, sf_dir):
+    """Deterministic synthetic link graph over the documents table
+    (the derived-fixture pattern): every doc links to three arithmetic
+    neighbors mod N — same derivation in the oracle SQL."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    return d.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                (F.col("doc_id") * 7 + 3) % n,
+                (F.col("doc_id") * 13 + 5) % n,
+                (F.col("doc_id") * 31 + 11) % n,
+            )
+        ).alias("dst"),
+    )
+
+
+def q_pagerank(spark, sf_dir):
+    from crawlspark.operators.graph import pagerank_micro
+
+    return pagerank_micro(_doc_edges(spark, sf_dir), n_iters=3).select(
+        F.col("node").alias("doc_id"), "rank_micro"
+    )
+
+
+def q_degree_stats(spark, sf_dir):
+    from crawlspark.operators.graph import degree_stats
+
+    return degree_stats(_doc_edges(spark, sf_dir)).select(
+        F.col("node").alias("doc_id"), "out_degree", "in_degree"
+    )
+
+
 SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
 
 
@@ -1012,6 +1046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_pii_scrub": q_pii_scrub,
         "q_split_assign": q_split_assign,
+        "q_pagerank": q_pagerank,
+        "q_degree_stats": q_degree_stats,
         "q_minhash_signatures": q_minhash_signatures,
         "q_minhash_dup_pairs": q_minhash_dup_pairs,
         "q_simhash": q_simhash,
@@ -1081,6 +1117,47 @@ SELECT doc_id, lang FROM documents
 WHERE CASE lang {whens}
       ELSE {cond(SAMPLE_DEFAULT_RATE)} END
 """
+
+
+_EDGES_SQL = """
+nn AS (SELECT count(*) AS n FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst
+  FROM documents, nn
+  UNION ALL
+  SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents, nn
+  UNION ALL
+  SELECT doc_id, (doc_id * 31 + 11) % nn.n FROM documents, nn),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e))
+"""
+
+
+def _pagerank_sql(n_iters: int = 3, damping_pct: int = 85) -> str:
+    """Unrolled integer micro-unit PageRank — the identical floor
+    arithmetic pagerank_micro runs (operators/graph.py)."""
+    base = (100 - damping_pct) * 1_000_000 // 100
+    ctes = [
+        _EDGES_SQL.strip(),
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)",
+        "r0 AS (SELECT node, 1000000::BIGINT AS rank_micro FROM nodes)",
+    ]
+    for i in range(n_iters):
+        ctes.append(f"""c{i} AS (
+  SELECT e.dst AS node,
+         sum(floor(r.rank_micro / d.deg)::BIGINT) AS s
+  FROM e JOIN r{i} r ON e.src = r.node
+  JOIN deg d ON e.src = d.src GROUP BY e.dst)""")
+        ctes.append(f"""r{i + 1} AS (
+  SELECT nodes.node,
+         ({base} + floor({damping_pct} * coalesce(c{i}.s, 0) / 100))
+         ::BIGINT AS rank_micro
+  FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node AS doc_id, rank_micro FROM r{n_iters}"
+    )
 
 
 def _pii_scrub_sql() -> str:
@@ -1526,6 +1603,17 @@ FROM q
         "q_stratified_sample": _stratified_sample_sql(),
         "q_pii_scrub": _pii_scrub_sql(),
         "q_split_assign": _split_assign_sql(),
+        "q_pagerank": _pagerank_sql(),
+        "q_degree_stats": f"""
+WITH {_EDGES_SQL.strip()},
+od AS (SELECT src AS node, count(*) AS out_degree FROM e GROUP BY src),
+id_ AS (SELECT dst AS node, count(*) AS in_degree FROM e GROUP BY dst)
+SELECT nodes.node AS doc_id,
+       coalesce(od.out_degree, 0) AS out_degree,
+       coalesce(id_.in_degree, 0) AS in_degree
+FROM nodes LEFT JOIN od ON nodes.node = od.node
+LEFT JOIN id_ ON nodes.node = id_.node
+""",
         "q_minhash_signatures": f"""
 WITH {_minhash_base_sql()}
 SELECT doc_id, i::BIGINT AS i, minhash FROM sig

@@ -123,6 +123,7 @@ HEADLINE = [
     "q_ivf_recall",
     "q_corpus_profile",
     "q_stratified_sample",
+    "q_pagerank",
 ]
 
 
