@@ -244,3 +244,27 @@ def test_engine_host_state_ratchet(spark, tmp_path):
     eng_zero, log_zero = crawl(0, "hs_zero")
     assert eng_zero._host_state_big is True
     assert log_big == log_zero
+
+
+def test_sampling_ops_are_shuffle_free_projections(spark):
+    """stratified_sample / split_assign / scrub_pii claim
+    "pure projection + filter, no shuffle" — pin it in the plan:
+    no Exchange, no Python UDF (all JVM Column algebra), and column
+    pruning reaches the scan."""
+    for q in ("q_stratified_sample", "q_split_assign", "q_pii_scrub"):
+        plan = _plan(E.queries()[q](spark, SF))
+        assert "Exchange" not in plan, f"{q} shuffles"
+        assert "BatchEvalPython" not in plan, f"{q} per-row python"
+        assert "ArrowEvalPython" not in plan, f"{q} python udf"
+    # pruning: the 5-column documents table -> 2-column read schema
+    plan = _plan(E.queries()["q_split_assign"](spark, SF))
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in rs and "doc_id" in rs
+
+
+def test_pagerank_iterations_are_joins_not_collects(spark):
+    """Each PageRank round must be a distributed join + aggregate —
+    never a collect of edge data to the driver."""
+    plan = _plan(E.queries()["q_pagerank"](spark, SF))
+    assert "Join" in plan or "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan
