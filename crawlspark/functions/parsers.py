@@ -107,6 +107,8 @@ def detect_content_type(data: bytes | None) -> str:
         return "application/octet-stream"
     printable = sum(ch.isprintable() or ch in "\n\r\t" for ch in text)
     if printable / len(text) >= 0.9:
+        if _looks_like_mbox(text):
+            return "application/mbox"
         if _looks_like_email(text):
             return "message/rfc822"
         return "text/plain"
@@ -370,6 +372,43 @@ def _extract_email_text(data: bytes) -> str:
     return "\n".join(p for p in parts if p)
 
 
+def _looks_like_mbox(text: str) -> bool:
+    """mbox shape: a ``From `` separator line, then an RFC-822 header
+    block."""
+    lines = text.splitlines()
+    if not lines or not lines[0].startswith("From "):
+        return False
+    return _looks_like_email("\n".join(lines[1:11]))
+
+
+def _mbox_messages(data: bytes):
+    """(member_name, rfc822 bytes) per message in an mbox stream.
+
+    Messages start at ``From `` separator lines (at offset 0,
+    preceded by a blank line or the file start — the mboxo framing);
+    the separator itself is dropped and the common ``>From ``
+    body-escape is undone (mboxrd unquoting, single level)."""
+    lines = data.split(b"\n")
+    starts = [
+        i
+        for i, ln in enumerate(lines)
+        if ln.startswith(b"From ")
+        and (i == 0 or lines[i - 1] == b"")
+    ]
+    if not starts:
+        return
+    starts.append(len(lines))
+    for k in range(len(starts) - 1):
+        body_lines = [
+            ln[1:] if ln.startswith(b">From ") else ln
+            for ln in lines[starts[k] + 1:starts[k + 1]]
+        ]
+        # drop the blank separator line before the next From_
+        while body_lines and body_lines[-1] == b"":
+            body_lines.pop()
+        yield f"msg-{k:05d}.eml", b"\n".join(body_lines) + b"\n"
+
+
 def _email_attachments(data: bytes):
     """(filename, payload bytes) per attachment — the email analog of
     an archive's member listing."""
@@ -424,6 +463,12 @@ def extract_text(data: bytes | None, content_type: str | None = None) -> str:
         return _extract_office_text(b, ctype)
     if ctype == "message/rfc822":
         return _extract_email_text(b)
+    if ctype == "application/mbox":
+        return "\n".join(
+            t
+            for _, m in _mbox_messages(b)
+            if (t := _extract_email_text(m))
+        )
     return ""
 
 
@@ -459,7 +504,7 @@ def parse_documents(
 ARCHIVE_TYPES = ("application/zip", "application/gzip", "application/x-tar")
 # containers the embedded splitter descends into: archives by member,
 # emails by MIME attachment
-CONTAINER_TYPES = ARCHIVE_TYPES + ("message/rfc822",)
+CONTAINER_TYPES = ARCHIVE_TYPES + ("message/rfc822", "application/mbox")
 
 
 @dataclass(frozen=True)
@@ -499,6 +544,8 @@ def _archive_members(data: bytes, ctype: str, name_hint: str):
         yield inner, body
     elif ctype == "message/rfc822":
         yield from _email_attachments(data)
+    elif ctype == "application/mbox":
+        yield from _mbox_messages(data)
 
 
 def _walk_embedded(
@@ -536,6 +583,7 @@ def _walk_embedded(
             "embedded_reference": name,
             "embedded_type": (
                 "mail-attachment" if ctype == "message/rfc822"
+                else "mail-message" if ctype == "application/mbox"
                 else "package-file"
             ),
             "embed_depth": depth + 1,

@@ -457,3 +457,63 @@ def test_email_attachments_split_recursively():
     ]
     assert body == b"deep text" and etype == "package-file"
     assert depth == 2
+
+
+def _mbox(msgs: list[bytes]) -> bytes:
+    out = []
+    for m in msgs:
+        out.append(b"From alice@example.com Mon Aug 17 10:00:00 2026")
+        # mboxo body escape for lines starting "From "
+        out.append(
+            b"\n".join(
+                b">" + ln if ln.startswith(b"From ") else ln
+                for ln in m.rstrip(b"\n").split(b"\n")
+            )
+        )
+        out.append(b"")  # blank separator line
+    return b"\n".join(out) + b"\n"
+
+
+def test_mbox_detect_split_and_extract():
+    from crawlspark.functions.parsers import (
+        detect_content_type, extract_text,
+    )
+
+    m1 = _eml()
+    m2 = _eml(html_only=True)
+    raw = _mbox([m1, m2])
+    assert detect_content_type(raw) == "application/mbox"
+    kids = _collect(raw)
+    refs = [k[0] for k in kids]
+    assert "doc!msg-00000.eml" in refs and "doc!msg-00001.eml" in refs
+    by_ref = {k[0]: k for k in kids}
+    assert by_ref["doc!msg-00000.eml"][2] == "mail-message"
+    assert by_ref["doc!msg-00000.eml"][4] == "message/rfc822"
+    # the split member parses back as the original message
+    assert extract_text(by_ref["doc!msg-00000.eml"][5]) == (
+        "quarterly numbers\nhello from the body"
+    )
+    # mbox-level extraction joins the per-message texts
+    assert extract_text(raw) == (
+        "quarterly numbers\nhello from the body\n"
+        "quarterly numbers\nsee the chart"
+    )
+
+
+def test_mbox_from_escape_roundtrip():
+    from crawlspark.functions.parsers import extract_text
+
+    from email.message import EmailMessage
+
+    msg = EmailMessage()
+    msg["From"] = "a@x.com"
+    msg["To"] = "b@y.com"
+    msg["Subject"] = "s"
+    msg["Date"] = "Mon, 17 Aug 2026 10:00:00 +0000"
+    msg.set_content("line one\nFrom here on out\nline three")
+    raw = _mbox([bytes(msg)])
+    kids = _collect(raw)
+    assert len(kids) == 1
+    assert extract_text(kids[0][5]) == (
+        "s\nline one\nFrom here on out\nline three"
+    )
