@@ -275,7 +275,7 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument(
                 "--format",
                 choices=(
-                    "parquet", "orc", "csv", "json", "xml",
+                    "parquet", "orc", "csv", "json", "xml", "warc",
                     "elasticsearch", "solr", "sql",
                 ),
                 default="parquet",
@@ -382,6 +382,7 @@ def main(argv: list[str] | None = None) -> int:
                 "csv": C.csv_committer,
                 "json": C.json_committer,
                 "xml": C.xml_committer,
+                "warc": C.warc_committer,
             }[args.format]
             sink(ops, args.out)
         print(f"exported resolved documents to {args.out} ({args.format})")

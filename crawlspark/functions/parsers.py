@@ -60,6 +60,7 @@ _MAGIC = [
     (b"PK\x03\x04", "application/zip"),
     (b"PK\x05\x06", "application/zip"),  # empty archive
     (b"\x1f\x8b", "application/gzip"),
+    (b"WARC/", "application/warc"),
 ]
 
 _HTML_RE = re.compile(
@@ -504,7 +505,9 @@ def parse_documents(
 ARCHIVE_TYPES = ("application/zip", "application/gzip", "application/x-tar")
 # containers the embedded splitter descends into: archives by member,
 # emails by MIME attachment
-CONTAINER_TYPES = ARCHIVE_TYPES + ("message/rfc822", "application/mbox")
+CONTAINER_TYPES = ARCHIVE_TYPES + (
+    "message/rfc822", "application/mbox", "application/warc",
+)
 
 
 @dataclass(frozen=True)
@@ -546,6 +549,18 @@ def _archive_members(data: bytes, ctype: str, name_hint: str):
         yield from _email_attachments(data)
     elif ctype == "application/mbox":
         yield from _mbox_messages(data)
+    elif ctype == "application/warc":
+        from .warc import http_payload, warc_records
+
+        for i, (headers, body) in enumerate(warc_records(data)):
+            rtype = headers.get("warc-type", "resource")
+            if rtype == "warcinfo":
+                continue  # file metadata, not a document
+            if headers.get("content-type", "").startswith(
+                "application/http"
+            ):
+                body = http_payload(body)
+            yield f"rec-{i:05d}.{rtype}", body
 
 
 def _walk_embedded(
@@ -584,6 +599,7 @@ def _walk_embedded(
             "embedded_type": (
                 "mail-attachment" if ctype == "message/rfc822"
                 else "mail-message" if ctype == "application/mbox"
+                else "warc-record" if ctype == "application/warc"
                 else "package-file"
             ),
             "embed_depth": depth + 1,

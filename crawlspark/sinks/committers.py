@@ -112,3 +112,64 @@ def orc_committer(ops: DataFrame, path: str) -> None:
     """Columnar sink #2 (Spark-builtin ORC) — same resolved-state
     contract as the parquet committer for ORC-native warehouses."""
     resolve_operations(ops).write.mode("overwrite").orc(path)
+
+
+def warc_committer(
+    ops: DataFrame,
+    path: str,
+    warc_date: str = "2026-01-01T00:00:00Z",
+) -> None:
+    """WARC sink: resolved documents as ISO-28500 ``resource`` records
+    (the corpus-interchange format web-scale pipelines consume).
+
+    One ``part-<partition>.warc`` file per sink partition, records in
+    (image_id) order within each; every record carries the document id
+    as WARC-Target-URI, a deterministic md5-derived record id, the
+    payload media type from ``fmt``, and X-Crawl-* headers for the
+    caption/checksum sidecar fields. ``warc_date`` is a config value,
+    not a wall-clock read, so committed bytes are reproducible.
+    Re-parsed by functions/warc.warc_records (round-trip tested).
+    """
+    import hashlib
+    import os
+
+    from ..functions.warc import build_record
+
+    resolved = (
+        resolve_operations(ops)
+        .repartition(F.col("image_id"))
+        .sortWithinPartitions("image_id")
+    )
+    os.makedirs(path, exist_ok=True)
+
+    def write(it) -> None:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        chunks = []
+        for row in it:
+            d = row.asDict(recursive=True)
+            body = bytes(d.get("bytes") or b"")
+            digest = hashlib.md5(
+                (d["image_id"] + ":" + warc_date).encode()
+            ).hexdigest()
+            fmt = (d.get("fmt") or "bin").lower()
+            headers = {
+                "WARC-Type": "resource",
+                "WARC-Record-ID": f"<urn:md5:{digest}>",
+                "WARC-Date": warc_date,
+                "WARC-Target-URI": d["image_id"],
+                "Content-Type": f"image/{fmt}",
+                "X-Crawl-Caption": (d.get("caption") or "").replace(
+                    "\r", " "
+                ).replace("\n", " "),
+                "X-Crawl-Checksum": d.get("checksum") or "",
+            }
+            chunks.append(build_record(headers, body))
+        if chunks:
+            with open(
+                os.path.join(path, f"part-{pid:05d}.warc"), "wb"
+            ) as f:
+                f.write(b"".join(chunks))
+
+    resolved.foreachPartition(write)
