@@ -94,3 +94,55 @@ def test_png_roundtrip_property(w, h, seed):
     data = encode_png(px)
     assert detect_content_type(data) == "image/png"
     assert (decode_png(data) == px).all()
+
+
+# ---------------------------------------------------------------------------
+# WARC framing round-trip
+# ---------------------------------------------------------------------------
+
+_header_val = st.text(
+    st.sampled_from(
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        "0123456789 :/.,;-_<>"
+    ),
+    min_size=0,
+    max_size=40,
+).map(str.strip)
+
+_warc_body = st.binary(max_size=200)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["resource", "response", "metadata"]),
+            _header_val,
+            _warc_body,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_warc_build_parse_roundtrip(records):
+    """Arbitrary (type, uri, binary body) records — bodies may contain
+    CRLFs, WARC/ magic, anything — must round-trip through build_warc
+    -> warc_records byte-identically (Content-Length framing, not
+    delimiter scanning)."""
+    from crawlspark.functions.warc import build_warc, warc_records
+
+    raw = build_warc([
+        (
+            {"WARC-Type": t, "WARC-Record-ID": f"<urn:r{i}>",
+             "WARC-Date": "2026-01-01T00:00:00Z",
+             "WARC-Target-URI": uri},
+            body,
+        )
+        for i, (t, uri, body) in enumerate(records)
+    ])
+    back = list(warc_records(raw))
+    assert len(back) == len(records)
+    for (t, uri, body), (h, b) in zip(records, back):
+        assert h["warc-type"] == t
+        assert h["warc-target-uri"] == uri
+        assert b == body
