@@ -99,6 +99,22 @@ def detect_content_type(data: bytes | None) -> str:
             return "application/json"
         except (ValueError, UnicodeDecodeError):
             pass
+        # JSON Lines: one object per line (>= 2 lines must parse)
+        try:
+            lines = [
+                ln
+                for ln in bytes(data)
+                .decode(detect_charset(data))
+                .splitlines()
+                if ln.strip()
+            ]
+            if len(lines) >= 2 and all(
+                isinstance(json.loads(ln), (dict, list))
+                for ln in lines[:20]
+            ):
+                return "application/x-ndjson"
+        except (ValueError, UnicodeDecodeError):
+            pass
     # printable-text heuristic over the decoded head
     try:
         text = head.decode(detect_charset(data), errors="strict")
@@ -458,6 +474,16 @@ def extract_text(data: bytes | None, content_type: str | None = None) -> str:
         except (ValueError, UnicodeDecodeError):
             return ""
         return " ".join(_json_strings(doc))
+    if ctype == "application/x-ndjson":
+        out = []
+        for ln in b.decode(detect_charset(b), "replace").splitlines():
+            if not ln.strip():
+                continue
+            try:
+                out.append(" ".join(_json_strings(json.loads(ln))))
+            except ValueError:
+                continue
+        return "\n".join(s for s in out if s)
     if ctype == "text/plain":
         return b.decode(detect_charset(b), errors="replace")
     if ctype in OFFICE_TYPES or ctype.startswith(ODF_PREFIX):

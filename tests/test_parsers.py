@@ -517,3 +517,22 @@ def test_mbox_from_escape_roundtrip():
     assert extract_text(kids[0][5]) == (
         "s\nline one\nFrom here on out\nline three"
     )
+
+
+def test_ndjson_detect_and_extract():
+    from crawlspark.functions.parsers import (
+        detect_content_type, extract_text,
+    )
+
+    nd = (b'{"title": "row one", "n": 1}\n'
+          b'{"title": "row two", "tags": ["a", "b"]}\n')
+    assert detect_content_type(nd) == "application/x-ndjson"
+    assert extract_text(nd) == "row one\nrow two a b"
+    # a single JSON document stays application/json
+    assert detect_content_type(b'{"k": "v"}') == "application/json"
+    # broken lines are skipped, not fatal (lenient like Tika text)
+    messy = b'{"a": "keep"}\nnot json\n{"b": "also"}\n'
+    # a non-JSON line makes detection fall through to text/plain,
+    # but explicit-ctype extraction still harvests the good lines
+    assert detect_content_type(messy) == "text/plain"
+    assert extract_text(messy, "application/x-ndjson") == "keep\nalso"
