@@ -171,3 +171,59 @@ def firstseen_gate(clean: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def politeness_gate(clean: DataFrame, delay_ms: int = 1000) -> DataFrame:
+    """Continuous per-host politeness scheduler: the streaming analog
+    of the batch recurrence (operators/politeness.py, sched =
+    max(avail, last + delay)) with each host's ``last_sched`` carried
+    ACROSS micro-batches in GroupState.
+
+    Within a micro-batch, rows are ordered (avail_ms, seen_key) — the
+    stream has no ledger seq, so that pair is the documented
+    deterministic order. State is one int64 per host (same host
+    sharding as the first-seen gate); Arrow-batched like the batch
+    recurrence.
+    """
+    import pandas as pd
+
+    out_schema = (
+        "url string, host string, depth int, avail_ms long,"
+        " sched_ms long"
+    )
+    state_schema = "last_sched long"
+
+    def sched(key, pdfs, state):
+        last = int(state.get[0]) if state.exists else None
+        outs = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(
+                ["avail_ms", "seen_key"]
+            ).reset_index(drop=True)
+            scheds = []
+            for avail in pdf["avail_ms"]:
+                s = (
+                    int(avail)
+                    if last is None
+                    else max(int(avail), last + delay_ms)
+                )
+                scheds.append(s)
+                last = s
+            out = pdf[["url", "host", "depth", "avail_ms"]].copy()
+            out["sched_ms"] = scheds
+            outs.append(out)
+        if last is not None:
+            state.update((last,))
+        yield pd.concat(outs) if outs else pd.DataFrame(
+            columns=["url", "host", "depth", "avail_ms", "sched_ms"]
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return clean.groupBy("host").applyInPandasWithState(
+        sched,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

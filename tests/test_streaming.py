@@ -136,3 +136,59 @@ def test_firstseen_gate_stateful_across_batches(spark, tmp_path):
     }
     assert set(got) == {"http://h.x/a", "http://h.x/b", "http://h.x/c"}
     assert got["http://h.x/a"] == 1  # the batch-2 rediscovery was gated
+
+
+def test_politeness_gate_state_across_batches(spark, tmp_path):
+    """The streaming scheduler must continue each host's schedule
+    across micro-batches (batch 2 starts at last_sched + delay, not
+    at avail), independently per host."""
+    from crawlspark.streaming.ingest import politeness_gate
+
+    d = tmp_path / "in"
+    d.mkdir()
+    b1 = [
+        {"raw_url": "http://h.x/a", "depth": 1, "avail_ms": 0,
+         "discovered_at": "2024-01-01T00:00:01Z"},
+        {"raw_url": "http://h.x/b", "depth": 1, "avail_ms": 0,
+         "discovered_at": "2024-01-01T00:00:02Z"},
+        {"raw_url": "http://other.y/o", "depth": 1, "avail_ms": 50,
+         "discovered_at": "2024-01-01T00:00:03Z"},
+    ]
+    b2 = [
+        {"raw_url": "http://h.x/c", "depth": 2, "avail_ms": 0,
+         "discovered_at": "2024-01-01T00:01:01Z"},
+        {"raw_url": "http://h.x/d", "depth": 2, "avail_ms": 9000,
+         "discovered_at": "2024-01-01T00:01:02Z"},
+    ]
+    for name, rows in (("b1.json", b1), ("b2.json", b2)):
+        with open(d / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema(
+            "raw_url string, depth int, avail_ms long,"
+            " discovered_at timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        politeness_gate(clean_candidates(stream), delay_ms=1000)
+        .writeStream.format("memory")
+        .queryName("sched")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["url"]: r["sched_ms"]
+        for r in spark.sql("select * from sched").collect()
+    }
+    hx = sorted(
+        v for u, v in got.items() if u.startswith("http://h.x/")
+    )
+    # batch1: 0, 1000; batch2 continues: 2000, then 9000 (avail wins)
+    assert hx == [0, 1000, 2000, 9000]
+    assert got["http://other.y/o"] == 50  # independent host state
