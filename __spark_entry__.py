@@ -261,6 +261,10 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_repetition_stats(spark, sf_dir):
+    return X.repetition_stats(_t(spark, sf_dir, "documents"), n=2)
+
+
 def q_pii_scrub(spark, sf_dir):
     # The synthetic corpus carries no natural PII, so the query
     # injects one deterministic email/IP/phone per row (the
@@ -1044,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_profile": q_corpus_profile,
         "q_unigram_logprob": q_unigram_logprob,
         "q_stratified_sample": q_stratified_sample,
+        "q_repetition_stats": q_repetition_stats,
         "q_pii_scrub": q_pii_scrub,
         "q_split_assign": q_split_assign,
         "q_pagerank": q_pagerank,
@@ -1601,6 +1606,18 @@ FROM q
 """,
         "q_langid": _langid_sql(),
         "q_stratified_sample": _stratified_sample_sql(),
+        "q_repetition_stats": f"""
+WITH d AS (SELECT doc_id, {_WORDS.format(t="text")} AS w FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                        i -> w[i] || ' ' || w[i + 1]) AS grams
+  FROM d)
+SELECT doc_id, len(grams)::BIGINT AS n_ngrams,
+       len(list_distinct(grams))::BIGINT AS n_distinct,
+       (len(grams) - len(list_distinct(grams)))::BIGINT AS n_repeats
+FROM g
+""",
         "q_pii_scrub": _pii_scrub_sql(),
         "q_split_assign": _split_assign_sql(),
         "q_pagerank": _pagerank_sql(),

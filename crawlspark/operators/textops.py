@@ -785,3 +785,38 @@ def split_assign(
         F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     )
     return docs.withColumn("split", split)
+
+
+def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
+    """Within-document n-gram repetition (the Gopher-rule quality
+    signal: heavily repetitive documents are low-value training
+    text). Output per doc: total n-grams, distinct n-grams, and the
+    count sitting in duplicated n-grams — INTEGERS ONLY, so there is
+    no cross-engine rounding surface at all; consumers derive
+    whatever ratio they need.
+
+    Pure projection (token split -> transform over an index sequence
+    -> array aggregates); no shuffle, no explode — the whole
+    computation stays row-local, which is exactly what a 100 TB
+    quality sweep wants.
+    """
+    w = words_col(F.col("text"))
+    n_tok = F.size(w)
+    grams = F.when(
+        n_tok >= n,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    # repeat mass = occurrences beyond each value's first; the Gopher
+    # dup-fraction is n_repeats / n_ngrams, derivable exactly from
+    # these integers by any consumer
+    return docs.select(
+        "doc_id",
+        total.cast("long").alias("n_ngrams"),
+        distinct.cast("long").alias("n_distinct"),
+        (total - distinct).cast("long").alias("n_repeats"),
+    )

@@ -314,3 +314,23 @@ def test_split_assign_exhaustive_and_proportional(spark):
     }
     first = {r["doc_id"]: r["split"] for r in out.collect()}
     assert first == again
+
+
+def test_repetition_stats_known_values(spark):
+    from crawlspark.operators.textops import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # bigrams: ab ba ab ba ab -> 2 distinct
+            (2, "w x y z"),          # all distinct
+            (3, "solo"),             # too short for bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["n_distinct"], r["n_repeats"])
+        for r in repetition_stats(docs, n=2).collect()
+    }
+    assert got[1] == (5, 2, 3)
+    assert got[2] == (3, 3, 0)
+    assert got[3] == (0, 0, 0)
