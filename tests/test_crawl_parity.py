@@ -169,3 +169,49 @@ def test_max_docs_stop(spark, tmp_path):
     want = pd.DataFrame(sim.fetch_log)
     assert got["url"].tolist() == want["url"].tolist()
     assert len(eng.docs_df().toPandas()) >= 5
+
+
+HARSH_SWEEP = [
+    # adversarial mix: heavy duplication + cycles + redirects
+    SiteParams(
+        seed=1301, n_hosts=3, depth=3, branching=3,
+        dup_pct=0.5, redirect_pct=0.25, error_pct=0.15,
+        canonical_pct=0.2, variant_pct=0.25, cycle_pct=0.3,
+        cross_pct=0.5, noindex_pct=0.15, n_seed_hosts=2,
+    ),
+    # near-degenerate: almost everything is a dup or an error
+    SiteParams(
+        seed=2707, n_hosts=2, depth=3, branching=4,
+        dup_pct=0.7, redirect_pct=0.1, error_pct=0.3,
+        canonical_pct=0.05, variant_pct=0.1, cycle_pct=0.15,
+        cross_pct=0.2, noindex_pct=0.3, n_seed_hosts=2,
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "params", HARSH_SWEEP, ids=[f"seed{p.seed}" for p in HARSH_SWEEP]
+)
+def test_harsh_config_parity_sweep(spark, tmp_path, params):
+    """Fetch-sequence + URL-seen parity must hold on adversarial
+    percentage mixes, not just the MESSY fixture's seed — the engine
+    and the pure-Python oracle walk the same frontier under heavy
+    duplication, redirect chains, cycles, and noindex pressure."""
+    _, sim, eng = run_both(spark, tmp_path, params, CFG)
+    got = eng.fetch_log().toPandas()
+    want = pd.DataFrame(sim.fetch_log)
+    assert len(got) == len(want) > 0, (len(got), len(want))
+    assert got["url"].tolist() == want["url"].tolist()
+    assert (
+        got["scheduled_at_ms"].tolist()
+        == want["scheduled_at_ms"].tolist()
+    )
+    seen_got = (
+        eng.urlseen().toPandas().sort_values("url")
+        .reset_index(drop=True)[["url", "status", "outcome", "depth"]]
+    )
+    seen_want = (
+        pd.DataFrame(sim.urlseen()).sort_values("url")
+        .reset_index(drop=True)[["url", "status", "outcome", "depth"]]
+    )
+    pd.testing.assert_frame_equal(seen_got, seen_want, check_dtype=False)
