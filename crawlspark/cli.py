@@ -276,14 +276,14 @@ def main(argv: list[str] | None = None) -> int:
                 "--format",
                 choices=(
                     "parquet", "orc", "csv", "json", "xml", "warc",
-                    "elasticsearch", "solr", "sql",
+                    "elasticsearch", "solr", "sql", "kafka",
                 ),
                 default="parquet",
             )
             p.add_argument(
                 "--index",
                 default="docs",
-                help="index name for the elasticsearch format",
+                help="index (elasticsearch) / topic (kafka) name",
             )
     args = ap.parse_args(argv)
 
@@ -357,7 +357,17 @@ def main(argv: list[str] | None = None) -> int:
         ops = AppendTable(
             spark, os.path.join(args.workdir, "documents"), schema=DOCS_SCHEMA
         ).read()
-        if args.format == "sql":
+        if args.format == "kafka":
+            # --out is the bootstrap host:port, --index the topic
+            from .sinks import kafka as K
+
+            K.kafka_committer(
+                ops,
+                K.KafkaCommitterConfig(
+                    bootstrap=args.out, topic=args.index
+                ),
+            )
+        elif args.format == "sql":
             # --out is the database path/DSN for the SQL committer
             from .sinks import sql as S
 
