@@ -657,3 +657,104 @@ def apply_when(df, condition: Column, col_name: str, then_expr: Column):
     return df.withColumn(
         col_name, F.when(condition, then_expr).otherwise(F.col(col_name))
     )
+
+
+# -- remaining named-handler parity (transformer/impl/ round-out) ------------
+
+def charset_transform(col, target: str = "utf-8") -> Column:
+    """CharsetTransformer (transformer/impl/Charset*.java): binary
+    content -> text in the target charset, source charset detected
+    per document (BOM + UTF-8 probe, the parsers.detect_charset
+    rules). Arrow-batched — charset detection needs byte-level
+    Python, same as the reference needs ICU."""
+
+    @F.pandas_udf("string")
+    def _recode(data: pd.Series) -> pd.Series:
+        from .parsers import detect_charset
+
+        def one(b):
+            if b is None:
+                return None
+            b = bytes(b)
+            text = b.decode(detect_charset(b), errors="replace")
+            # target charset round-trip (lossy chars replaced), so
+            # the output is guaranteed encodable in `target`
+            return text.encode(target, errors="replace").decode(
+                target, errors="replace"
+            )
+
+        return pd.Series([one(b) for b in data])
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _recode(c)
+
+
+def current_date(now_ms: int, fmt: str = "yyyy-MM-dd HH:mm:ss") -> Column:
+    """CurrentDateTransformer with the clock INJECTED (a config
+    value, never a wall-clock read — checkpoint replay must
+    regenerate identical stamps; same rule as the WARC sink date)."""
+    return F.date_format(
+        F.timestamp_millis(F.lit(now_ms)), fmt
+    )
+
+
+def debug_passthrough(df, label: str = "debug", n: int = 5):
+    """DebugTransformer: log a sample + schema, return the frame
+    unchanged (driver-side peek — NOT in any hot path)."""
+    import logging
+
+    log = logging.getLogger("crawlspark.transformers")
+    log.info("%s: schema=%s sample=%s", label, df.schema.simpleString(),
+             [r.asDict() for r in df.take(n)])
+    return df
+
+
+def field_report(df, meta_col: str = "meta"):
+    """FieldReportTransformer: census of metadata fields across the
+    corpus — (field, n_docs, n_values). One explode + groupBy."""
+    return (
+        df.select(F.explode(F.col(meta_col)).alias("field", "vals"))
+        .groupBy("field")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("vals")).cast("long").alias("n_values"),
+        )
+    )
+
+
+def regex_extract_fields(col, pattern: str, fields: list[str]) -> Column:
+    """RegexTransformer's field-extraction mode: capture groups ->
+    named metadata entries (group i -> fields[i-1]), as a
+    map<string, array<string>> ready for meta_merge. Documents where
+    the pattern misses yield empty-string groups, matching
+    regexp_extract's no-match contract."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.map_from_arrays(
+        F.array(*[F.lit(f) for f in fields]),
+        F.array(*[
+            F.array(F.regexp_extract(c, pattern, i + 1))
+            for i in range(len(fields))
+        ]),
+    )
+
+
+def save_documents(df, out_dir: str, ref_col: str = "ref",
+                   bytes_col: str = "bytes") -> None:
+    """SaveDocumentTransformer: write each document's raw bytes to
+    disk under a sanitized path derived from its reference —
+    distributed (foreachPartition), deterministic names, no driver
+    collect. The corpus-dump primitive KeepDownloads-style workflows
+    use."""
+    import os
+    import re as _re
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(rows) -> None:
+        for row in rows:
+            name = _re.sub(r"[^A-Za-z0-9._-]+", "_", row[ref_col])[:200]
+            body = row[bytes_col]
+            with open(os.path.join(out_dir, name), "wb") as f:
+                f.write(bytes(body) if body is not None else b"")
+
+    df.select(ref_col, bytes_col).foreachPartition(write)

@@ -367,3 +367,67 @@ def test_split_dom_css_selector(spark):
         "item.w",
     ).collect()
     assert solo == []
+
+
+def test_remaining_named_transformers(spark, tmp_path):
+    """Charset / CurrentDate / FieldReport / Regex-extract /
+    SaveDocument round out the reference's named transformer list."""
+    from crawlspark.functions.transformers import (
+        charset_transform,
+        current_date,
+        field_report,
+        regex_extract_fields,
+        save_documents,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("d1", bytearray("café utf8".encode("utf-8"))),
+            ("d2", bytearray("caf\xe9 latin".encode("latin-1"))),
+        ],
+        "ref string, bytes binary",
+    )
+    got = {
+        r["ref"]: r["text"]
+        for r in df.withColumn(
+            "text", charset_transform("bytes")
+        ).collect()
+    }
+    assert got == {"d1": "café utf8", "d2": "café latin"}
+
+    # injected clock -> deterministic stamp
+    stamped = df.select(
+        current_date(1735689600000, "yyyy-MM-dd").alias("d")
+    ).first()
+    assert stamped["d"] == "2025-01-01"
+
+    # regex field extraction -> meta map
+    rx = spark.createDataFrame(
+        [("item-42 by alice",), ("no match here",)], "t string"
+    ).select(
+        regex_extract_fields(
+            "t", r"item-(\d+) by (\w+)", ["item_id", "author"]
+        ).alias("m")
+    ).collect()
+    assert rx[0]["m"] == {"item_id": ["42"], "author": ["alice"]}
+    assert rx[1]["m"] == {"item_id": [""], "author": [""]}
+
+    # field census over a meta column
+    meta_df = spark.createDataFrame(
+        [({"a": ["1"], "b": ["x", "y"]},), ({"a": ["2"]},)],
+        "meta map<string, array<string>>",
+    )
+    rep = {
+        r["field"]: (r["n_docs"], r["n_values"])
+        for r in field_report(meta_df).collect()
+    }
+    assert rep == {"a": (2, 2), "b": (1, 2)}
+
+    # raw corpus dump: sanitized deterministic names, exact bytes
+    save_documents(df, str(tmp_path / "dump"))
+    import os
+
+    names = sorted(os.listdir(tmp_path / "dump"))
+    assert names == ["d1", "d2"]
+    with open(tmp_path / "dump" / "d2", "rb") as f:
+        assert f.read() == "caf\xe9 latin".encode("latin-1")
