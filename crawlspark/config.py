@@ -54,6 +54,15 @@ class CrawlConfig:
     # seq%K is the documented deterministic analog, engine == oracle).
     delay_scope: str = "SITE"
     delay_threads: int = 2
+    # GenericUrlNormalizer config (GenericUrlNormalizerConfig.java:
+    # 90-102): None = the default 6-op RFC-3986 pipeline (the fused
+    # fast path in functions/urls.py); a tuple of op names from
+    # functions/urlnorm.NORMALIZATIONS runs the configured ordered
+    # pipeline instead (engine + oracle share the same compiled
+    # function). url_replacements: (java_regex, replacement-with-$N)
+    # pairs applied after the named ops; 1-tuples delete the match.
+    url_normalizations: tuple[str, ...] | None = None
+    url_replacements: tuple[tuple, ...] = ()
     # reference filters (GenericReferenceFilter / FilterGroupResolver
     # semantics: any exclude match rejects; if includes exist, at
     # least one must match).

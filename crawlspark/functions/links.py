@@ -285,24 +285,28 @@ _POST_URL_RE = re.compile(r'data-post-url\s*=\s*"([^"]+)"', re.IGNORECASE)
 
 
 def extract_post_links(
-    base_url: str, html: str | None, extracted: list | None
+    base_url: str, html: str | None, extracted: list | None,
+    normalizer=None,
 ) -> list[str]:
     """PostImportLinksStage candidate set for one document: matched
     field values, resolved + normalized, minus the already-extracted
-    links (PostImportLinksStage.java:60-66), deduped, sorted."""
+    links (PostImportLinksStage.java:60-66), deduped, sorted.
+    ``normalizer`` overrides the default pipeline (configured
+    GenericUrlNormalizer analog)."""
     if not html:
         return []
     from .urls import normalize_url
 
+    norm = normalizer or normalize_url
     seen: set[str] = set()
     for lurl, _pos in extracted or []:
-        n = normalize_url(lurl)
+        n = norm(lurl)
         if n:
             seen.add(n)
     out: set[str] = set()
     for m in _POST_URL_RE.finditer(html):
         u = resolve_href(base_url, m.group(1))
-        n = normalize_url(u) if u else None
+        n = norm(u) if u else None
         if n and n not in seen:
             out.add(n)
     return sorted(out)
@@ -312,6 +316,7 @@ def make_parse_transformer(
     max_depth: int,
     document_filters: tuple = (),
     post_import: bool = False,
+    normalizer=None,
 ):
     """Fused per-batch parser: html in, parse fields out, html dropped.
 
@@ -330,7 +335,9 @@ def make_parse_transformer(
     import hashlib
 
     from .filters import content_reject
-    from .urls import normalize_url
+    from .urls import normalize_url as _default_norm
+
+    normalize_url = normalizer or _default_norm
 
     def parse(batches):
         for pdf in batches:
@@ -386,7 +393,9 @@ def make_parse_transformer(
                     # committer-phase stage — runs for docs heading to
                     # commit regardless of nofollow/depth (the engine
                     # gates the actual enqueue on outcome NEW/MODIFIED)
-                    post[i] = extract_post_links(u, h, links[i])
+                    post[i] = extract_post_links(
+                        u, h, links[i], normalizer=normalize_url
+                    )
             out = pdf.drop(
                 columns=[
                     c_

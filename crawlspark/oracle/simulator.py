@@ -148,6 +148,16 @@ class CrawlSimulator:
         self.pages = pages
         self.cfg = cfg
         self.baseline = baseline or {}
+        # UrlNormalizerStage slot — the same compiled pipeline the
+        # engine uses when the config names its own op list
+        if cfg.url_normalizations is None:
+            self._normalize = normalize_url
+        else:
+            from ..functions.urlnorm import engine_normalizer
+
+            self._normalize = engine_normalizer(
+                cfg.url_normalizations, cfg.url_replacements
+            )
         self._matchers: dict[str, RobotsMatcher] = {}
         # robots crawl-delay per host; None = no directive (schedule/
         # pattern/default resolvers apply per request)
@@ -348,7 +358,7 @@ class CrawlSimulator:
         sm_lastmod: str | None = None,
         sm_changefreq: str | None = None,
     ) -> None:
-        url = normalize_url(raw_url)
+        url = self._normalize(raw_url)
         if url is None:
             res.metrics["REJECTED_BAD_URL"] += 1
             return
@@ -681,13 +691,15 @@ class CrawlSimulator:
                 hdr_raw = canonical_from_header(
                     e.url, row.get("link_header")
                 )
-                hdr_norm = normalize_url(hdr_raw) if hdr_raw else None
+                hdr_norm = self._normalize(hdr_raw) if hdr_raw else None
                 if hdr_norm is not None and hdr_norm != e.url:
                     canonical_raw = hdr_raw
                 else:
                     canonical_raw = extract_canonical(e.url, html)
                 canonical = (
-                    normalize_url(canonical_raw) if canonical_raw else None
+                    self._normalize(canonical_raw)
+                    if canonical_raw
+                    else None
                 )
                 if canonical is not None and canonical != e.url:
                     e.outcome = "NONCANONICAL"
@@ -862,7 +874,8 @@ class CrawlSimulator:
                                 else []
                             )
                             for purl in extract_post_links(
-                                e.url, html, extracted
+                                e.url, html, extracted,
+                                normalizer=self._normalize,
                             ):
                                 if not self._in_scope(purl, e.url):
                                     continue

@@ -328,6 +328,18 @@ class CrawlEngine:
         # (re-counted while small, permanently large once over cap)
         self._delays_small: bool | None = None
         self._presence_small: bool | None = None
+        # UrlNormalizerStage slot: the fused default pipeline unless
+        # the config names its own op list (GenericUrlNormalizer
+        # analog — functions/urlnorm.py; oracle builds the identical
+        # function from the same config)
+        if cfg.url_normalizations is None:
+            self._norm_udf = normalize_url_udf
+        else:
+            from ..functions.urlnorm import custom_normalizer_udf
+
+            self._norm_udf = custom_normalizer_udf(
+                cfg.url_normalizations, cfg.url_replacements
+            )
         self._host_state_big = False
         self._orphans_done = baseline_df is None
         os.makedirs(workdir, exist_ok=True)
@@ -641,10 +653,18 @@ class CrawlEngine:
         ``pages``-table join (MockWebsite analog), each followed by the
         parse transformer (html crosses once, then is dropped).
         """
+        norm_fn = None
+        if self.cfg.url_normalizations is not None:
+            from ..functions.urlnorm import engine_normalizer
+
+            norm_fn = engine_normalizer(
+                self.cfg.url_normalizations, self.cfg.url_replacements
+            )
         parse = make_parse_transformer(
             self.cfg.max_depth,
             self.cfg.document_filters,
             post_import=self.cfg.post_import_links,
+            normalizer=norm_fn,
         )
         parse_names = {f.name for f in PARSE_FIELDS.fields}
         out_fields = [
@@ -1042,7 +1062,7 @@ class CrawlEngine:
         for c_ in ("sm_lastmod", "sm_changefreq"):
             if c_ not in cand.columns:
                 cand = cand.withColumn(c_, F.lit(None).cast("string"))
-        c = cand.withColumn("url", normalize_url_udf(F.col("raw_url")))
+        c = cand.withColumn("url", self._norm_udf(F.col("raw_url")))
         if not cfg.record_url_variants:
             c = c.drop("raw_url")  # else kept for the variants agg
         c = c.filter(F.col("url").isNotNull())
@@ -2033,7 +2053,7 @@ class CrawlEngine:
             from ..functions.checksums import GOOD_OUTCOMES
 
             rq = redirects.withColumn(
-                "url", normalize_url_udf(F.col("raw_url"))
+                "url", self._norm_udf(F.col("raw_url"))
             ).filter(F.col("url").isNotNull())
             cur_ev = parsed.select(
                 "url",
