@@ -265,6 +265,19 @@ def q_repetition_stats(spark, sf_dir):
     return X.repetition_stats(_t(spark, sf_dir, "documents"), n=2)
 
 
+def q_decontaminate(spark, sf_dir):
+    # benchmark = the deterministic doc_id % 97 == 0 slice of the
+    # corpus (derived-fixture pattern); corpus = everything else.
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return X.decontaminate(corpus, bench, n=3)
+
+
+def q_source_mix(spark, sf_dir):
+    return X.source_mix(_t(spark, sf_dir, "documents"))
+
+
 def q_pii_scrub(spark, sf_dir):
     # The synthetic corpus carries no natural PII, so the query
     # injects one deterministic email/IP/phone per row (the
@@ -1049,6 +1062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unigram_logprob": q_unigram_logprob,
         "q_stratified_sample": q_stratified_sample,
         "q_repetition_stats": q_repetition_stats,
+        "q_decontaminate": q_decontaminate,
+        "q_source_mix": q_source_mix,
         "q_pii_scrub": q_pii_scrub,
         "q_split_assign": q_split_assign,
         "q_pagerank": q_pagerank,
@@ -1617,6 +1632,40 @@ SELECT doc_id, len(grams)::BIGINT AS n_ngrams,
        len(list_distinct(grams))::BIGINT AS n_distinct,
        (len(grams) - len(list_distinct(grams)))::BIGINT AS n_repeats
 FROM g
+""",
+        "q_decontaminate": f"""
+WITH d AS (SELECT doc_id, {_WORDS.format(t="text")} AS w FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len(w) - 2, 0) + 1),
+             i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS gram
+  FROM d),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
+  FROM g JOIN bench USING (gram)
+  WHERE g.doc_id % 97 <> 0
+  GROUP BY g.doc_id)
+SELECT d.doc_id,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 97 <> 0
+""",
+        "q_source_mix": f"""
+WITH p AS (
+  SELECT source,
+         len({_WORDS.format(t="text")})::BIGINT AS n_tok,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents),
+a AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+         count(DISTINCT fp)::BIGINT AS n_unique_docs
+  FROM p GROUP BY source)
+SELECT source, n_docs, n_tokens, n_unique_docs,
+       ((n_tokens * 1000000) // sum(n_tokens) OVER ())::BIGINT AS weight_ppm
+FROM a
 """,
         "q_pii_scrub": _pii_scrub_sql(),
         "q_split_assign": _split_assign_sql(),

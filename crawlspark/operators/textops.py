@@ -820,3 +820,115 @@ def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
         distinct.cast("long").alias("n_distinct"),
         (total - distinct).cast("long").alias("n_repeats"),
     )
+
+
+def ngrams_col(text_col, n: int):
+    """Word n-grams as an array column (row-local; the repetition_stats
+    builder generalized to any n)."""
+    w = words_col(text_col)
+    n_tok = F.size(w)
+    return F.when(
+        n_tok >= n,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word ``n``-gram with any benchmark document (the standard
+    eval-leakage guard a training-data pipeline runs before a corpus
+    ships — n-gram overlap against held-out benchmark suites).
+
+    Output: every corpus doc_id with ``n_hits`` (distinct shared
+    n-grams) and ``contaminated`` (n_hits > 0).
+
+    Scale shape: distinct n-grams per side, hashed to 64-bit keys
+    (xxhash64 — the gram strings never cross the shuffle), one
+    equi-join, one groupBy(doc_id) count, one left join back for the
+    zero rows. The benchmark side is distinct-reduced first (benchmark
+    suites are orders of magnitude smaller than the corpus), so
+    Catalyst/AQE broadcast it when it fits and shuffle-hash otherwise
+    — never an all-pairs product. A 64-bit collision can flag a clean
+    doc (odds ~ pairs * 2^-64 — the same accepted false-positive
+    budget as Bloom-filter decontamination in production pipelines).
+    """
+    grams = F.explode(
+        F.array_distinct(ngrams_col(F.col(text_col), n))
+    ).alias("gram")
+    c_grams = corpus.select("doc_id", grams).select(
+        "doc_id", F.xxhash64("gram").alias("gk")
+    )
+    b_grams = (
+        benchmark.select(grams)
+        .select(F.xxhash64("gram").alias("gk"))
+        .distinct()
+    )
+    hits = (
+        c_grams.join(b_grams, "gk")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gk").alias("n_hits"))
+    )
+    return (
+        corpus.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias(
+                "n_hits"
+            ),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def source_mix(docs: DataFrame) -> DataFrame:
+    """Corpus mixing report per ``source``: doc/token counts, unique
+    docs after exact dedup (distinct normalized-text fingerprints),
+    and an integer parts-per-million sampling weight proportional to
+    token share — the table a pipeline turns into per-source sampling
+    rates when composing a training mix.
+
+    weight_ppm uses pure BIGINT arithmetic (tokens * 1_000_000 div
+    total) so the engine and any SQL oracle agree bit-for-bit — no
+    float division anywhere (cross-engine rounding is the one thing
+    that can split otherwise-identical plans).
+
+    Scale shape: one partial-agg shuffle on source (map-side combine
+    collapses each partition to |sources| rows), then a scalar total
+    joined back via a single-partition window over the tiny agg frame.
+    """
+    per_doc = docs.select(
+        "source",
+        F.size(words_col(F.col("text"))).cast("long").alias("n_tok"),
+        F.md5(normalized_text(F.col("text"))).alias("fp"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.count_distinct("fp").alias("n_unique_docs"),
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_unique_docs",
+        F.expr("n_tokens * 1000000").cast("long").alias("__num"),
+        F.sum("n_tokens").over(w).alias("__den"),
+    ).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_unique_docs",
+        F.expr("__num div __den").cast("long").alias("weight_ppm"),
+    )

@@ -334,3 +334,57 @@ def test_repetition_stats_known_values(spark):
     assert got[1] == (5, 2, 3)
     assert got[2] == (3, 3, 0)
     assert got[3] == (0, 0, 0)
+
+
+def test_decontaminate_known_values(spark):
+    from crawlspark.operators.textops import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),      # shares "alpha beta gamma"
+            (2, "delta epsilon zeta"),           # 3 tokens, no bench gram
+            (3, "x y z alpha beta gamma q"),     # shares the same gram
+            (4, "totally different words here"),
+            (5, "ab"),                           # < n tokens -> no grams
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma epsilon")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in decontaminate(corpus, bench, n=3).collect()
+    }
+    assert got == {
+        1: (1, True),
+        2: (0, False),
+        3: (1, True),
+        4: (0, False),
+        5: (0, False),
+    }
+
+
+def test_source_mix_integer_weights(spark):
+    from crawlspark.operators.textops import source_mix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "one two three"),       # 3 tokens
+            (2, "a", "one two three"),       # exact dup of 1
+            (3, "b", "four five six seven"),  # 4
+            (4, "b", "eight nine"),           # 2
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {r["source"]: r.asDict() for r in source_mix(docs).collect()}
+    assert got["a"]["n_docs"] == 2
+    assert got["a"]["n_tokens"] == 6
+    assert got["a"]["n_unique_docs"] == 1  # the dup collapses
+    assert got["b"]["n_unique_docs"] == 2
+    # total = 12 tokens; integer ppm, floor division
+    assert got["a"]["weight_ppm"] == 500000
+    assert got["b"]["weight_ppm"] == 500000
+    assert (
+        got["a"]["weight_ppm"] + got["b"]["weight_ppm"] <= 1_000_000
+    )
