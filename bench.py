@@ -124,6 +124,7 @@ HEADLINE = [
     "q_corpus_profile",
     "q_stratified_sample",
     "q_pagerank",
+    "q_decontaminate",
 ]
 
 
