@@ -739,3 +739,115 @@ def import_documents(
         "charset",
         "text",
     )
+
+
+# ---------------------------------------------------------------------------
+# main-content extraction (boilerplate removal)
+# ---------------------------------------------------------------------------
+# The crawl-to-training-data step neither Tika nor the reference
+# performs but every LLM corpus pipeline needs: strip navigation,
+# link farms, and footers from fetched HTML, keeping the article
+# body. The algorithm is the classic link-density block heuristic
+# (jusText / Arc90-readability family): split the page into
+# block-level text runs, score each by length and by the fraction of
+# its characters living inside <a> tags, keep the prose. Entirely
+# deterministic stdlib string work — it runs inside the same fused
+# parse pass as link extraction at crawl time, or standalone over a
+# stored html column.
+
+_BLOCK_TAGS = (
+    "p|div|td|th|li|dd|dt|h1|h2|h3|h4|h5|h6|article|section|main|"
+    "blockquote|pre|figcaption|caption|summary|body"
+)
+# opening tags CAPTURE the tag name; close tags / <br> capture None —
+# re.split then alternates [segment, tagname-or-None, segment, ...],
+# so each text segment knows which block element opened it
+_BLOCK_SPLIT_RE = re.compile(
+    r"(?is)<(%s)(?:\s[^>]*)?>|</(?:%s)>|<br\s*/?>" % (
+        _BLOCK_TAGS, _BLOCK_TAGS
+    )
+)
+_DROP_RE = re.compile(
+    r"(?is)<(script|style|noscript|svg|head|nav|footer|aside|form)"
+    r"(?:\s[^>]*)?>.*?</\1>|<!--.*?-->"
+)
+_A_RE = re.compile(r"(?is)<a(?:\s[^>]*)?>(.*?)</a>")
+_HEADING_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
+
+
+def _block_stats(block_html: str) -> tuple[str, int, int]:
+    """-> (plain text, n_chars, n_link_chars) for one block."""
+    link_chars = sum(
+        len(_strip_markup(m.group(1))) for m in _A_RE.finditer(block_html)
+    )
+    text = _strip_markup(block_html)
+    return text, len(text), link_chars
+
+
+def extract_main_text(
+    html: str | None,
+    min_words: int = 10,
+    max_link_density: float = 0.33,
+) -> str:
+    """Article text of an HTML page, boilerplate removed.
+
+    Keep rules (jusText-style, simplified to stay deterministic and
+    dependency-free): a block is CONTENT when it has >= ``min_words``
+    words AND its link density (chars inside <a> / chars) is <=
+    ``max_link_density``; a short heading block is kept when the next
+    kept block follows it (title attachment). Everything else —
+    nav link lists, footers, share bars — drops. Blocks join with
+    a blank line.
+    """
+    if not html:
+        return ""
+    body = _DROP_RE.sub(" ", html)
+    blocks: list[tuple[str, bool, bool]] = []  # (text, content?, heading?)
+    parts = _BLOCK_SPLIT_RE.split(body)
+    cur_tag = None
+    for j, piece in enumerate(parts):
+        if j % 2 == 1:  # captured opening-tag name (None = close/<br>)
+            if piece:
+                cur_tag = piece.lower()
+            continue
+        if not piece or not piece.strip():
+            continue
+        heading = cur_tag in _HEADING_TAGS
+        text, n_chars, link_chars = _block_stats(piece)
+        if not text:
+            continue
+        density = (link_chars / n_chars) if n_chars else 1.0
+        is_content = (
+            len(text.split()) >= min_words
+            and density <= max_link_density
+        )
+        blocks.append((text, is_content, heading))
+    kept: list[str] = []
+    for i, (text, is_content, heading) in enumerate(blocks):
+        if is_content:
+            kept.append(text)
+        elif heading and any(
+            c for _t, c, _h in blocks[i + 1:i + 3]
+        ):
+            kept.append(text)
+    return "\n\n".join(kept)
+
+
+def main_text_udf(min_words: int = 10, max_link_density: float = 0.33):
+    """Arrow-vectorized main-content extraction over an html column."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StringType())
+    def udf(html: "pd.Series") -> "pd.Series":
+        return html.map(
+            lambda h: extract_main_text(
+                h, min_words=min_words,
+                max_link_density=max_link_density,
+            )
+            if h is not None
+            else None
+        )
+
+    return udf

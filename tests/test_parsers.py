@@ -536,3 +536,82 @@ def test_ndjson_detect_and_extract():
     # but explicit-ctype extraction still harvests the good lines
     assert detect_content_type(messy) == "text/plain"
     assert extract_text(messy, "application/x-ndjson") == "keep\nalso"
+
+
+# --- main-content extraction (boilerplate removal) --------------------------
+
+
+PAGE = """
+<html><head><title>T</title><style>p{color:red}</style></head><body>
+<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav>
+<div class="menu"><a href="/x">one</a> <a href="/y">two</a> <a href="/z">three</a></div>
+<h1>The Article Title</h1>
+<p>This is the first real paragraph of the article body with plenty of
+words that establish it firmly as content rather than navigation.</p>
+<p>A second substantial paragraph continues the story with even more
+prose so the block classifier has no trouble keeping it around.</p>
+<p>Read <a href="/next">the next installment</a> of this long series
+whenever it happens to ship to subscribers.</p>
+<div><a href="/t1">tag1</a> <a href="/t2">tag2</a> <a href="/t3">tag3</a>
+<a href="/t4">tag4</a> <a href="/t5">tag5</a> <a href="/t6">tag6</a>
+<a href="/t7">tag7</a> <a href="/t8">tag8</a> <a href="/t9">tag9</a>
+<a href="/ta">tag10</a> <a href="/tb">tag11</a> <a href="/tc">tag12</a></div>
+<footer>Copyright 2026 <a href="/legal">Legal</a> <a href="/priv">Privacy</a></footer>
+</body></html>
+"""
+
+
+def test_extract_main_text_keeps_article_drops_chrome():
+    from crawlspark.functions.parsers import extract_main_text
+
+    got = extract_main_text(PAGE)
+    assert "first real paragraph" in got
+    assert "second substantial paragraph" in got
+    # heading attached to following content
+    assert got.startswith("The Article Title")
+    # mixed block below the link-density cap stays
+    assert "next installment" in got
+    # nav / link farm / footer dropped
+    assert "Home" not in got and "About" not in got
+    assert "tag1" not in got and "tag12" not in got
+    assert "Copyright" not in got
+    # CSS never leaks
+    assert "color:red" not in got
+
+
+def test_extract_main_text_link_density_cap():
+    from crawlspark.functions.parsers import extract_main_text
+
+    linky = (
+        "<body><p>"
+        + " ".join(f'<a href="/{i}">word{i} word{i}b</a>' for i in range(8))
+        + "</p></body>"
+    )
+    assert extract_main_text(linky) == ""
+    prose = "<body><p>" + " ".join(
+        f"word{i}" for i in range(15)
+    ) + "</p></body>"
+    assert "word14" in extract_main_text(prose)
+
+
+def test_extract_main_text_edge_inputs():
+    from crawlspark.functions.parsers import extract_main_text
+
+    assert extract_main_text(None) == ""
+    assert extract_main_text("") == ""
+    assert extract_main_text("just bare text with not enough words") == ""
+    long_bare = " ".join(f"w{i}" for i in range(30))
+    assert extract_main_text(f"<p>{long_bare}</p>") == long_bare
+
+
+def test_main_text_udf(spark):
+    from crawlspark.functions.parsers import main_text_udf
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, PAGE), (2, None)], "id long, html string"
+    ).select("id", main_text_udf()(F.col("html")).alias("main"))
+    rows = {r["id"]: r["main"] for r in df.collect()}
+    assert "first real paragraph" in rows[1]
+    assert rows[2] is None
