@@ -265,6 +265,39 @@ def q_repetition_stats(spark, sf_dir):
     return X.repetition_stats(_t(spark, sf_dir, "documents"), n=2)
 
 
+def q_main_text(spark, sf_dir):
+    # Deterministic HTML feed wrapping each document body in page
+    # chrome (nav/link-farm/footer boilerplate + an h1 title); the
+    # extractor must return exactly the title + the body — which IS
+    # SQL-derivable from the source text, so the full extraction is
+    # value-hashed (the q_image_payload invariant-projection pattern).
+    from crawlspark.functions.parsers import main_text_udf
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                '<html><head><title>t</title></head><body>'
+                '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+                "<h1>Article "
+            ),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit(
+                '</p><div><a href="/1">one</a> <a href="/2">two</a> '
+                '<a href="/3">three</a> <a href="/4">four</a></div>'
+                "<footer>Copyright</footer></body></html>"
+            ),
+        ).alias("html"),
+        F.col("text"),
+    )
+    return d.select(
+        "doc_id",
+        main_text_udf()(F.col("html")).alias("main_text"),
+    ).withColumn("n_kept_chars", F.length("main_text").cast("long"))
+
+
 def q_decontaminate(spark, sf_dir):
     # benchmark = the deterministic doc_id % 97 == 0 slice of the
     # corpus (derived-fixture pattern); corpus = everything else.
@@ -1062,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unigram_logprob": q_unigram_logprob,
         "q_stratified_sample": q_stratified_sample,
         "q_repetition_stats": q_repetition_stats,
+        "q_main_text": q_main_text,
         "q_decontaminate": q_decontaminate,
         "q_source_mix": q_source_mix,
         "q_pii_scrub": q_pii_scrub,
@@ -1632,6 +1666,15 @@ SELECT doc_id, len(grams)::BIGINT AS n_ngrams,
        len(list_distinct(grams))::BIGINT AS n_distinct,
        (len(grams) - len(list_distinct(grams)))::BIGINT AS n_repeats
 FROM g
+""",
+        "q_main_text": """
+WITH d AS (
+  SELECT doc_id,
+         'Article ' || doc_id || chr(10) || chr(10) ||
+         trim(regexp_replace(text, '\\s+', ' ', 'g')) AS main_text
+  FROM documents)
+SELECT doc_id, main_text, length(main_text)::BIGINT AS n_kept_chars
+FROM d
 """,
         "q_decontaminate": f"""
 WITH d AS (SELECT doc_id, {_WORDS.format(t="text")} AS w FROM documents),
