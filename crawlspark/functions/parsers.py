@@ -633,7 +633,16 @@ def _walk_embedded(
             "bytes": body,
         })
         if child_ctype in CONTAINER_TYPES:
-            _walk_embedded(child_ref, body, cfg, depth + 1, out)
+            # per-member non-fatal: a child whose bytes merely LOOK
+            # like an archive (magic-byte collision) or is a corrupt
+            # nested archive stays a leaf record — the reference's
+            # embedded parse errors don't abort the parent document
+            # (importer ParseState error accumulation); only the
+            # top-level archive raises to the caller
+            try:
+                _walk_embedded(child_ref, body, cfg, depth + 1, out)
+            except ValueError:
+                pass
 
 
 _CHILD_SCHEMA = (
