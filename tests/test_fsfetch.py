@@ -1,0 +1,115 @@
+"""Filesystem crawler (crawler-fs analog): BFS depth assignment,
+folder-vs-file contract, include/exclude filters, symlink policy,
+lastmod_size incremental delta with orphan DELETED rows, lazy
+content read with truncation. Reference contract:
+FolderPathsExtractorStage.java:44-81, FsDocMetadata.java:19-28,
+FsMetadataChecksummer.java:33-64."""
+
+import os
+
+from crawlspark.sources.fsfetch import (
+    FsCrawlConfig,
+    fs_crawl,
+    fs_delta,
+    fs_metadata_checksum_col,
+    fs_read_documents,
+)
+
+
+def _tree(tmp_path):
+    (tmp_path / "a").mkdir()
+    (tmp_path / "a" / "deep").mkdir()
+    (tmp_path / "top.txt").write_text("top file")
+    (tmp_path / "a" / "one.txt").write_text("one")
+    (tmp_path / "a" / "two.log").write_text("two-log")
+    (tmp_path / "a" / "deep" / "three.txt").write_text("three!")
+    os.symlink("/nonexistent", tmp_path / "a" / "dangling")
+    return tmp_path
+
+
+def test_fs_crawl_depths_and_files_only(spark, tmp_path):
+    root = _tree(tmp_path)
+    got = {
+        r["path"]: r.asDict()
+        for r in fs_crawl(spark, [str(root)]).collect()
+    }
+    # only FILES are documents (folders never committed)
+    assert set(got) == {
+        str(root / "top.txt"),
+        str(root / "a" / "one.txt"),
+        str(root / "a" / "two.log"),
+        str(root / "a" / "deep" / "three.txt"),
+    }
+    # depth: children of the seed dir are depth 1, grandchildren 2...
+    assert got[str(root / "top.txt")]["depth"] == 1
+    assert got[str(root / "a" / "one.txt")]["depth"] == 2
+    assert got[str(root / "a" / "deep" / "three.txt")]["depth"] == 3
+    # file metadata (FsDocMetadata FILE_SIZE / LAST_MODIFIED)
+    assert got[str(root / "top.txt")]["size"] == len("top file")
+    assert got[str(root / "top.txt")]["last_modified"] > 0
+    # refs carry the file:// scheme
+    assert all(d["ref"] == "file://" + d["path"] for d in got.values())
+
+
+def test_fs_crawl_seed_file_max_depth_filters(spark, tmp_path):
+    root = _tree(tmp_path)
+    # a seed FILE is a depth-0 document
+    seed_file = fs_crawl(spark, [str(root / "top.txt")]).collect()
+    assert len(seed_file) == 1 and seed_file[0]["depth"] == 0
+    # max_depth stops descent
+    shallow = fs_crawl(
+        spark, [str(root)], FsCrawlConfig(max_depth=1)
+    ).collect()
+    assert {r["path"] for r in shallow} == {str(root / "top.txt")}
+    # exclude filter
+    no_logs = fs_crawl(
+        spark, [str(root)], FsCrawlConfig(exclude_patterns=(r"\.log$",))
+    ).collect()
+    assert all(not r["path"].endswith(".log") for r in no_logs)
+    assert len(no_logs) == 3
+    # include filter group: at least one must match
+    only_txt = fs_crawl(
+        spark, [str(root)], FsCrawlConfig(include_patterns=(r"\.txt$",))
+    ).collect()
+    assert {os.path.basename(r["path"]) for r in only_txt} == {
+        "top.txt", "one.txt", "three.txt",
+    }
+
+
+def test_fs_delta_new_modified_unmodified_deleted(spark, tmp_path):
+    root = _tree(tmp_path)
+    first = fs_crawl(spark, [str(root)])
+    baseline = first.withColumn(
+        "checksum", fs_metadata_checksum_col()
+    ).select("ref", "checksum").toPandas()
+    # mutate: modify one, delete one, add one
+    (root / "a" / "one.txt").write_text("one but longer now")
+    os.unlink(root / "a" / "two.log")
+    (root / "new.txt").write_text("fresh")
+    second = fs_crawl(spark, [str(root)])
+    delta = fs_delta(
+        second, spark.createDataFrame(baseline)
+    )
+    got = {r["ref"]: r["outcome"] for r in delta.collect()}
+    assert got["file://" + str(root / "new.txt")] == "NEW"
+    assert got["file://" + str(root / "a" / "one.txt")] == "MODIFIED"
+    assert got["file://" + str(root / "top.txt")] == "UNMODIFIED"
+    assert got["file://" + str(root / "a" / "two.log")] == "DELETED"
+    # no-baseline run: everything NEW
+    fresh = fs_delta(second, None)
+    assert {r["outcome"] for r in fresh.collect()} == {"NEW"}
+
+
+def test_fs_read_documents_and_truncation(spark, tmp_path):
+    root = _tree(tmp_path)
+    files = fs_crawl(spark, [str(root)])
+    docs = {
+        r["path"]: bytes(r["bytes"])
+        for r in fs_read_documents(files).collect()
+    }
+    assert docs[str(root / "a" / "deep" / "three.txt")] == b"three!"
+    capped = {
+        r["path"]: bytes(r["bytes"])
+        for r in fs_read_documents(files, max_bytes=3).collect()
+    }
+    assert capped[str(root / "top.txt")] == b"top"
