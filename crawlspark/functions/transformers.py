@@ -758,3 +758,72 @@ def save_documents(df, out_dir: str, ref_col: str = "ref",
                 f.write(bytes(body) if body is not None else b"")
 
     df.select(ref_col, bytes_col).foreachPartition(write)
+
+
+def fake_translate_udf():
+    """Deterministic stand-in translator for CI — a clearly-marked
+    FAKE (no translation service exists in this container): the
+    output is the source text tagged ``[src->tgt]``. A real client
+    (any service) slots into ``split_translate`` as a pandas UDF of
+    the same (text, src, tgt) -> text shape."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StringType())
+    def udf(text: pd.Series, src: pd.Series, tgt: pd.Series) -> pd.Series:
+        return "[" + src + "->" + tgt + "] " + text.fillna("")
+
+    return udf
+
+
+def split_translate(
+    df,
+    target_langs: tuple[str, ...],
+    source_lang: str | None = None,
+    source_lang_col: str | None = None,
+    translate_udf=None,
+    ref_col: str = "ref",
+    text_col: str = "content",
+):
+    """TranslatorSplitter analog (importer/.../splitter/impl/
+    TranslatorSplitter.java:150-398): one child document per target
+    language — child ref ``parent!translation-<lang>`` (:382-383),
+    ``embedded_reference = translation-<lang>``, ``language`` set to
+    the target and ``translated_from`` to the source (:388-393).
+    The source language comes from ``source_lang_col`` when given,
+    else the fixed ``source_lang`` (sourceLanguageField /
+    sourceLanguage config precedence); missing both raises, like the
+    reference's validation (:466).
+
+    Spark shape: explode the target-language array (docs x langs
+    rows, no shuffle), then ONE vectorized translate UDF call per
+    row — the reference translates serially per doc per language;
+    here every (doc, lang) pair is an independent task row. The
+    translator is injectable; CI uses the deterministic fake.
+    """
+    if source_lang_col is None and source_lang is None:
+        raise ValueError(
+            "split_translate: no source language (set source_lang or "
+            "source_lang_col)"
+        )
+    if not target_langs:
+        raise ValueError("split_translate: no target languages")
+    tr = translate_udf or fake_translate_udf()
+    src = (
+        F.col(source_lang_col)
+        if source_lang_col is not None
+        else F.lit(source_lang)
+    )
+    out = df.withColumn("translated_from", src).withColumn(
+        "language",
+        F.explode(F.array(*[F.lit(l) for l in target_langs])),
+    )
+    embed = F.concat(F.lit("translation-"), F.col("language"))
+    return out.select(
+        F.concat(F.col(ref_col), F.lit("!"), embed).alias(ref_col),
+        embed.alias("embedded_reference"),
+        "language",
+        "translated_from",
+        tr(F.col(text_col), F.col("translated_from"),
+           F.col("language")).alias(text_col),
+    )

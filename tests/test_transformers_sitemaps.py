@@ -431,3 +431,57 @@ def test_remaining_named_transformers(spark, tmp_path):
     assert names == ["d1", "d2"]
     with open(tmp_path / "dump" / "d2", "rb") as f:
         assert f.read() == "caf\xe9 latin".encode("latin-1")
+
+
+def test_split_translate_contract(spark):
+    """TranslatorSplitter.java:382-393 child contract: ref suffix,
+    embedded_reference, language/translated_from metadata; source
+    from field beats fixed config; validation errors."""
+    import pytest
+
+    from crawlspark.functions.transformers import split_translate
+
+    docs = spark.createDataFrame(
+        [("doc:1", "hello", "en"), ("doc:2", "hallo", "de")],
+        "ref string, content string, lang string",
+    )
+    out = split_translate(
+        docs, ("fr", "es"), source_lang_col="lang"
+    ).collect()
+    got = {r["ref"]: r for r in out}
+    assert set(got) == {
+        "doc:1!translation-fr", "doc:1!translation-es",
+        "doc:2!translation-fr", "doc:2!translation-es",
+    }
+    r = got["doc:1!translation-fr"]
+    assert r["embedded_reference"] == "translation-fr"
+    assert r["language"] == "fr"
+    assert r["translated_from"] == "en"
+    assert r["content"] == "[en->fr] hello"  # deterministic CI fake
+    assert got["doc:2!translation-es"]["content"] == "[de->es] hallo"
+
+    # fixed source language when no field
+    fixed = split_translate(
+        docs.drop("lang"), ("fr",), source_lang="en"
+    ).collect()
+    assert all(r["translated_from"] == "en" for r in fixed)
+
+    # custom translator slots in (same (text, src, tgt) shape)
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StringType())
+    def upper_tr(text: pd.Series, src: pd.Series,
+                 tgt: pd.Series) -> pd.Series:
+        return text.str.upper()
+
+    custom = split_translate(
+        docs, ("fr",), source_lang_col="lang", translate_udf=upper_tr
+    ).collect()
+    assert {r["content"] for r in custom} == {"HELLO", "HALLO"}
+
+    with pytest.raises(ValueError, match="no source language"):
+        split_translate(docs, ("fr",))
+    with pytest.raises(ValueError, match="no target languages"):
+        split_translate(docs, (), source_lang="en")
