@@ -244,6 +244,27 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--max-embedded-depth", type=int, default=-1)
     p.add_argument("--cores", default=None)
+    p = sub.add_parser(
+        "fscrawl",
+        help="filesystem crawler (crawler-fs analog): BFS the roots, "
+        "write the file ledger (+NEW/MODIFIED/UNMODIFIED/DELETED "
+        "delta vs a previous ledger) to parquet",
+    )
+    p.add_argument("--root", action="append", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument(
+        "--baseline", help="previous fscrawl --out (incremental delta)"
+    )
+    p.add_argument("--max-depth", type=int, default=-1)
+    p.add_argument("--include", action="append")
+    p.add_argument("--exclude", action="append")
+    p.add_argument(
+        "--read-bytes",
+        action="store_true",
+        help="also load file content into a bytes column",
+    )
+    p.add_argument("--max-bytes", type=int, default=-1)
+    p.add_argument("--cores", default=None)
     for name in ("crawl", "resume", "export", "configcheck"):
         p = sub.add_parser(name)
         p.add_argument("--workdir", required=True)
@@ -325,6 +346,50 @@ def main(argv: list[str] | None = None) -> int:
         out_df.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
         print(f"imported {n} documents from {args.src_dir} to {args.out}")
+        return 0
+    if args.cmd == "fscrawl":
+        from pyspark.sql import functions as F
+
+        from .sources.fsfetch import (
+            FsCrawlConfig,
+            fs_crawl,
+            fs_delta,
+            fs_read_documents,
+        )
+
+        files = fs_crawl(
+            spark,
+            args.root,
+            FsCrawlConfig(
+                max_depth=args.max_depth,
+                include_patterns=tuple(args.include or ()),
+                exclude_patterns=tuple(args.exclude or ()),
+            ),
+        )
+        baseline = (
+            spark.read.parquet(args.baseline).select("ref", "checksum")
+            if args.baseline
+            else None
+        )
+        out_df = fs_delta(files, baseline)
+        if args.read_bytes:
+            live = out_df.filter(F.col("outcome") != "DELETED")
+            out_df = fs_read_documents(
+                live, max_bytes=args.max_bytes
+            ).unionByName(
+                out_df.filter(F.col("outcome") == "DELETED").withColumn(
+                    "bytes", F.lit(None).cast("binary")
+                )
+            )
+        out_df.write.mode("overwrite").parquet(args.out)
+        counts = {
+            r["outcome"]: r["n"]
+            for r in spark.read.parquet(args.out)
+            .groupBy("outcome")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        print(f"fscrawl done: {counts} -> {args.out}")
         return 0
     if args.cmd == "crawl":
         eng = _engine(spark, args, resume=False)

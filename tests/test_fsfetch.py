@@ -113,3 +113,36 @@ def test_fs_read_documents_and_truncation(spark, tmp_path):
         for r in fs_read_documents(files, max_bytes=3).collect()
     }
     assert capped[str(root / "top.txt")] == b"top"
+
+
+def test_fscrawl_cli_roundtrip(spark, tmp_path):
+    """CLI surface: first run all-NEW, second run vs --baseline sees
+    the modification and the delete; --read-bytes loads content."""
+    from crawlspark.cli import main
+
+    (tmp_path / "data").mkdir()
+    root = _tree(tmp_path / "data")
+    out1 = str(tmp_path / "ledger1")
+    assert main([
+        "fscrawl", "--root", str(root), "--out", out1, "--cores", "2",
+    ]) == 0
+    first = spark.read.parquet(out1)
+    assert {r["outcome"] for r in first.collect()} == {"NEW"}
+    (root / "top.txt").write_text("top file changed")
+    os.unlink(root / "a" / "two.log")
+    out2 = str(tmp_path / "ledger2")
+    assert main([
+        "fscrawl", "--root", str(root), "--out", out2,
+        "--baseline", out1, "--read-bytes", "--cores", "2",
+    ]) == 0
+    got = {
+        r["ref"]: r for r in spark.read.parquet(out2).collect()
+    }
+    assert got["file://" + str(root / "top.txt")]["outcome"] == "MODIFIED"
+    assert bytes(
+        got["file://" + str(root / "top.txt")]["bytes"]
+    ) == b"top file changed"
+    assert got["file://" + str(root / "a" / "two.log")]["outcome"] == (
+        "DELETED"
+    )
+    assert got["file://" + str(root / "a" / "two.log")]["bytes"] is None
