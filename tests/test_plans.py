@@ -268,3 +268,24 @@ def test_pagerank_iterations_are_joins_not_collects(spark):
     plan = _plan(E.queries()["q_pagerank"](spark, SF))
     assert "Join" in plan or "BroadcastHashJoin" in plan
     assert "HashAggregate" in plan
+
+
+def test_decontaminate_is_jvm_side_equi_join(spark):
+    """No Python in the gram pipeline; overlap is an equi-join on the
+    64-bit gram key (never a cartesian), zeros restored by one outer
+    join."""
+    plan = _plan(E.q_decontaminate(spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert "xxhash64" in plan
+    assert "LeftOuter" in plan
+
+
+def test_source_mix_single_scan_partial_agg(spark):
+    """One parquet scan; the groupBy shows a partial_count (map-side
+    combine) so the shuffle carries |sources| rows per partition, not
+    docs."""
+    plan = _plan(E.q_source_mix(spark, SF))
+    assert plan.count("Scan parquet") <= 2  # tree + details sections
+    assert "partial_count" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -244,3 +244,33 @@ def test_crawl_parity_with_custom_normalizations(spark, tmp_path):
     ).run(seeds)
     assert log["url"].tolist() == [r["url"] for r in sim.fetch_log]
     assert len(log) > 10
+
+
+# --- property: configured defaults == fused hot path -------------------------
+
+
+def test_default_pipeline_equivalence_property():
+    """Property sweep: make_normalizer(DEFAULT_NORMALIZATIONS) and the
+    fused normalize_url agree on arbitrary URL-shaped strings (the
+    fast path's correctness depends on this equivalence)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    host = st.from_regex(r"[A-Za-z0-9.\-]{1,12}", fullmatch=True)
+    path = st.from_regex(
+        r"[A-Za-z0-9%~._\-/ #?&=+;:@!$'()*,]{0,30}", fullmatch=True
+    )
+    scheme = st.sampled_from(["http", "HTTP", "https", "ftp", "Ftp"])
+    port = st.sampled_from(["", ":80", ":443", ":21", ":8080", ":0"])
+
+    n = make_normalizer(DEFAULT_NORMALIZATIONS)
+
+    @settings(max_examples=300, deadline=None)
+    @given(scheme=scheme, host=host, port=port, path=path)
+    def check(scheme, host, port, path):
+        u = f"{scheme}://{host}{port}/{path}"
+        got = engine_normalizer(DEFAULT_NORMALIZATIONS)(u)
+        want = normalize_url(u)
+        assert got == want, (u, got, want)
+
+    check()
