@@ -298,6 +298,57 @@ def q_main_text(spark, sf_dir):
     ).withColumn("n_kept_chars", F.length("main_text").cast("long"))
 
 
+def q_image_quality(spark, sf_dir):
+    # Derived image fixture with EXACT expected stats (the
+    # q_image_payload pattern): even doc_ids get a solid gray image
+    # (luma == c, std/entropy 0 — the low-information case), odd ones
+    # an 8x8 two-value checkerboard (mean c+40, std 40, entropy
+    # exactly 1 bit) — every stat is an exact double both engines
+    # agree on, so the full quality table is value-hashed.
+    import numpy as np
+    import pandas as pd
+
+    from crawlspark.functions.images import (
+        image_quality_udf,
+        low_information_col,
+    )
+    from crawlspark.sources.docgen import encode_image
+
+    @F.pandas_udf("binary")
+    def make_img(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for i in doc_id:
+            i = int(i)
+            if i % 2 == 0:
+                c = i % 200 + 10
+                px = np.full((8, 8, 3), c, dtype=np.uint8)
+            else:
+                c = i % 150 + 20
+                yy, xx = np.mgrid[0:8, 0:8]
+                v = np.where((yy + xx) % 2 == 0, c, c + 80).astype(
+                    np.uint8
+                )
+                px = np.repeat(v[:, :, None], 3, axis=2)
+            out.append(encode_image(px, "png"))
+        return pd.Series(out)
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", make_img(F.col("doc_id")).alias("bytes")
+    )
+    stats = d.select(
+        "doc_id", image_quality_udf()(F.col("bytes")).alias("s")
+    )
+    return stats.select(
+        "doc_id",
+        F.col("s.mean_luma").alias("mean_luma"),
+        F.col("s.std_luma").alias("std_luma"),
+        F.col("s.entropy_bits").alias("entropy_bits"),
+        F.col("s.dark_frac").alias("dark_frac"),
+        F.col("s.bright_frac").alias("bright_frac"),
+        low_information_col(F.col("s")).alias("low_info"),
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     # benchmark = the deterministic doc_id % 97 == 0 slice of the
     # corpus (derived-fixture pattern); corpus = everything else.
@@ -1096,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_repetition_stats": q_repetition_stats,
         "q_main_text": q_main_text,
+        "q_image_quality": q_image_quality,
         "q_decontaminate": q_decontaminate,
         "q_source_mix": q_source_mix,
         "q_pii_scrub": q_pii_scrub,
@@ -1674,6 +1726,23 @@ WITH d AS (
          trim(regexp_replace(text, '\\s+', ' ', 'g')) AS main_text
   FROM documents)
 SELECT doc_id, main_text, length(main_text)::BIGINT AS n_kept_chars
+FROM d
+""",
+        "q_image_quality": """
+WITH d AS (
+  SELECT doc_id,
+         doc_id % 2 = 0 AS solid,
+         CASE WHEN doc_id % 2 = 0 THEN doc_id % 200 + 10
+              ELSE doc_id % 150 + 20 END AS c
+  FROM documents)
+SELECT doc_id,
+       (CASE WHEN solid THEN c ELSE c + 40 END)::DOUBLE AS mean_luma,
+       (CASE WHEN solid THEN 0 ELSE 40 END)::DOUBLE AS std_luma,
+       (CASE WHEN solid THEN 0 ELSE 1 END)::DOUBLE AS entropy_bits,
+       (CASE WHEN solid AND c < 16 THEN 1 ELSE 0 END)::DOUBLE AS dark_frac,
+       (CASE WHEN NOT solid AND c + 80 > 239 THEN 0.5 ELSE 0 END)::DOUBLE
+           AS bright_frac,
+       solid AS low_info
 FROM d
 """,
         "q_decontaminate": f"""

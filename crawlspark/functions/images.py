@@ -182,3 +182,85 @@ def pick_featured(
         ).otherwise(acc),
     )
     return F.when(F.size(ok) > 0, best)
+
+
+# ---------------------------------------------------------------------------
+# image quality stats (training-data filters for image+caption corpora)
+# ---------------------------------------------------------------------------
+# The LAION-class payload filters an image-caption pipeline runs before
+# training: luma statistics, histogram entropy, dark/blown-out pixel
+# fractions, and the low-information verdict (solid-color thumbnails,
+# tracking pixels, black frames). Integer luma (BT.601 scaled by 1000,
+# floor division) keeps the per-pixel math exact and engine-agnostic;
+# the aggregate stats are exact doubles for the fixture shapes the
+# oracle hashes (solid / two-value images).
+
+IMAGE_QUALITY_TYPE = T.StructType(
+    [
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("std_luma", T.DoubleType()),
+        T.StructField("entropy_bits", T.DoubleType()),
+        T.StructField("dark_frac", T.DoubleType()),
+        T.StructField("bright_frac", T.DoubleType()),
+    ]
+)
+
+
+def luma_plane(px: np.ndarray) -> np.ndarray:
+    """Integer BT.601 luma: (299 R + 587 G + 114 B) // 1000."""
+    p = px.astype(np.int64)
+    return (
+        299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]
+    ) // 1000
+
+
+def quality_stats(px: np.ndarray) -> tuple[float, float, float, float, float]:
+    y = luma_plane(px).ravel()
+    n = y.size
+    mean = float(y.mean())
+    std = float(np.sqrt(((y - y.mean()) ** 2).mean()))
+    counts = np.bincount(y.astype(np.int64), minlength=256)
+    p = counts[counts > 0] / n
+    # max() canonicalizes the single-bin case's -0.0 to 0.0 (the
+    # value-hash oracle distinguishes signed zeros)
+    entropy = float(max(0.0, -(p * np.log2(p)).sum()))
+    dark = float((y < 16).sum() / n)
+    bright = float((y > 239).sum() / n)
+    return mean, std, entropy, dark, bright
+
+
+def image_quality_udf():
+    """Arrow-vectorized quality stats over the bytes column."""
+
+    @F.pandas_udf(IMAGE_QUALITY_TYPE)
+    def udf(buf: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in buf:
+            if b is None:
+                rows.append((None,) * 5)
+                continue
+            rows.append(quality_stats(decode_image(bytes(b))))
+        return pd.DataFrame(
+            rows,
+            columns=[f.name for f in IMAGE_QUALITY_TYPE.fields],
+        )
+
+    return udf
+
+
+def low_information_col(
+    stats: Column,
+    min_std: float = 2.0,
+    min_entropy: float = 1.0,
+    max_dark: float = 0.95,
+    max_bright: float = 0.95,
+) -> Column:
+    """The keep/drop verdict over an IMAGE_QUALITY_TYPE struct: flat
+    (std below min), near-constant histogram (entropy below min), or
+    dominated by dark/blown pixels."""
+    return (
+        (stats["std_luma"] < min_std)
+        | (stats["entropy_bits"] < min_entropy)
+        | (stats["dark_frac"] > max_dark)
+        | (stats["bright_frac"] > max_bright)
+    )

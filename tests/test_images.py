@@ -128,3 +128,55 @@ def test_phash_neardup_pairs_spark(spark):
     # no cross-image pair sneaks in under the distance bound
     for (a, b) in got:
         assert b == a + 1 and a % 2 == 0, got
+
+
+def test_image_quality_stats_real_payloads(spark):
+    """Quality stats over REAL crawled-payload images: sane ranges,
+    noisy payload textures never flag low-information, while solid
+    and black frames do (the LAION-class payload filter)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from crawlspark.functions.images import (
+        image_quality_udf,
+        low_information_col,
+        luma_plane,
+        quality_stats,
+    )
+    from crawlspark.sources.docgen import encode_image, make_document
+
+    rows = []
+    for i in range(8):
+        d = make_document(f"http://h/p{i}", 16, 16)
+        rows.append((f"p{i}", bytearray(d["bytes"])))
+    rows.append(
+        ("solid", bytearray(encode_image(
+            np.full((16, 16, 3), 120, np.uint8), "png")))
+    )
+    rows.append(
+        ("black", bytearray(encode_image(
+            np.zeros((16, 16, 3), np.uint8), "png")))
+    )
+    df = spark.createDataFrame(rows, "id string, bytes binary").select(
+        "id", image_quality_udf()(F.col("bytes")).alias("s")
+    ).select("id", "s", low_information_col(F.col("s")).alias("low"))
+    got = {r["id"]: r for r in df.collect()}
+    for i in range(8):
+        r = got[f"p{i}"]
+        assert 0 <= r["s"]["mean_luma"] <= 255
+        assert r["s"]["entropy_bits"] > 1.0  # noisy texture
+        assert not r["low"]
+    assert got["solid"]["low"] and got["solid"]["s"]["std_luma"] == 0.0
+    assert got["black"]["low"] and got["black"]["s"]["dark_frac"] == 1.0
+
+    # kernel-level: BT.601 integer luma
+    px = np.zeros((1, 2, 3), np.uint8)
+    px[0, 0] = (255, 0, 0)
+    px[0, 1] = (0, 255, 0)
+    y = luma_plane(px)
+    assert y[0, 0] == (299 * 255) // 1000
+    assert y[0, 1] == (587 * 255) // 1000
+    mean, std, ent, dark, bright = quality_stats(
+        np.full((4, 4, 3), 200, np.uint8)
+    )
+    assert (mean, std, ent, dark, bright) == (200.0, 0.0, 0.0, 0.0, 0.0)
