@@ -457,6 +457,7 @@ def neo4j_committer(ops: DataFrame, cfg: Neo4jCommitterConfig) -> None:
     def send(rows) -> None:
         session = None
         pending = 0
+        ok = False
         try:
             for row in rows:
                 if session is None:
@@ -473,9 +474,13 @@ def neo4j_committer(ops: DataFrame, cfg: Neo4jCommitterConfig) -> None:
                     session.commit()
                     session.begin()
                     pending = 0
+            ok = True
         finally:
             if session is not None:
-                if pending:
+                # commit the tail only on a clean pass — after a
+                # failure the tx is dead server-side and a COMMIT
+                # would answer IGNORED, masking the original error
+                if ok and pending:
                     session.commit()
                 session.close()
 

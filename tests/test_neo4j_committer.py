@@ -241,3 +241,26 @@ def test_to_object_map_reference_semantics():
     assert "seq" not in params and "op" not in params
     assert "skipme" not in params  # null metadata not bound
     assert params["doc"]["id"] == "doc-1" and "doc" not in params["doc"]
+
+
+def test_neo4j_midbatch_failure_not_masked(spark, bolt_server):
+    """A FAILURE after some ops already sit in the open transaction
+    must surface the server's error, not a follow-on IGNORED from a
+    doomed tail COMMIT."""
+    uri, state = bolt_server
+    state["fail_next"] = 1
+    ops = spark.createDataFrame(
+        [(1, "a", "upsert", "x"), (2, "b", "upsert", "y"),
+         (3, "c", "upsert", "z")],
+        "seq long, image_id string, op string, caption string",
+    ).coalesce(1)
+    # batch_size 10 -> nothing commits before the injected failure;
+    # the first RUN fails, ops after it raise inside the same task
+    with pytest.raises(Exception, match="Neo.ClientError"):
+        neo4j_committer(
+            ops,
+            Neo4jCommitterConfig(
+                uri=uri, batch_size=10, num_spark_partitions=1
+            ),
+        )
+    assert state["nodes"] == {}  # nothing half-committed
