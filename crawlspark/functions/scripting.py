@@ -117,6 +117,9 @@ def script_condition(docs: DataFrame, script: str,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if not len(pdf):
+                yield pdf
+                continue
             metas = (
                 pdf["meta"].tolist()
                 if "meta" in pdf.columns
