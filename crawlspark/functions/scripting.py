@@ -45,14 +45,21 @@ def compile_script(script: str) -> Callable[[str, str, dict], object]:
     function body (use ``return``). Compile errors raise here —
     config time — not on the executors.
     """
+    import builtins as _builtins
+
     script = textwrap.dedent(script)
+    # NOTE: the closures below must reference the builtins MODULE (a
+    # by-reference pickle), never ``__builtins__`` — in an imported
+    # module that name can be the raw builtins dict, which cloudpickle
+    # would then serialize by value (and fail on any unpicklable entry
+    # another library planted there).
     try:
         code = compile(script, "<script>", "eval")
 
         def run_expr(reference, content, metadata):
             return eval(  # noqa: S307 — operator-authored config
                 code,
-                {"__builtins__": __builtins__},
+                {"__builtins__": _builtins},
                 {
                     "reference": reference,
                     "content": content,
@@ -67,7 +74,7 @@ def compile_script(script: str) -> Callable[[str, str, dict], object]:
         "def __script__(reference, content, metadata):\n"
         + textwrap.indent(script, "    ")
     )
-    ns: dict = {}
+    ns: dict = {"__builtins__": _builtins}
     exec(compile(wrapped, "<script>", "exec"), ns)  # noqa: S102
     return ns["__script__"]
 
