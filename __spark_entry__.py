@@ -298,6 +298,12 @@ def q_main_text(spark, sf_dir):
     ).withColumn("n_kept_chars", F.length("main_text").cast("long"))
 
 
+def q_span_scrub(spark, sf_dir):
+    return X.scrub_duplicated_spans(
+        _t(spark, sf_dir, "documents"), k=5, max_occurrences=1
+    )
+
+
 def q_image_quality(spark, sf_dir):
     # Derived image fixture with EXACT expected stats (the
     # q_image_payload pattern): even doc_ids get a solid gray image
@@ -1147,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_repetition_stats": q_repetition_stats,
         "q_main_text": q_main_text,
+        "q_span_scrub": q_span_scrub,
         "q_image_quality": q_image_quality,
         "q_decontaminate": q_decontaminate,
         "q_source_mix": q_source_mix,
@@ -1727,6 +1734,32 @@ WITH d AS (
   FROM documents)
 SELECT doc_id, main_text, length(main_text)::BIGINT AS n_kept_chars
 FROM d
+""",
+        "q_span_scrub": f"""
+WITH d AS (SELECT doc_id, {_WORDS.format(t="text")} AS w FROM documents),
+tiles AS (
+  SELECT doc_id, i AS idx,
+         list_aggregate(w[(i*5)+1:(i*5)+5], 'string_agg', ' ') AS tile
+  FROM d, unnest(range(0, len(w) // 5)) AS t(i)),
+freq AS (SELECT tile, count(*) AS c FROM tiles GROUP BY tile),
+kept AS (
+  SELECT t.doc_id,
+         string_agg(t.tile, ' ' ORDER BY t.idx) AS kept_text,
+         count(*) AS n_kept
+  FROM tiles t JOIN freq USING (tile)
+  WHERE c <= 1
+  GROUP BY t.doc_id),
+base AS (
+  SELECT doc_id, len(w) // 5 AS n_tiles,
+         array_to_string(w[(len(w) // 5) * 5 + 1:], ' ') AS tail
+  FROM d)
+SELECT b.doc_id,
+       trim(concat_ws(' ',
+            nullif(coalesce(k.kept_text, ''), ''),
+            nullif(b.tail, ''))) AS clean_text,
+       b.n_tiles::BIGINT AS n_tiles,
+       (b.n_tiles - coalesce(k.n_kept, 0))::BIGINT AS n_removed
+FROM base b LEFT JOIN kept k ON b.doc_id = k.doc_id
 """,
         "q_image_quality": """
 WITH d AS (

@@ -932,3 +932,83 @@ def source_mix(docs: DataFrame) -> DataFrame:
         "n_unique_docs",
         F.expr("__num div __den").cast("long").alias("weight_ppm"),
     )
+
+
+def scrub_duplicated_spans(
+    docs: DataFrame, k: int = 5, max_occurrences: int = 1
+) -> DataFrame:
+    """Corpus-level boilerplate scrub (the C4 rule: remove spans that
+    repeat ACROSS documents — cookie banners, footers, templates):
+    each document tiles into non-overlapping ``k``-word spans; any
+    span occurring more than ``max_occurrences`` times in the whole
+    corpus is removed from every document; the survivors reassemble
+    in order, with the (< k-word) tail fragment always kept.
+
+    Output: (doc_id, clean_text, n_tiles, n_removed).
+
+    Scale shape: explode(tiles) -> count by xxhash64(span) (map-side
+    combine collapses each partition to its distinct spans; the span
+    strings themselves never shuffle — only 64-bit keys) -> rejoin ->
+    groupBy(doc_id) ordered reassembly. Two keyed shuffles total; no
+    all-pairs anything. A 64-bit collision can over-remove one span —
+    the same accepted budget as every hashed-dedup pass here.
+    """
+    w = words_col(F.col("text"))
+    n = F.size(w)
+    ntiles = F.floor(n / k).cast("int")
+    tile_struct = "array<struct<idx:int,tile:string>>"
+    tiles_arr = F.when(
+        ntiles > 0,
+        F.transform(
+            F.sequence(F.lit(0), ntiles - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("idx"),
+                F.array_join(
+                    F.slice(w, i * k + 1, k), " "
+                ).alias("tile"),
+            ),
+        ),
+    ).otherwise(F.array().cast(tile_struct))
+    tail = F.array_join(F.slice(w, ntiles * k + 1, n - ntiles * k), " ")
+    base = docs.select(
+        "doc_id", tiles_arr.alias("tiles"), tail.alias("tail")
+    )
+    exploded = base.select(
+        "doc_id", F.explode("tiles").alias("t")
+    ).select(
+        "doc_id",
+        F.col("t.idx").alias("idx"),
+        F.col("t.tile").alias("tile"),
+        F.xxhash64(F.col("t.tile")).alias("gk"),
+    )
+    freq = exploded.groupBy("gk").agg(F.count("*").alias("__c"))
+    kept = exploded.join(freq, "gk").filter(
+        F.col("__c") <= max_occurrences
+    )
+    reassembled = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("idx", "tile"))
+                ),
+                lambda s: s["tile"],
+            ),
+            " ",
+        ).alias("__kept_text"),
+        F.count("*").alias("__n_kept"),
+    )
+    return (
+        base.join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.nullif(F.coalesce("__kept_text", F.lit("")), F.lit("")),
+                F.nullif(F.col("tail"), F.lit("")),
+            ).alias("clean_text"),
+            F.size("tiles").cast("long").alias("n_tiles"),
+            (
+                F.size("tiles") - F.coalesce(F.col("__n_kept"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+        )
+    )

@@ -388,3 +388,39 @@ def test_source_mix_integer_weights(spark):
     assert (
         got["a"]["weight_ppm"] + got["b"]["weight_ppm"] <= 1_000_000
     )
+
+
+def test_scrub_duplicated_spans_known_values(spark):
+    from crawlspark.operators.textops import scrub_duplicated_spans
+
+    boiler = "accept all cookies to continue"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} unique alpha text one extra"),
+            (2, f"{boiler} different beta words here"),
+            (3, f"{boiler} third gamma body now"),
+            (4, "completely original document four tail"),
+            (5, "tiny"),  # < k words: tail only, kept verbatim
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in scrub_duplicated_spans(
+            docs, k=5, max_occurrences=1
+        ).collect()
+    }
+    # the shared 5-word banner occurs 3x -> removed everywhere;
+    # each doc keeps its unique second tile + tail word
+    assert got[1]["clean_text"] == "unique alpha text one extra"
+    assert got[2]["clean_text"] == "different beta words here"
+    assert got[3]["clean_text"] == "third gamma body now"
+    assert got[1]["n_tiles"] == 2 and got[1]["n_removed"] == 1
+    # doc 2/3: 1 full tile (banner) + 4-word tail -> tile removed
+    assert got[2]["n_tiles"] == 1 and got[2]["n_removed"] == 1
+    assert got[4]["clean_text"] == (
+        "completely original document four tail"
+    )
+    assert got[4]["n_removed"] == 0
+    assert got[5]["clean_text"] == "tiny"
+    assert got[5]["n_tiles"] == 0 and got[5]["n_removed"] == 0
