@@ -155,6 +155,10 @@ LEDGER_SCHEMA = T.StructType(
         T.StructField("sched_ms", T.LongType()),
         T.StructField("status", T.StringType()),
         T.StructField("outcome", T.StringType()),
+        # raw HTTP response code for PROCESSED fetches (null for
+        # QUEUED/PREMATURE rows) — the reference keeps it on its doc
+        # context and reports it via UrlStatusCrawlerEventListener
+        T.StructField("http_status", T.IntegerType()),
         T.StructField("checksum", T.StringType()),
         T.StructField("meta_ck", T.StringType()),
         # True iff this row registered its meta_ck with the dedup
@@ -653,6 +657,11 @@ class CrawlEngine:
         ``pages``-table join (MockWebsite analog), each followed by the
         parse transformer (html crosses once, then is dropped).
         """
+        # a QUEUED ledger row carries a null http_status placeholder;
+        # the fetch slot produces the real one — drop the placeholder
+        # so the response column is unambiguous
+        if "http_status" in sched.columns:
+            sched = sched.drop("http_status")
         norm_fn = None
         if self.cfg.url_normalizations is not None:
             from ..functions.urlnorm import engine_normalizer
@@ -1011,6 +1020,7 @@ class CrawlEngine:
             F.lit(None).cast("long").alias("sched_ms"),
             "status",
             "outcome",
+            F.lit(None).cast("int").alias("http_status"),
             F.lit(None).cast("string").alias("checksum"),
             F.lit(None).cast("string").alias("meta_ck"),
             F.lit(False).alias("meta_tracked"),
@@ -1915,6 +1925,7 @@ class CrawlEngine:
             "sched_ms",
             F.lit("PROCESSED").alias("status"),
             "outcome",
+            F.col("http_status").cast("int").alias("http_status"),
             "checksum",
             "meta_ck",
             "meta_tracked",
@@ -2488,6 +2499,79 @@ class CrawlEngine:
             )
             .orderBy("seq")
         )
+
+    def url_status_report(
+        self,
+        status_codes: str | None = None,
+        out_dir: str | None = None,
+        file_name_prefix: str = "urlstatuses-",
+    ) -> DataFrame:
+        """UrlStatusCrawlerEventListener analog (web/.../event/
+        listeners/UrlStatusCrawlerEventListener.java:30-160): every
+        fetched URL with its raw HTTP response code and its referrer
+        (the parent row's url via parent_seq — the reference takes
+        getReferrerReference()), optionally filtered to the
+        comma-separated code list with inclusive ``lo-hi`` ranges
+        (e.g. ``"100-199,201-599"`` = everything but 200). Returns
+        the report DataFrame ordered by fetch seq; when ``out_dir``
+        is set also writes ``<prefix><last-part>`` CSV part files
+        there (distributed write — no driver collect)."""
+        rows = (
+            self.levels.read()
+            .filter(
+                (F.col("status") == "PROCESSED")
+                & F.col("http_status").isNotNull()
+            )
+            .select("seq", "parent_seq", "url", "http_status")
+        )
+        if status_codes:
+            cond = None
+            for tok in str(status_codes).split(","):
+                tok = tok.strip()
+                if not tok:
+                    continue
+                if "-" in tok:
+                    lo, hi = (int(x) for x in tok.split("-", 1))
+                    c = F.col("http_status").between(lo, hi)
+                else:
+                    if not tok.isdigit():
+                        raise ValueError(
+                            "url_status_report: statusCodes must be "
+                            f"numbers or lo-hi ranges, got {tok!r}"
+                        )
+                    c = F.col("http_status") == int(tok)
+                cond = c if cond is None else (cond | c)
+            if cond is not None:
+                rows = rows.filter(cond)
+        # a seq appears on both its QUEUED and PROCESSED ledger rows
+        # with the same url — distinct() keeps the referrer join 1:1
+        parents = (
+            self.levels.read()
+            .select(
+                F.col("seq").alias("parent_seq"),
+                F.col("url").alias("referrer"),
+            )
+            .distinct()
+        )
+        report = (
+            rows.join(parents, "parent_seq", "left")
+            .select(
+                "seq",
+                F.coalesce("referrer", F.lit("")).alias("referrer"),
+                "url",
+                F.col("http_status").alias("status"),
+            )
+            .orderBy("seq")
+        )
+        if out_dir is not None:
+            report.drop("seq").write.mode("overwrite").option(
+                "header", True
+            ).csv(
+                os.path.join(
+                    out_dir, f"{file_name_prefix}{self._cur_part}"
+                )
+            )
+        return report
 
     def urlseen(self) -> DataFrame:
         """Final per-URL state: the latest-superstep row wins (a QUEUED
