@@ -1375,8 +1375,12 @@ class CrawlEngine:
             if self._frontier_mem is not None
             else self._frontier_df()
         )
+        # http_status is the QUEUED placeholder (always null here) —
+        # dropped so the fetch/head/premature branches re-derive the
+        # real response column without a name collision
         batch = frontier.drop(
-            "sched_ms", "checksum", "meta_ck", "meta_tracked"
+            "sched_ms", "checksum", "meta_ck", "meta_tracked",
+            "http_status",
         ).repartition(
             self._n_part(self.queued_remaining), F.col("host")
         )
