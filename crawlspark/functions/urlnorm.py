@@ -191,7 +191,11 @@ def encode_non_uri_characters(url: str) -> str:
     head, path, query, frag = p
     path = quote(path, safe=_SAFE_PATH)
     if query:
-        query = "?" + quote(query[1:], safe=_SAFE_QUERY)
+        q = quote(query[1:], safe=_SAFE_QUERY)
+        # a bare trailing "?" (empty query) drops — the RFC 3986
+        # component round-trip the fused default pipeline applies;
+        # property-checked equivalent in test_urlnorm
+        query = ("?" + q) if q else ""
     return head + path + query + frag
 
 
