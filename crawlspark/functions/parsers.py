@@ -61,6 +61,7 @@ _MAGIC = [
     (b"PK\x05\x06", "application/zip"),  # empty archive
     (b"\x1f\x8b", "application/gzip"),
     (b"WARC/", "application/warc"),
+    (b"{\\rtf", "application/rtf"),
 ]
 
 _HTML_RE = re.compile(
@@ -452,6 +453,114 @@ def _json_strings(node) -> list[str]:
     return []
 
 
+_RTF_CW = re.compile(r"\\([a-z]+)(-?\d+)? ?")
+# destination groups whose content is metadata/binary, never body text
+_RTF_DESTS = frozenset(
+    "fonttbl colortbl stylesheet info pict header footer footnote "
+    "generator themedata colorschememapping listtable "
+    "listoverridetable latentstyles datastore xmlnstbl operator "
+    "rsidtbl".split()
+)
+
+
+def _extract_rtf_text(data: bytes) -> str:
+    """RTF body text: group-aware control-word walk (the 1987 spec's
+    core grammar) — skips destination groups and ``{\\*...}``, maps
+    ``\\par``/``\\line`` to newlines and ``\\tab`` to tabs, decodes
+    ``\\'hh`` cp1252 escapes and ``\\uN`` unicode (with the ``\\ucN``
+    ASCII-fallback skip). Minimal by design — formatting words drop,
+    text survives."""
+    s = data.decode("latin-1", errors="replace")
+    out: list[str] = []
+    i, n = 0, len(s)
+    depth = 0
+    skip_depth: int | None = None  # group depth where skipping began
+    uc_stack = [1]
+    pending_skip = 0  # \uN fallback chars still to swallow
+    while i < n:
+        c = s[i]
+        if pending_skip and c not in "{}\\":
+            pending_skip -= 1
+            i += 1
+            continue
+        if c == "{":
+            depth += 1
+            uc_stack.append(uc_stack[-1])
+            i += 1
+            continue
+        if c == "}":
+            depth -= 1
+            if len(uc_stack) > 1:
+                uc_stack.pop()
+            if skip_depth is not None and depth < skip_depth:
+                skip_depth = None
+            i += 1
+            continue
+        if c == "\\":
+            m = _RTF_CW.match(s, i)
+            if m:
+                word, num = m.group(1), m.group(2)
+                i = m.end()
+                if word in _RTF_DESTS:
+                    if skip_depth is None:
+                        skip_depth = depth
+                elif skip_depth is not None:
+                    pass
+                elif word in ("par", "line", "sect", "page"):
+                    out.append("\n")
+                elif word == "tab":
+                    out.append("\t")
+                elif word == "uc":
+                    uc_stack[-1] = int(num or 1)
+                elif word == "u":
+                    cp = int(num or 0)
+                    if cp < 0:
+                        cp += 65536
+                    out.append(chr(cp))
+                    pending_skip = uc_stack[-1]
+                continue
+            nxt = s[i + 1] if i + 1 < n else ""
+            if nxt == "'":
+                hexpair = s[i + 2:i + 4]
+                i += 4
+                if pending_skip:
+                    pending_skip -= 1
+                elif skip_depth is None:
+                    try:
+                        out.append(
+                            bytes([int(hexpair, 16)]).decode(
+                                "cp1252", "replace"
+                            )
+                        )
+                    except ValueError:
+                        pass
+                continue
+            if nxt == "*":
+                if skip_depth is None:
+                    skip_depth = depth
+                i += 2
+                continue
+            if nxt in "\\{}":
+                if skip_depth is None and not pending_skip:
+                    out.append(nxt)
+                elif pending_skip:
+                    pending_skip -= 1
+                i += 2
+                continue
+            if nxt == "~":
+                if skip_depth is None:
+                    out.append(" ")
+                i += 2
+                continue
+            i += 2  # other control symbol: formatting, dropped
+            continue
+        if skip_depth is None and c not in "\r\n":
+            out.append(c)
+        i += 1
+    text = "".join(out)
+    return re.sub(r"[ \t]*\n[ \t]*", "\n", text).strip()
+
+
 def extract_text(data: bytes | None, content_type: str | None = None) -> str:
     """One document's bytes -> extracted text by detected type.
     Unknown/binary types yield '' — never a mojibake guess."""
@@ -468,6 +577,8 @@ def extract_text(data: bytes | None, content_type: str | None = None) -> str:
             return "\n".join(pdf_page_texts(b))
         except ValueError:
             return ""
+    if ctype == "application/rtf":
+        return _extract_rtf_text(b)
     if ctype == "application/json":
         try:
             doc = json.loads(b.decode(detect_charset(b)))

@@ -615,3 +615,47 @@ def test_main_text_udf(spark):
     rows = {r["id"]: r["main"] for r in df.collect()}
     assert "first real paragraph" in rows[1]
     assert rows[2] is None
+
+
+# --- RTF -----------------------------------------------------------------
+
+
+def test_rtf_detect_and_extract():
+    from crawlspark.functions.parsers import (
+        detect_content_type,
+        extract_text,
+    )
+
+    rtf = (
+        rb"{\rtf1\ansi\ansicpg1252\deff0"
+        rb"{\fonttbl{\f0\fswiss Helvetica;}}"
+        rb"{\colortbl;\red0\green0\blue0;}"
+        rb"{\*\generator CrawlWriter 1.0;}"
+        rb"{\info{\title Secret Title}}"
+        rb"\f0\fs24 Hello \b bold\b0  world.\par"
+        rb"Caf\'e9 costs 3 \'80 today.\par"
+        rb"Tab\tab separated \{braces\} and a \\ backslash.\par}"
+    )
+    assert detect_content_type(rtf) == "application/rtf"
+    text = extract_text(rtf)
+    assert "Hello bold world." in text
+    assert "Caf\u00e9 costs 3 \u20ac today." in text
+    assert "Tab\tseparated {braces} and a \\ backslash." in text
+    # font table / colortbl / generator / info never leak
+    assert "Helvetica" not in text
+    assert "CrawlWriter" not in text and "Secret Title" not in text
+    # three \par -> line structure
+    assert text.count("\n") == 2
+
+
+def test_rtf_unicode_and_uc_fallback_skip():
+    from crawlspark.functions.parsers import extract_text
+
+    # \uN emits the code point and swallows \uc fallback chars;
+    # negative N wraps mod 65536 (RTF's signed-16-bit form)
+    rtf = rb"{\rtf1 \uc1\u945? and \u-3841? ok}"
+    text = extract_text(rtf)
+    assert text == "\u03b1 and \uf0ff ok"
+    # \uc2 swallows two fallback characters
+    rtf2 = rb"{\rtf1 \uc2\u945?? end}"
+    assert extract_text(rtf2) == "\u03b1 end"
