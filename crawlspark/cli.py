@@ -367,7 +367,9 @@ def main(argv: list[str] | None = None) -> int:
             ),
         )
         baseline = (
-            spark.read.parquet(args.baseline).select("ref", "checksum")
+            spark.read.parquet(args.baseline).select(
+                "ref", "checksum", "outcome"
+            )
             if args.baseline
             else None
         )

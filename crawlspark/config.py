@@ -63,6 +63,12 @@ class CrawlConfig:
     # pairs applied after the named ops; 1-tuples delete the match.
     url_normalizations: tuple[str, ...] | None = None
     url_replacements: tuple[tuple, ...] = ()
+    # host -> domain-or-None callable backing the
+    # REPLACE_IP_WITH_DOMAIN_NAME op (must be picklable: executors
+    # compile the normalizer from the config). Configuring that op
+    # WITHOUT a resolver raises at engine build — a silent no-op
+    # would diverge from the configured contract.
+    url_ip_resolver: object | None = None
     # reference filters (GenericReferenceFilter / FilterGroupResolver
     # semantics: any exclude match rejects; if includes exist, at
     # least one must match).

@@ -38,6 +38,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shlex
 import subprocess
 import tempfile
 import xml.etree.ElementTree as ET
@@ -182,7 +183,15 @@ def run_external(
     meta: dict[str, list[str]],
 ) -> tuple[str, dict[str, list[str]]]:
     """-> (new content, merged metadata)."""
-    cmd = cfg.command
+    # Tokenize the configured command ONCE, then substitute ${...}
+    # tokens per-argument — matching the reference's SystemCommand
+    # semantics (tokenized argv, never a shell). A crawled reference
+    # is attacker-influenced text, so it must never reach a shell:
+    # with shell=True a link like http://x/;rm would execute on every
+    # executor. Values substituted after the split can contain any
+    # byte without re-tokenizing or being interpreted.
+    argv = shlex.split(cfg.command)
+    cmd_has = cfg.command.__contains__
     tmp: list[str] = []
 
     def temp(suffix: str, body: str | None = None) -> str:
@@ -195,32 +204,35 @@ def run_external(
         tmp.append(path)
         return path
 
+    def sub(token: str, value: str) -> None:
+        nonlocal argv
+        argv = [a.replace(token, value) for a in argv]
+
     try:
-        use_stdin = "${INPUT}" not in cmd
+        use_stdin = not cmd_has("${INPUT}")
         if not use_stdin:
-            cmd = cmd.replace("${INPUT}", temp(".in", content))
-        if "${INPUT_META}" in cmd:
-            cmd = cmd.replace(
+            sub("${INPUT}", temp(".in", content))
+        if cmd_has("${INPUT_META}"):
+            sub(
                 "${INPUT_META}",
                 temp(".inmeta",
                      dump_meta(meta, cfg.metadata_input_format)),
             )
         out_file = None
-        if "${OUTPUT}" in cmd:
+        if cmd_has("${OUTPUT}"):
             out_file = temp(".out")
-            cmd = cmd.replace("${OUTPUT}", out_file)
+            sub("${OUTPUT}", out_file)
         out_meta_file = None
-        if "${OUTPUT_META}" in cmd:
+        if cmd_has("${OUTPUT_META}"):
             out_meta_file = temp(".outmeta")
-            cmd = cmd.replace("${OUTPUT_META}", out_meta_file)
-        if "${REFERENCE}" in cmd:
-            cmd = cmd.replace("${REFERENCE}", reference)
+            sub("${OUTPUT_META}", out_meta_file)
+        if cmd_has("${REFERENCE}"):
+            sub("${REFERENCE}", reference)
 
         env = dict(os.environ)
         env.update(dict(cfg.env))
         proc = subprocess.run(
-            cmd,
-            shell=True,
+            argv,
             input=content if use_stdin else None,
             capture_output=True,
             text=True,

@@ -495,14 +495,34 @@ _VALID_URL_RE = re.compile(r"^(?:http|https|ftp)://[^/?#:@]", re.IGNORECASE)
 def engine_normalizer(
     normalizations: Iterable[str],
     replacements: Iterable[tuple] = (),
+    ip_resolver: Optional[Callable[[str], Optional[str]]] = None,
 ) -> Callable[[Optional[str]], Optional[str]]:
     """The configured pipeline plus the crawl engine's validity gate
     (a fetchable scheme with a host — the reference validates scheme
     via its fetcher accept()s; here an unfetchable candidate rejects
     at the normalizer stage like the default pipeline does). Shared
     by CrawlEngine and CrawlSimulator so engine == oracle by
-    construction."""
-    fn = make_normalizer(tuple(normalizations), tuple(replacements))
+    construction.
+
+    Naming REPLACE_IP_WITH_DOMAIN_NAME without an ``ip_resolver``
+    raises: the engine surface must not silently drop a configured op
+    (make_normalizer alone keeps the documented no-op for direct
+    library use)."""
+    normalizations = tuple(normalizations)
+    if (
+        ip_resolver is None
+        and any(n.upper() == "REPLACE_IP_WITH_DOMAIN_NAME"
+                for n in normalizations)
+    ):
+        raise ValueError(
+            "REPLACE_IP_WITH_DOMAIN_NAME is configured but no "
+            "ip_resolver was provided (config.url_ip_resolver / the "
+            "ip_resolver argument); pass a host->domain callable or "
+            "drop the op"
+        )
+    fn = make_normalizer(
+        normalizations, tuple(replacements), ip_resolver
+    )
 
     def normalize(url: Optional[str]) -> Optional[str]:
         v = fn(url)
@@ -516,12 +536,16 @@ def engine_normalizer(
 def custom_normalizer_udf(
     normalizations: Iterable[str] = DEFAULT_NORMALIZATIONS,
     replacements: Iterable[tuple] = (),
+    ip_resolver: Optional[Callable[[str], Optional[str]]] = None,
 ):
     """Arrow-vectorized UDF over the configured pipeline — the
     UrlNormalizerStage slot when a config names its own op list.
     (The unconfigured engine keeps functions/urls.py's fused default
-    pipeline with its fast-path regex.)"""
-    fn = engine_normalizer(tuple(normalizations), tuple(replacements))
+    pipeline with its fast-path regex.) ``ip_resolver`` must be
+    picklable — it ships to executors inside the UDF closure."""
+    fn = engine_normalizer(
+        tuple(normalizations), tuple(replacements), ip_resolver
+    )
 
     @F.pandas_udf(T.StringType())
     def udf(urls: pd.Series) -> pd.Series:

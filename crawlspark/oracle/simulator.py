@@ -156,7 +156,9 @@ class CrawlSimulator:
             from ..functions.urlnorm import engine_normalizer
 
             self._normalize = engine_normalizer(
-                cfg.url_normalizations, cfg.url_replacements
+                cfg.url_normalizations,
+                cfg.url_replacements,
+                cfg.url_ip_resolver,
             )
         self._matchers: dict[str, RobotsMatcher] = {}
         # robots crawl-delay per host; None = no directive (schedule/

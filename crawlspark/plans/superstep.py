@@ -342,7 +342,9 @@ class CrawlEngine:
             from ..functions.urlnorm import custom_normalizer_udf
 
             self._norm_udf = custom_normalizer_udf(
-                cfg.url_normalizations, cfg.url_replacements
+                cfg.url_normalizations,
+                cfg.url_replacements,
+                cfg.url_ip_resolver,
             )
         self._host_state_big = False
         self._orphans_done = baseline_df is None
@@ -667,7 +669,9 @@ class CrawlEngine:
             from ..functions.urlnorm import engine_normalizer
 
             norm_fn = engine_normalizer(
-                self.cfg.url_normalizations, self.cfg.url_replacements
+                self.cfg.url_normalizations,
+                self.cfg.url_replacements,
+                self.cfg.url_ip_resolver,
             )
         parse = make_parse_transformer(
             self.cfg.max_depth,

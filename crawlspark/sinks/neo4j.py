@@ -109,6 +109,11 @@ class Neo4jCommitterConfig:
     multi_values_joiner: str = DEFAULT_MULTI_VALUES_JOINER
     node_id_property: str = DEFAULT_NODE_ID_PROPERTY
     node_content_property: str = DEFAULT_NODE_CONTENT_PROPERTY
+    # Delivery is AT-LEAST-ONCE: batched transactions mean a
+    # mid-batch failure leaves earlier committed batches applied, and
+    # a Spark task retry replays them. A custom upsert_cypher must
+    # therefore be replay-idempotent — MERGE-on-id (the default), not
+    # CREATE — and delete_cypher must tolerate an absent node.
     upsert_cypher: str = DEFAULT_UPSERT_CYPHER
     delete_cypher: str = DEFAULT_DELETE_CYPHER
     optional_parameters: tuple = ()
@@ -436,6 +441,14 @@ def to_object_map(row_dict: dict, cfg: Neo4jCommitterConfig) -> dict:
             params[cfg.node_content_property] = content
     for opt in cfg.optional_parameters:
         params.setdefault(opt, None)
+    if "doc" in params:
+        # 'doc' is the reserved whole-map parameter; silently
+        # clobbering a real column of that name would drop data
+        raise ValueError(
+            "column/metadata key 'doc' collides with the reserved "
+            "$doc Cypher parameter (the whole-document map); rename "
+            "the column before committing to Neo4j"
+        )
     params["doc"] = dict(params)
     return params
 

@@ -37,14 +37,15 @@ from dataclasses import dataclass
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 FILES_SCHEMA = (
     "ref string, path string, depth int, size long, last_modified long"
 )
 _LIST_SCHEMA = (
-    "path string, depth int, is_dir boolean, size long, last_modified long"
+    "path string, depth int, is_dir boolean, size long, "
+    "last_modified long, dev_ino string"
 )
 
 
@@ -97,11 +98,16 @@ def _list_level(batches: Iterator[pd.DataFrame], follow: bool
                         bool(is_dir),
                         0 if is_dir else int(st.st_size),
                         int(st.st_mtime_ns // 1_000_000),
+                        # real directory identity: lets the BFS break
+                        # symlink cycles (dir -> ancestor) without a
+                        # driver-held visited set
+                        f"{st.st_dev}:{st.st_ino}" if is_dir else None,
                     )
                 )
         yield pd.DataFrame(
             rows,
-            columns=["path", "depth", "is_dir", "size", "last_modified"],
+            columns=["path", "depth", "is_dir", "size",
+                     "last_modified", "dev_ino"],
         )
 
 
@@ -128,7 +134,7 @@ def fs_crawl(
         except OSError:
             continue
         if stat_mod.S_ISDIR(st.st_mode):
-            dir_rows.append((r, 0))
+            dir_rows.append((r, 0, f"{st.st_dev}:{st.st_ino}"))
         elif _accept(r, cfg):
             file_rows.append(
                 (r, 0, False, int(st.st_size),
@@ -142,8 +148,22 @@ def fs_crawl(
             )
         )
     level = (
-        spark.createDataFrame(dir_rows, "path string, depth int")
+        spark.createDataFrame(
+            dir_rows, "path string, depth int, dev_ino string"
+        ).select("path", "depth")
         if dir_rows
+        else None
+    )
+    # visited REAL directories (st_dev:st_ino) — with follow_symlinks
+    # a link to an ancestor would otherwise make the level BFS loop
+    # forever with ever-deepening paths. Kept as a distributed frame
+    # (anti-join per level), never a driver set, so the guard holds
+    # at any directory count.
+    seen = (
+        spark.createDataFrame(
+            dir_rows, "path string, depth int, dev_ino string"
+        ).select("dev_ino").distinct().localCheckpoint()
+        if (dir_rows and cfg.follow_symlinks)
         else None
     )
     while level is not None:
@@ -166,6 +186,23 @@ def fs_crawl(
         if cfg.max_depth >= 0:
             # a dir AT max_depth only yields too-deep children
             nxt = nxt.filter(F.col("depth") < cfg.max_depth)
+        if seen is not None:
+            nxt = (
+                nxt.withColumn(
+                    "rn",
+                    F.row_number().over(
+                        Window.partitionBy("dev_ino")
+                        .orderBy("depth", "path")
+                    ),
+                )
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+                .join(seen, "dev_ino", "left_anti")
+                .localCheckpoint()
+            )
+            seen = seen.unionByName(
+                nxt.select("dev_ino")
+            ).localCheckpoint()
         nxt = nxt.select("path", "depth")
         level = nxt if nxt.limit(1).count() else None
 
@@ -215,6 +252,14 @@ def fs_delta(current: DataFrame, baseline: DataFrame | None) -> DataFrame:
     cur = current.withColumn("checksum", fs_metadata_checksum_col())
     if baseline is None:
         return cur.withColumn("outcome", F.lit("NEW"))
+    # A baseline that is itself a previous fs_delta output carries
+    # DELETED tombstone rows; those are not live documents. Left in,
+    # they would be re-reported DELETED forever and would make a
+    # deleted-then-recreated file (same checksum) read UNMODIFIED
+    # instead of NEW — the reference's orphan pass only considers the
+    # previous run's live ledger (CrawlerOrphanService analog).
+    if "outcome" in baseline.columns:
+        baseline = baseline.filter(F.col("outcome") != "DELETED")
     base = baseline.select(
         F.col("ref"), F.col("checksum").alias("base_checksum")
     )

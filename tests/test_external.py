@@ -151,3 +151,34 @@ def test_external_transform_dataframe(spark):
     assert dict(got["d1"]["meta"])["src"] == ["seed"]
     assert dict(got["d1"]["meta"])["firstword"] == ["ALPHA"]
     assert dict(got["d2"]["meta"])["firstword"] == ["GAMMA"]
+
+
+def test_reference_shell_metacharacters_not_interpreted(tmp_path):
+    """A crafted reference full of shell metacharacters is passed as a
+    literal argv element, never through a shell (SystemCommand
+    semantics: tokenized argv)."""
+    marker = tmp_path / "pwned"
+    evil = f"http://h/; touch {marker} #&$(id)'\""
+    cfg = ExternalConfig(
+        command=f'{PY} -c "import sys; print(sys.argv[1])" '
+        "${REFERENCE}",
+    )
+    content, _ = run_external(cfg, evil, "ignored", {})
+    assert content.strip() == evil
+    assert not marker.exists()
+
+
+def test_embedded_token_substitution(tmp_path):
+    """${...} tokens embedded inside an argument (--out=${OUTPUT})
+    substitute in place, preserving the surrounding text."""
+    cfg = ExternalConfig(
+        command=(
+            f'{PY} -c "import sys; '
+            "o = sys.argv[1].split('=', 1)[1]; "
+            "open(o, 'w').write('ok')\" "
+            "--out=${OUTPUT}"
+        ),
+        temp_dir=str(tmp_path),
+    )
+    content, _ = run_external(cfg, "doc:t", "x", {})
+    assert content == "ok"

@@ -146,3 +146,51 @@ def test_fscrawl_cli_roundtrip(spark, tmp_path):
         "DELETED"
     )
     assert got["file://" + str(root / "a" / "two.log")]["bytes"] is None
+
+
+def test_fs_crawl_symlink_cycle_terminates(spark, tmp_path):
+    """follow_symlinks=True with a dir -> ancestor link: the visited
+    real-directory guard (st_dev:st_ino anti-join) breaks the cycle
+    instead of BFS-ing forever with ever-deepening paths."""
+    (tmp_path / "a").mkdir()
+    (tmp_path / "a" / "f.txt").write_text("f")
+    os.symlink(tmp_path, tmp_path / "a" / "loop")
+    got = fs_crawl(
+        spark, [str(tmp_path)], FsCrawlConfig(follow_symlinks=True)
+    ).collect()
+    # each real file reported exactly once (shallowest path wins)
+    assert len(got) == 1
+    assert got[0]["path"] == str(tmp_path / "a" / "f.txt")
+
+
+def test_fs_delta_baseline_tombstones_filtered(spark, tmp_path):
+    """A baseline that is itself a previous fs_delta output: DELETED
+    tombstones must not be re-reported as DELETED again, and a file
+    deleted then recreated with the same checksum is NEW."""
+    from pyspark.sql import functions as F
+
+    (tmp_path / "kept.txt").write_text("kept")
+    cur = fs_crawl(spark, [str(tmp_path)])
+    # simulate a previous run's FULL output: kept.txt live plus a
+    # tombstone for gone.txt, whose checksum happens to equal the
+    # recreated file's checksum
+    kept_ck = (
+        cur.withColumn("checksum", fs_metadata_checksum_col())
+        .collect()[0]["checksum"]
+    )
+    baseline = spark.createDataFrame(
+        [
+            ("file://" + str(tmp_path / "kept.txt"), kept_ck,
+             "UNMODIFIED"),
+            ("file://" + str(tmp_path / "recreated.txt"), "9_9",
+             "DELETED"),
+        ],
+        "ref string, checksum string, outcome string",
+    )
+    (tmp_path / "recreated.txt").write_text("x")
+    cur2 = fs_crawl(spark, [str(tmp_path)])
+    out = {
+        r["ref"].rsplit("/", 1)[-1]: r["outcome"]
+        for r in fs_delta(cur2, baseline).collect()
+    }
+    assert out == {"kept.txt": "UNMODIFIED", "recreated.txt": "NEW"}

@@ -243,6 +243,21 @@ def test_to_object_map_reference_semantics():
     assert params["doc"]["id"] == "doc-1" and "doc" not in params["doc"]
 
 
+def test_to_object_map_reserved_doc_key_raises():
+    """A ledger/metadata column literally named 'doc' collides with
+    the reserved whole-map parameter — raise instead of silently
+    clobbering it before binding."""
+    import pytest
+
+    cfg = Neo4jCommitterConfig(uri="bolt://h:1")
+    row = {
+        "seq": 1, "op": "upsert", "image_id": "d", "caption": "c",
+        "doc": "a real column named doc",
+    }
+    with pytest.raises(ValueError, match="'doc'"):
+        to_object_map(row, cfg)
+
+
 def test_neo4j_midbatch_failure_not_masked(spark, bolt_server):
     """A FAILURE after some ops already sit in the open transaction
     must surface the server's error, not a follow-on IGNORED from a

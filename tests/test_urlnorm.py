@@ -274,3 +274,39 @@ def test_default_pipeline_equivalence_property():
         assert got == want, (u, got, want)
 
     check()
+
+
+def test_engine_ip_resolver_plumbing(spark):
+    """REPLACE_IP_WITH_DOMAIN_NAME on the engine surface: raises
+    loudly without a resolver (never a silent no-op), and an injected
+    resolver flows through engine_normalizer AND the vectorized UDF
+    (the CrawlConfig.url_ip_resolver path)."""
+    import pytest
+
+    from crawlspark.functions.urlnorm import custom_normalizer_udf
+
+    # local def: cloudpickle ships it by value inside the UDF closure
+    # (a test-module-level function would pickle by reference to a
+    # module the executors cannot import)
+    def _resolve_ip(host):
+        return {"93.184.216.34": "example.com"}.get(host)
+
+    ops = ("REPLACE_IP_WITH_DOMAIN_NAME",)
+    with pytest.raises(ValueError, match="ip_resolver"):
+        engine_normalizer(ops)
+    fn = engine_normalizer(ops, ip_resolver=_resolve_ip)
+    assert (
+        fn("http://93.184.216.34/a") == "http://example.com/a"
+    )
+    assert fn("http://10.0.0.1/a") == "http://10.0.0.1/a"  # unresolved
+    from pyspark.sql import functions as F
+
+    udf = custom_normalizer_udf(ops, ip_resolver=_resolve_ip)
+    got = (
+        spark.createDataFrame(
+            [("http://93.184.216.34/a",)], "u string"
+        )
+        .select(udf(F.col("u")).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert got == "http://example.com/a"
