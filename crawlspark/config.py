@@ -231,7 +231,15 @@ class CrawlConfig:
     # engine-side knobs (no semantic effect):
     shuffle_partitions: int | None = None
     bloom_prefilter_min_ledger: int = 100_000
+    # TOTAL filter bits. bloom_shards=0 keeps the driver-held bitmap
+    # (fine while bits fit driver memory; it self-monitors fill and
+    # auto-disables on saturation). bloom_shards=N (power of two >= 2)
+    # switches to the sharded DISTRIBUTED filter — per-shard bitmaps
+    # of bloom_bits/N bits living in a dim frame, cogroup-applied
+    # co-partitioned with candidates — the shape that sizes to 10^10
+    # URLs (~12 GB of bitmap) without a driver array.
     bloom_bits: int = 1 << 22
+    bloom_shards: int = 0
     image_w: int = 32
     image_h: int = 32
 

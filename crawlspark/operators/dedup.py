@@ -22,6 +22,8 @@
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -141,11 +143,54 @@ class BloomPrefilter:
     """
 
     K = 4
+    # estimated fill ratio thresholds: past WARN_FILL the false-"maybe"
+    # rate (fill^K) starts costing anti-join probes; past DISABLE_FILL
+    # the filter rejects almost nothing, so it auto-disables — the
+    # exact anti-join downstream keeps correctness either way, the
+    # filter only ever shrinks its probe side.
+    WARN_FILL = 0.5
+    DISABLE_FILL = 0.75
 
     def __init__(self, bits: int = 1 << 22):
         assert bits & (bits - 1) == 0, "bits must be a power of two"
         self.bits = bits
         self.words = np.zeros(bits // 64, dtype=np.uint64)
+        self.n_keys = 0  # inserts seen (duplicates counted once-ish)
+        self.enabled = True
+        self._warned = False
+
+    def fill_ratio(self) -> float:
+        """EXACT set-bit fraction of the bitmap (popcount, not the
+        1-exp(-kn/m) estimate — the words are on the driver anyway)."""
+        return float(
+            np.unpackbits(self.words.view(np.uint8)).sum()
+        ) / self.bits
+
+    def _check_saturation(self) -> None:
+        fill = self.fill_ratio()
+        if fill >= self.DISABLE_FILL and self.enabled:
+            self.enabled = False
+            warnings.warn(
+                f"BloomPrefilter saturated (fill={fill:.2f} >= "
+                f"{self.DISABLE_FILL}, ~{self.n_keys} keys into "
+                f"{self.bits} bits): auto-disabled — candidates now "
+                f"flow straight to the exact anti-join. Size "
+                f"bloom_bits for the expected URL count or switch to "
+                f"the sharded distributed filter (bloom_shards > 0).",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+        elif fill >= self.WARN_FILL and not self._warned:
+            self._warned = True
+            warnings.warn(
+                f"BloomPrefilter filling up (fill={fill:.2f} >= "
+                f"{self.WARN_FILL}, ~{self.n_keys} keys into "
+                f"{self.bits} bits): false-'maybe' rate ~"
+                f"{fill ** self.K:.2f} and climbing. Raise bloom_bits "
+                f"or use bloom_shards for a distributed filter.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
 
     @staticmethod
     def _probe_positions(keys: np.ndarray, bits: int) -> list[np.ndarray]:
@@ -161,35 +206,46 @@ class BloomPrefilter:
         return out
 
     def add_df(self, df: DataFrame, key_col: str = "seen_key") -> None:
+        if not self.enabled:
+            return  # saturated: stop paying the build job
         bits = self.bits
 
         def build(it):
             words = np.zeros(bits // 64, dtype=np.uint64)
-            any_rows = False
+            n = 0
             for pdf in it:
                 if len(pdf) == 0:
                     continue
-                any_rows = True
+                n += len(pdf)
                 keys = pdf[key_col].to_numpy()
                 for pos in BloomPrefilter._probe_positions(keys, bits):
                     np.bitwise_or.at(
                         words, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64)
                     )
-            if any_rows:
-                yield pd.DataFrame({"words": [words.tobytes()]})
+            if n:
+                yield pd.DataFrame(
+                    {"words": [words.tobytes()], "n_keys": [n]}
+                )
 
         parts = (
             df.select(key_col)
-            .mapInPandas(build, schema="words binary")
+            .mapInPandas(build, schema="words binary, n_keys long")
             .collect()
         )
         for row in parts:
             self.words |= np.frombuffer(row["words"], dtype=np.uint64)
+            self.n_keys += row["n_keys"]
+        self._check_saturation()
 
     def filter_candidates(
-        self, df: DataFrame, key_col: str = "seen_key"
+        self, df: DataFrame, key_col: str = "seen_key", caches: list | None = None
     ) -> tuple[DataFrame, DataFrame]:
         """Split candidates into (maybe_seen, definitely_new)."""
+        if not self.enabled:
+            # saturated filter: everything is "maybe" — the exact
+            # anti-join sees the full candidate set, exactly as if no
+            # prefilter existed
+            return df, df.limit(0)
         spark = df.sparkSession
         bwords = spark.sparkContext.broadcast(self.words.tobytes())
         bits = self.bits
@@ -214,6 +270,233 @@ class BloomPrefilter:
             flagged.filter(F.col("__maybe")).drop("__maybe"),
             flagged.filter(~F.col("__maybe")).drop("__maybe"),
         )
+
+
+class ShardedBloomPrefilter:
+    """Distributed, sharded URL-seen Bloom filter — the north rule's
+    "partitioned Bloom filter" with NOTHING living on the driver.
+
+    The 64-bit seen-key's TOP ``log2(n_shards)`` bits pick a shard;
+    each shard owns an independent ``bits_per_shard`` bitmap stored as
+    one binary row of a distributed dim frame ``(shard, words,
+    set_bits)``. Probe positions use only the key's LOW bits
+    (``_probe_positions`` masks to ``bits_per_shard``), so shard
+    routing and probing never share entropy.
+
+    * build/merge: keys → groupBy(shard) → per-shard bitmap OR-fold —
+      one keyed shuffle, executor memory O(bits_per_shard).
+    * apply: candidates cogrouped with the dim on shard via
+      ``applyInPandas`` — co-partitioned, each task holds exactly one
+      shard bitmap + its candidate rows. No broadcast, no driver
+      array: total filter memory is bits/8 bytes SPREAD over the
+      cluster, so sizing for 10^10 keys (~12 GB at 10 bits/key) is a
+      per-executor cost of bits/(8·n_shards), not a driver OOM.
+    * saturation: exact per-shard popcounts ride the dim; the merge
+      returns the worst shard's fill ratio, and past DISABLE_FILL the
+      filter auto-disables with a loud warning (the exact anti-join
+      downstream keeps correctness; the filter only shrinks its probe
+      side — same contract as BloomPrefilter).
+
+    Reference parity: the single-array BloomPrefilter and this one
+    admit identical "definitely new" verdicts for the same (bits,
+    keys) only probabilistically — both are PREfilters; the engine's
+    fetch order and URL-seen set are decided by the exact anti-join
+    either way (CrawlerEntryLedger.java:361 exact-key dedup).
+    """
+
+    K = BloomPrefilter.K
+    WARN_FILL = BloomPrefilter.WARN_FILL
+    DISABLE_FILL = BloomPrefilter.DISABLE_FILL
+
+    def __init__(self, bits_per_shard: int = 1 << 16,
+                 n_shards: int = 64):
+        assert bits_per_shard & (bits_per_shard - 1) == 0, (
+            "bits_per_shard must be a power of two"
+        )
+        assert n_shards >= 2 and n_shards & (n_shards - 1) == 0, (
+            "n_shards must be a power of two >= 2"
+        )
+        self.bits = bits_per_shard
+        self.n_shards = n_shards
+        self.shard_shift = 64 - n_shards.bit_length() + 1  # 64-log2(n)
+        self.dim: DataFrame | None = None  # (shard, words, set_bits)
+        self.n_keys = 0
+        self.enabled = True
+        self._warned = False
+
+    _DIM_SCHEMA = "shard int, words binary, set_bits long, n_keys long"
+
+    def _shard_col(self, key_col: str):
+        return F.shiftrightunsigned(
+            F.col(key_col), self.shard_shift
+        ).cast("int")
+
+    def _delta_dim(self, df: DataFrame, key_col: str) -> DataFrame:
+        bits = self.bits
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            words = np.zeros(bits // 64, dtype=np.uint64)
+            keys = pdf["__k"].to_numpy()
+            for pos in BloomPrefilter._probe_positions(keys, bits):
+                np.bitwise_or.at(
+                    words, pos // 64,
+                    np.uint64(1) << (pos % 64).astype(np.uint64),
+                )
+            return pd.DataFrame({
+                "shard": [int(pdf["__shard"].iloc[0])],
+                "words": [words.tobytes()],
+                "set_bits": [int(
+                    np.unpackbits(words.view(np.uint8)).sum()
+                )],
+                "n_keys": [len(pdf)],
+            })
+
+        return (
+            df.select(
+                F.col(key_col).alias("__k"),
+                self._shard_col(key_col).alias("__shard"),
+            )
+            .groupBy("__shard")
+            .applyInPandas(build, schema=self._DIM_SCHEMA)
+        )
+
+    def add_df(self, df: DataFrame, key_col: str = "seen_key") -> None:
+        """OR a key frame into the filter: delta bitmaps per shard,
+        merged with the standing dim by one keyed shuffle. The merged
+        dim is eagerly localCheckpointed (flat plan — supersteps would
+        otherwise nest every prior merge's lineage) and the old one
+        released."""
+        if not self.enabled:
+            return
+        bits = self.bits
+        delta = self._delta_dim(df, key_col)
+        if self.dim is None:
+            merged = delta
+        else:
+            def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+                words = np.zeros(bits // 64, dtype=np.uint64)
+                for b in pdf["words"]:
+                    words |= np.frombuffer(b, dtype=np.uint64)
+                return pd.DataFrame({
+                    "shard": [int(pdf["shard"].iloc[0])],
+                    "words": [words.tobytes()],
+                    "set_bits": [int(
+                        np.unpackbits(words.view(np.uint8)).sum()
+                    )],
+                    "n_keys": [int(pdf["n_keys"].sum())],
+                })
+
+            merged = (
+                self.dim.unionByName(delta)
+                .groupBy("shard")
+                .applyInPandas(fold, schema=self._DIM_SCHEMA)
+            )
+        old = self.dim
+        self.dim = merged.localCheckpoint(eager=True)
+        if old is not None:
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        # saturation gauge: n_shards tiny rows — a metrics aggregate,
+        # not row data
+        agg = self.dim.agg(
+            F.max(F.col("set_bits")).alias("worst"),
+            F.sum(F.col("n_keys")).alias("n"),
+        ).collect()[0]
+        self.n_keys = int(agg["n"] or 0)
+        self._check_saturation(float(agg["worst"] or 0) / bits)
+
+    def _check_saturation(self, fill: float) -> None:
+        if fill >= self.DISABLE_FILL and self.enabled:
+            self.enabled = False
+            if self.dim is not None:
+                try:
+                    self.dim.unpersist()
+                except Exception:
+                    pass
+            warnings.warn(
+                f"ShardedBloomPrefilter saturated (worst shard fill="
+                f"{fill:.2f} >= {self.DISABLE_FILL}, ~{self.n_keys} "
+                f"keys into {self.n_shards}x{self.bits} bits): "
+                f"auto-disabled — candidates flow straight to the "
+                f"exact anti-join. Raise bits_per_shard/n_shards for "
+                f"the expected URL count.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+        elif fill >= self.WARN_FILL and not self._warned:
+            self._warned = True
+            warnings.warn(
+                f"ShardedBloomPrefilter filling up (worst shard fill="
+                f"{fill:.2f} >= {self.WARN_FILL}, ~{self.n_keys} keys "
+                f"into {self.n_shards}x{self.bits} bits): "
+                f"false-'maybe' rate ~{fill ** self.K:.2f} and "
+                f"climbing.",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+
+    def filter_candidates(
+        self, df: DataFrame, key_col: str = "seen_key",
+        caches: list | None = None,
+    ) -> tuple[DataFrame, DataFrame]:
+        """Split candidates into (maybe_seen, definitely_new) by
+        cogrouping candidates with the shard dim — each task sees one
+        shard's bitmap + that shard's candidate rows, co-partitioned
+        on the shard key. A shard with no bitmap row has no seen keys:
+        its candidates are definitely new."""
+        if not self.enabled or self.dim is None:
+            return df, df.limit(0)
+        bits = self.bits
+        cols = df.columns
+        cand = df.withColumn("__shard", self._shard_col(key_col))
+        out_schema = (
+            cand.withColumn("__maybe", F.lit(True)).drop("__shard")
+            .schema
+        )
+
+        def apply(left: pd.DataFrame, right: pd.DataFrame
+                  ) -> pd.DataFrame:
+            left = left.drop(columns="__shard")
+            if len(left) == 0:
+                return left.assign(__maybe=pd.Series([], dtype=bool))
+            if len(right) == 0:
+                return left.assign(__maybe=False)
+            words = np.frombuffer(
+                right["words"].iloc[0], dtype=np.uint64
+            )
+            k = left[key_col].to_numpy()
+            hit = np.ones(len(k), dtype=bool)
+            for pos in BloomPrefilter._probe_positions(k, bits):
+                bitset = (
+                    words[pos // 64] >> (pos % 64).astype(np.uint64)
+                ) & np.uint64(1)
+                hit &= bitset.astype(bool)
+            return left.assign(__maybe=hit)
+
+        flagged = (
+            cand.groupBy("__shard")
+            .cogroup(self.dim.groupBy("shard"))
+            .applyInPandas(apply, schema=out_schema)
+        )
+        if caches is not None:
+            # the two output branches each re-trigger the cogroup
+            # shuffle; a step-scoped cache makes it run once
+            flagged = flagged.cache()
+            caches.append(flagged)
+        return (
+            flagged.filter(F.col("__maybe")).select(*cols),
+            flagged.filter(~F.col("__maybe")).select(*cols),
+        )
+
+    def release(self) -> None:
+        if self.dim is not None:
+            try:
+                self.dim.unpersist()
+            except Exception:
+                pass
+            self.dim = None
 
 
 def connected_components(

@@ -99,7 +99,13 @@ from pyspark.sql import types as T
 from ..config import CrawlConfig
 from ..functions.links import PARSE_FIELDS, make_parse_transformer
 from ..functions.urls import normalize_url_udf, url_host_col
-from ..operators.dedup import BloomPrefilter, assign_seq, assign_seq_small, first_wins
+from ..operators.dedup import (
+    BloomPrefilter,
+    ShardedBloomPrefilter,
+    assign_seq,
+    assign_seq_small,
+    first_wins,
+)
 from ..operators.politeness import schedule_hosts
 from ..operators.robots_filter import (
     build_robots_rules,
@@ -443,7 +449,15 @@ class CrawlEngine:
         self._max_sched_seen = 0
         self._frontier_part: str | None = None
         self._ledger_rows = 0
-        self.bloom = BloomPrefilter(cfg.bloom_bits)
+        if cfg.bloom_shards > 0:
+            self.bloom = ShardedBloomPrefilter(
+                bits_per_shard=max(
+                    64, cfg.bloom_bits // cfg.bloom_shards
+                ),
+                n_shards=cfg.bloom_shards,
+            )
+        else:
+            self.bloom = BloomPrefilter(cfg.bloom_bits)
         self._bloom_synced = False
         # links-per-fetched-doc ratio from the previous superstep; only
         # shapes partition counts, never results
@@ -1114,7 +1128,9 @@ class CrawlEngine:
         # one or two tasks.
         n_aj = self._n_part(max(n_cand, self._ledger_rows))
         if self._bloom_synced:
-            maybe, fresh = self.bloom.filter_candidates(c)
+            maybe, fresh = self.bloom.filter_candidates(
+                c, caches=caches
+            )
             # the ledger side is large here (that's why the Bloom is
             # on): a shuffle-hash join keeps the build distributed
             # instead of collecting ~all ledger keys to the driver for

@@ -424,3 +424,130 @@ def test_scrub_duplicated_spans_known_values(spark):
     assert got[4]["n_removed"] == 0
     assert got[5]["clean_text"] == "tiny"
     assert got[5]["n_tiles"] == 0 and got[5]["n_removed"] == 0
+
+
+def test_sharded_bloom_no_false_negatives_and_low_fpp(spark):
+    """Sharded distributed filter: same prefilter contract as the
+    driver-held bitmap — zero false negatives, low false-positive
+    rate — with the bitmap living in a dim frame, not on the driver."""
+    from crawlspark.operators.dedup import ShardedBloomPrefilter
+
+    n = 50_000
+    seen = spark.range(n).select(
+        F.col("id").alias("url"), F.xxhash64(F.col("id")).alias("seen_key")
+    )
+    bloom = ShardedBloomPrefilter(bits_per_shard=1 << 16, n_shards=16)
+    bloom.add_df(seen)
+    cand = spark.range(n // 2, n + n // 2).select(
+        F.col("id").alias("url"), F.xxhash64(F.col("id")).alias("seen_key")
+    )
+    caches = []
+    maybe, fresh = bloom.filter_candidates(cand, caches=caches)
+    maybe_ids = set(r["url"] for r in maybe.collect())
+    fresh_ids = set(r["url"] for r in fresh.collect())
+    assert maybe_ids | fresh_ids == set(range(n // 2, n + n // 2))
+    assert maybe_ids.isdisjoint(fresh_ids)
+    for i in range(n // 2, n):  # no false negatives
+        assert i in maybe_ids
+    fp = sum(1 for i in range(n, n + n // 2) if i in maybe_ids)
+    assert fp / (n // 2) < 0.05, fp
+    for df in caches:
+        df.unpersist()
+    bloom.release()
+
+
+def test_sharded_bloom_incremental_merge(spark):
+    """Keys added across several add_df calls (the per-superstep
+    fragment feed) behave as one filter."""
+    from crawlspark.operators.dedup import ShardedBloomPrefilter
+
+    bloom = ShardedBloomPrefilter(bits_per_shard=1 << 14, n_shards=4)
+    for lo, hi in [(0, 1000), (1000, 2000), (2000, 3000)]:
+        bloom.add_df(
+            spark.range(lo, hi).select(
+                F.xxhash64(F.col("id")).alias("seen_key")
+            )
+        )
+    cand = spark.range(0, 3000).select(
+        F.col("id").alias("url"),
+        F.xxhash64(F.col("id")).alias("seen_key"),
+    )
+    maybe, fresh = bloom.filter_candidates(cand)
+    assert fresh.count() == 0  # all seen -> all maybe
+    assert maybe.count() == 3000
+    bloom.release()
+
+
+def test_bloom_saturation_warns_then_disables(spark):
+    """Driver bitmap sized absurdly small: crossing WARN_FILL warns,
+    crossing DISABLE_FILL disables — after which filter_candidates
+    passes everything through as 'maybe' (exact anti-join unaffected)."""
+    keys = spark.range(4000).select(
+        F.xxhash64(F.col("id")).alias("seen_key")
+    )
+    bloom = BloomPrefilter(1 << 10)  # 1024 bits for 4000 keys
+    with pytest.warns(RuntimeWarning, match="saturated"):
+        bloom.add_df(keys)
+    assert not bloom.enabled
+    cand = spark.range(50).select(
+        F.col("id").alias("url"),
+        F.xxhash64(F.col("id")).alias("seen_key"),
+    )
+    maybe, fresh = bloom.filter_candidates(cand)
+    assert maybe.count() == 50 and fresh.count() == 0
+
+
+def test_sharded_bloom_saturation_disables(spark):
+    from crawlspark.operators.dedup import ShardedBloomPrefilter
+
+    bloom = ShardedBloomPrefilter(bits_per_shard=64, n_shards=4)
+    with pytest.warns(RuntimeWarning, match="saturated"):
+        bloom.add_df(
+            spark.range(2000).select(
+                F.xxhash64(F.col("id")).alias("seen_key")
+            )
+        )
+    assert not bloom.enabled
+    cand = spark.range(10).select(
+        F.col("id").alias("url"),
+        F.xxhash64(F.col("id")).alias("seen_key"),
+    )
+    maybe, fresh = bloom.filter_candidates(cand)
+    assert maybe.count() == 10 and fresh.count() == 0
+
+
+def test_crawl_parity_with_sharded_bloom(spark, tmp_path):
+    """Engine run with the sharded distributed filter engaged from the
+    first superstep (min_ledger=1): fetch sequence and URL-seen set
+    must equal the oracle — the prefilter may only shrink the exact
+    anti-join's probe side, never change survivors."""
+    from crawlspark.config import CrawlConfig
+    from crawlspark.operators.dedup import ShardedBloomPrefilter
+    from crawlspark.oracle.simulator import CrawlSimulator
+    from crawlspark.plans.superstep import CrawlEngine
+    from crawlspark.sources.webgen import SiteParams, build_site
+
+    params = SiteParams(
+        seed=7, n_hosts=3, depth=3, branching=3, dup_pct=0.25,
+        redirect_pct=0.1, cross_pct=0.4, n_seed_hosts=2,
+    )
+    cfg = CrawlConfig(
+        max_depth=3, default_delay_ms=1000,
+        bloom_prefilter_min_ledger=1,
+        bloom_shards=8, bloom_bits=1 << 18,
+    )
+    site = build_site(params)
+    seeds = [r["url"] for r in site.seeds.to_dict("records")]
+    sim = CrawlSimulator(
+        site.pages_dict(), site.robots_dict(), cfg
+    ).run(seeds)
+    eng = CrawlEngine(
+        spark, str(tmp_path / "crawl"), cfg,
+        site.spark_pages_df(spark), site.spark_robots_df(spark),
+    )
+    assert isinstance(eng.bloom, ShardedBloomPrefilter)
+    eng.bootstrap(seeds)
+    eng.run()
+    assert eng._bloom_synced  # the sharded path actually engaged
+    got = eng.fetch_log().toPandas()
+    assert got["url"].tolist() == [r["url"] for r in sim.fetch_log]
