@@ -1133,13 +1133,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering note: the driver's correctness JSON records the FIRST
+    # 50 dict entries. Rotated in round 5 so the six r4-tail queries
+    # (q_lsh_ann .. q_crawl_microsite) sit in the driver's window; six
+    # r1-stable queries (driver-green in r1-r3) take the tail this
+    # round. All 56 stay oracle-checked locally by
+    # tests/test_entry_contract.py regardless of position.
     return {
-        "q_pricing_summary": q_pricing_summary,
-        "q_frontier_topk_per_host": q_frontier_topk_per_host,
-        "q_urlseen_antijoin": q_urlseen_antijoin,
-        "q_dedup_first_wins": q_dedup_first_wins,
-        "q_politeness_schedule": q_politeness_schedule,
-        "q_frontier_seq": q_frontier_seq,
+        "q_lsh_ann": q_lsh_ann,
+        "q_ann_recall": q_ann_recall,
+        "q_embedding_neardup": q_embedding_neardup,
+        "q_lsh_bucket_stats": q_lsh_bucket_stats,
+        "q_image_payload": q_image_payload,
+        "q_crawl_microsite": q_crawl_microsite,
         "q_orphan_outcomes": q_orphan_outcomes,
         "q_doc_fingerprints": q_doc_fingerprints,
         "q_rolling_fingerprints": q_rolling_fingerprints,
@@ -1184,12 +1190,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk": q_cosine_topk,
         "q_incremental_delta": q_incremental_delta,
         "q_recrawl_due": q_recrawl_due,
-        "q_lsh_ann": q_lsh_ann,
-        "q_ann_recall": q_ann_recall,
-        "q_embedding_neardup": q_embedding_neardup,
-        "q_lsh_bucket_stats": q_lsh_bucket_stats,
-        "q_image_payload": q_image_payload,
-        "q_crawl_microsite": q_crawl_microsite,
+        "q_pricing_summary": q_pricing_summary,
+        "q_frontier_topk_per_host": q_frontier_topk_per_host,
+        "q_urlseen_antijoin": q_urlseen_antijoin,
+        "q_dedup_first_wins": q_dedup_first_wins,
+        "q_politeness_schedule": q_politeness_schedule,
+        "q_frontier_seq": q_frontier_seq,
     }
 
 
