@@ -114,12 +114,14 @@ def have_pil() -> bool:
 def decode_real(buf: bytes) -> np.ndarray:
     """Real-format decode (activates automatically: ``decode_image``
     falls through here for any buffer without the fake codec's magic).
-    Pillow when importable; real PNG bytes also decode without Pillow
-    through the vendored pure-Python codec (functions/pngcodec.py), so
-    this container's CI exercises real bytes -> pixels end to end.
-    Non-PNG real formats without Pillow raise NotImplementedError; the
-    Spark plumbing (schema, batching, UDF signatures) is identical
-    either way."""
+    Pillow when importable; without it, real PNG bytes decode through
+    the vendored pure-Python codec (functions/pngcodec.py) and real
+    baseline-JPEG bytes through the vendored JFIF codec
+    (functions/jpegcodec.py), so this container's CI exercises real
+    bytes -> pixels end to end INCLUDING the lossy PSNR>=40dB gate.
+    WebP without Pillow raises NotImplementedError; the Spark
+    plumbing (schema, batching, UDF signatures) is identical either
+    way."""
     try:
         import io
 
@@ -131,27 +133,52 @@ def decode_real(buf: bytes) -> np.ndarray:
 
         if buf[:8] == PNG_SIG:
             return decode_png(buf)
+        if buf[:2] == b"\xff\xd8":  # JPEG SOI
+            from crawlspark.functions.jpegcodec import decode_jpeg
+
+            return decode_jpeg(buf)
         raise NotImplementedError(
-            "real non-PNG decode requires Pillow (not in this container); "
-            "PNG decodes via the vendored functions/pngcodec.py and "
-            "fake-codec bytes carry the CSIMG magic and decode natively"
+            "real webp decode requires Pillow (not in this container); "
+            "PNG/JPEG decode via the vendored functions/pngcodec.py / "
+            "jpegcodec.py and fake-codec bytes carry the CSIMG magic "
+            "and decode natively"
         ) from exc
 
 
-def encode_real(pixels: np.ndarray, fmt: str, quality: int = 95) -> bytes:
-    """Real-format encode via Pillow (skip-not-fail where absent).
+def encode_real(pixels: np.ndarray, fmt: str, quality: int = 98) -> bytes:
+    """Real-format encode: Pillow when importable, else the vendored
+    pure-Python codecs for PNG (lossless) and baseline JPEG (4:4:4,
+    libjpeg quality scaling) — so the input_hint's decoded-pixel
+    invariant (exact for PNG, PSNR>=40dB for lossy) executes on REAL
+    bytes in containers without Pillow. WebP still requires Pillow
+    (skip-not-fail where absent).
 
-    JPEG writes 4:4:4 at ``quality`` so the decoded-pixel PSNR>=40dB
-    invariant (BASELINE.json input_hint) holds on real bytes; PNG is
-    lossless; WebP writes lossless (cwebp's -lossless) so the
-    round-trip gate is format-independent."""
-    import io
+    JPEG writes 4:4:4 at ``quality`` so the PSNR>=40dB gate holds on
+    real bytes; PNG is lossless; WebP writes lossless (cwebp's
+    -lossless) so the round-trip gate is format-independent. The
+    default quality is 98 because the synthetic oracle pixels
+    (pixels_for) are half-amplitude noise — the hardest content class
+    for DCT coding: q95 lands ~36dB on them, q98 ~43dB with margin,
+    and the encode stays genuinely lossy (asserted in tests)."""
+    f = fmt.lower()
+    try:
+        import io
 
-    from PIL import Image
+        from PIL import Image
+    except ImportError:
+        if f == "png":
+            from crawlspark.functions.pngcodec import encode_png
 
+            return encode_png(pixels)
+        if f in ("jpg", "jpeg"):
+            from crawlspark.functions.jpegcodec import encode_jpeg
+
+            return encode_jpeg(pixels, quality=quality)
+        raise NotImplementedError(
+            "real webp encode requires Pillow (not in this container)"
+        ) from None
     img = Image.fromarray(pixels, mode="RGB")
     bio = io.BytesIO()
-    f = fmt.lower()
     if f in ("jpg", "jpeg"):
         img.save(bio, format="JPEG", quality=quality, subsampling=0)
     elif f == "webp":

@@ -19,17 +19,15 @@ from crawlspark.sources.docgen import (
     psnr,
 )
 
-# both codecs share one invariant suite: "real" (Pillow) skips where
-# the library is absent (this container); the fake codec always runs
+# both codecs share one invariant suite. The "real" leg runs in EVERY
+# container: Pillow where installed, else the vendored pure-Python
+# PNG (functions/pngcodec.py) and baseline-JPEG (functions/jpegcodec
+# .py) codecs — so the input_hint's lossy PSNR>=40dB gate executes on
+# real bytes here, not just where Pillow exists. Only webp stays
+# Pillow-gated (test_real_webp_lossless_roundtrip).
 CODECS = [
     pytest.param("fake", id="fake"),
-    pytest.param(
-        "real",
-        id="real",
-        marks=pytest.mark.skipif(
-            not have_pil(), reason="Pillow not installed"
-        ),
-    ),
+    pytest.param("real", id="real"),
 ]
 
 
