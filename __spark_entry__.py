@@ -657,11 +657,12 @@ def q_embedded_split(spark, sf_dir):
 
 
 def q_content_detect(spark, sf_dir):
-    """ContentTypeDetector + CharsetDetector over real bytes of five
-    formats (PDF / PNG / HTML / UTF-16 text / ZIP), one per doc_id
-    residue — the oracle knows which format each row was encoded as,
-    so a hash match proves magic-byte + charset detection on real
-    payloads of every family."""
+    """ContentTypeDetector + CharsetDetector over real bytes of seven
+    formats (PDF / PNG / HTML / UTF-16 text / ZIP / legacy .doc /
+    legacy .xls), one per doc_id residue — the oracle knows which
+    format each row was encoded as, so a hash match proves magic-byte
+    + container detection on real payloads of every family (the CFB
+    rows exercise functions/cfbcodec.py's directory walk)."""
     import io
     import zipfile
 
@@ -675,8 +676,13 @@ def q_content_detect(spark, sf_dir):
         from crawlspark.functions.pngcodec import encode_png
 
         out = []
+        from crawlspark.functions.cfbcodec import (
+            make_doc_bytes,
+            make_xls_bytes,
+        )
+
         for i, t in zip(ids, texts):
-            k = int(i) % 5
+            k = int(i) % 7
             t = (t or "")[:40]
             if k == 0:
                 b = build_pdf([t])
@@ -688,6 +694,10 @@ def q_content_detect(spark, sf_dir):
                 b = ("<html><body>" + t + "</body></html>").encode()
             elif k == 3:
                 b = b"\xff\xfe" + t.encode("utf-16-le")
+            elif k == 5:
+                b = make_doc_bytes(t or "x")
+            elif k == 6:
+                b = make_xls_bytes([t or "x"])
             else:
                 buf = io.BytesIO()
                 with zipfile.ZipFile(buf, "w") as zf:
@@ -1935,13 +1945,15 @@ FROM d
 """,
         "q_content_detect": """
 SELECT doc_id::BIGINT AS doc_id,
-       CASE doc_id % 5
+       CASE doc_id % 7
          WHEN 0 THEN 'application/pdf'
          WHEN 1 THEN 'image/png'
          WHEN 2 THEN 'text/html'
          WHEN 3 THEN 'text/plain'
+         WHEN 5 THEN 'application/msword'
+         WHEN 6 THEN 'application/vnd.ms-excel'
          ELSE 'application/zip' END AS content_type,
-       CASE doc_id % 5
+       CASE doc_id % 7
          WHEN 2 THEN 'utf-8'
          WHEN 3 THEN 'utf-16-le'
          ELSE NULL END AS charset

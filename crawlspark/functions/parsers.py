@@ -79,6 +79,12 @@ def detect_content_type(data: bytes | None) -> str:
     head = bytes(data[:512])
     if head[:4] == b"RIFF" and data[8:12] == b"WEBP":
         return "image/webp"
+    if head.startswith(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
+        # OLE2/CFB container: .doc/.xls/.ppt by directory stream
+        # names (Tika's POIFSContainerDetector analog)
+        from .cfbcodec import detect_cfb_type
+
+        return detect_cfb_type(bytes(data))
     for magic, ctype in _MAGIC:
         if head.startswith(magic):
             if ctype == "application/zip":
@@ -599,6 +605,22 @@ def extract_text(data: bytes | None, content_type: str | None = None) -> str:
         return b.decode(detect_charset(b), errors="replace")
     if ctype in OFFICE_TYPES or ctype.startswith(ODF_PREFIX):
         return _extract_office_text(b, ctype)
+    if ctype == "application/msword":
+        from .cfbcodec import doc_text
+
+        try:
+            return doc_text(b)
+        except Exception:
+            return ""
+    if ctype == "application/vnd.ms-excel":
+        from .cfbcodec import xls_text
+
+        try:
+            return xls_text(b)
+        except Exception:
+            return ""
+    # application/vnd.ms-powerpoint / application/x-cfb: typed
+    # binary leaf (detected, not text-extracted — the Tika-OCR gap)
     if ctype == "message/rfc822":
         return _extract_email_text(b)
     if ctype == "application/mbox":
