@@ -415,6 +415,20 @@ def q_pagerank(spark, sf_dir):
     )
 
 
+def q_pagerank_conserving(spark, sf_dir):
+    """Mass-conserving PageRank (dangling redistribution) on a graph
+    where docs with doc_id % 10 == 0 emit no edges (dangling — they
+    receive rank but would leak it under the default variant). The
+    oracle unrolls the identical integer arithmetic including the
+    per-round dangling-sum share."""
+    from crawlspark.operators.graph import pagerank_micro
+
+    edges = _doc_edges(spark, sf_dir).filter(F.col("src") % 10 != 0)
+    return pagerank_micro(
+        edges, n_iters=3, dangling="redistribute"
+    ).select(F.col("node").alias("doc_id"), "rank_micro")
+
+
 def q_degree_stats(spark, sf_dir):
     from crawlspark.operators.graph import degree_stats
 
@@ -1176,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_scrub": q_pii_scrub,
         "q_split_assign": q_split_assign,
         "q_pagerank": q_pagerank,
+        "q_pagerank_conserving": q_pagerank_conserving,
         "q_degree_stats": q_degree_stats,
         "q_minhash_signatures": q_minhash_signatures,
         "q_minhash_dup_pairs": q_minhash_dup_pairs,
@@ -1283,6 +1298,47 @@ def _pagerank_sql(n_iters: int = 3, damping_pct: int = 85) -> str:
          ({base} + floor({damping_pct} * coalesce(c{i}.s, 0) / 100))
          ::BIGINT AS rank_micro
   FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node AS doc_id, rank_micro FROM r{n_iters}"
+    )
+
+
+def _pagerank_conserving_sql(
+    n_iters: int = 3, damping_pct: int = 85
+) -> str:
+    """Unrolled mass-conserving integer PageRank: the q_pagerank
+    arithmetic plus, per round, the dangling nodes' total rank
+    shared equally over all nodes (pagerank_micro
+    dangling='redistribute', operators/graph.py)."""
+    base = (100 - damping_pct) * 1_000_000 // 100
+    edges_dangling = _EDGES_SQL.strip().replace(
+        "FROM documents, nn",
+        "FROM documents, nn WHERE doc_id % 10 <> 0",
+    )
+    ctes = [
+        edges_dangling,
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)",
+        "nc AS (SELECT count(*) AS n FROM nodes)",
+        "r0 AS (SELECT node, 1000000::BIGINT AS rank_micro FROM nodes)",
+    ]
+    for i in range(n_iters):
+        ctes.append(f"""c{i} AS (
+  SELECT e.dst AS node,
+         sum(floor(r.rank_micro / d.deg)::BIGINT) AS s
+  FROM e JOIN r{i} r ON e.src = r.node
+  JOIN deg d ON e.src = d.src GROUP BY e.dst)""")
+        ctes.append(f"""d{i} AS (
+  SELECT coalesce(sum(r.rank_micro), 0)::BIGINT AS dsum
+  FROM r{i} r LEFT JOIN deg ON r.node = deg.src
+  WHERE deg.src IS NULL)""")
+        ctes.append(f"""r{i + 1} AS (
+  SELECT nodes.node,
+         ({base} + floor({damping_pct} * coalesce(c{i}.s, 0) / 100)
+                 + floor({damping_pct} * d{i}.dsum / (100 * nc.n)))
+         ::BIGINT AS rank_micro
+  FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node
+  CROSS JOIN d{i} CROSS JOIN nc)""")
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT node AS doc_id, rank_micro FROM r{n_iters}"
@@ -1831,6 +1887,7 @@ FROM a
         "q_pii_scrub": _pii_scrub_sql(),
         "q_split_assign": _split_assign_sql(),
         "q_pagerank": _pagerank_sql(),
+        "q_pagerank_conserving": _pagerank_conserving_sql(),
         "q_degree_stats": f"""
 WITH {_EDGES_SQL.strip()},
 od AS (SELECT src AS node, count(*) AS out_degree FROM e GROUP BY src),

@@ -407,6 +407,7 @@ def main(argv: list[str] | None = None) -> int:
             f"{sum(s.committed for s in stats)} committed, "
             f"{len(stats)} supersteps"
         )
+        eng.release()
     elif args.cmd == "resume":
         eng = _engine(spark, args, resume=True)
         stats = eng.run()
@@ -414,6 +415,7 @@ def main(argv: list[str] | None = None) -> int:
             f"resume done: {sum(s.fetched for s in stats)} fetched, "
             f"{sum(s.committed for s in stats)} committed"
         )
+        eng.release()
     else:  # export
         from .plans.ledger import AppendTable
         from .plans.superstep import DOCS_SCHEMA
@@ -463,6 +465,11 @@ def main(argv: list[str] | None = None) -> int:
             }[args.format]
             sink(ops, args.out)
         print(f"exported resolved documents to {args.out} ({args.format})")
+    # long-lived sessions (tests, notebooks, repeated CLI calls on one
+    # JVM) must not accumulate operator-registered persisted frames
+    from .operators.textops import release_caches
+
+    release_caches()
     return 0
 
 

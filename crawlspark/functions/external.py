@@ -83,6 +83,16 @@ class ExternalConfig:
     on_set: str = "append"  # append | replace | set-if-empty
     temp_dir: Optional[str] = None
     timeout_s: float = 60.0
+    # batch_mode=True runs ONE subprocess per Arrow batch instead of
+    # per document (our extension — the reference forks per handle()
+    # call): the program reads NDJSON lines {"reference", "content",
+    # "metadata"} on STDIN (or ${INPUT}), and writes one NDJSON line
+    # per input line — {"content", "metadata"(optional)} — in the
+    # SAME ORDER on STDOUT (or ${OUTPUT}). metadata merges via
+    # on_set; extraction patterns are per-document constructs and
+    # raise in batch mode. Use for tools with expensive startup
+    # (model servers, JVM CLIs).
+    batch_mode: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -294,6 +304,92 @@ EXTERNAL_SCHEMA = T.StructType(
 )
 
 
+def run_external_batch(
+    cfg: ExternalConfig,
+    rows: list[tuple[str, str, dict[str, list[str]]]],
+) -> list[tuple[str, dict[str, list[str]]]]:
+    """One subprocess for a whole batch: NDJSON in, NDJSON out, order
+    preserved. ``rows`` = [(reference, content, meta)]; returns
+    [(new content, merged metadata)] — merge semantics identical to
+    the per-document path's metadata files (apply_on_set)."""
+    if cfg.patterns:
+        raise ValueError(
+            "extraction patterns are per-document (STDOUT-line "
+            "scoped); use batch_mode=False with patterns"
+        )
+    ndjson_in = "\n".join(
+        json.dumps(
+            {"reference": r, "content": c, "metadata": m},
+            sort_keys=True,
+        )
+        for r, c, m in rows
+    ) + "\n"
+    argv = shlex.split(cfg.command)
+    tmp: list[str] = []
+
+    def temp(suffix: str, body: str | None = None) -> str:
+        fd, path = tempfile.mkstemp(suffix=suffix, dir=cfg.temp_dir)
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            if body is not None:
+                f.write(body)
+        tmp.append(path)
+        return path
+
+    try:
+        use_stdin = "${INPUT}" not in cfg.command
+        if not use_stdin:
+            path = temp(".in", ndjson_in)
+            argv = [a.replace("${INPUT}", path) for a in argv]
+        out_file = None
+        if "${OUTPUT}" in cfg.command:
+            out_file = temp(".out")
+            argv = [a.replace("${OUTPUT}", out_file) for a in argv]
+        env = dict(os.environ)
+        env.update(dict(cfg.env))
+        proc = subprocess.run(
+            argv,
+            input=ndjson_in if use_stdin else None,
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=cfg.timeout_s,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"external transformer (batch): command failed "
+                f"(rc={proc.returncode}): {proc.stderr[-500:]}"
+            )
+        if out_file is not None:
+            with open(out_file, encoding="utf-8") as f:
+                body = f.read()
+        else:
+            body = proc.stdout
+        lines = [ln for ln in body.splitlines() if ln.strip()]
+        if len(lines) != len(rows):
+            raise RuntimeError(
+                f"external transformer (batch): expected "
+                f"{len(rows)} NDJSON output lines, got {len(lines)}"
+            )
+        out = []
+        for (r, c, meta), ln in zip(rows, lines):
+            doc = json.loads(ln)
+            new_meta = {
+                k: [str(x) for x in (v if isinstance(v, list) else [v])]
+                for k, v in (doc.get("metadata") or {}).items()
+            }
+            out.append((
+                doc.get("content", c),
+                apply_on_set(meta, new_meta, cfg.on_set),
+            ))
+        return out
+    finally:
+        for p in tmp:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+
+
 def external_transform(docs: DataFrame, cfg: ExternalConfig) -> DataFrame:
     """Run every document through the external program.
 
@@ -311,15 +407,26 @@ def external_transform(docs: DataFrame, cfg: ExternalConfig) -> DataFrame:
                 if "meta" in pdf.columns
                 else [None] * len(pdf)
             )
-            new_c: list[str] = []
-            new_m: list[dict] = []
-            for ref, c, m in zip(refs, contents, metas):
-                meta = {
-                    k: list(v) for k, v in (dict(m) if m else {}).items()
-                }
-                nc, nm = run_external(cfg, ref, c or "", meta)
-                new_c.append(nc)
-                new_m.append(nm)
+            mdicts = [
+                {k: list(v) for k, v in (dict(m) if m else {}).items()}
+                for m in metas
+            ]
+            if cfg.batch_mode:
+                results = run_external_batch(
+                    cfg,
+                    [
+                        (r, c or "", m)
+                        for r, c, m in zip(refs, contents, mdicts)
+                    ],
+                )
+                new_c = [c for c, _ in results]
+                new_m = [m for _, m in results]
+            else:
+                new_c, new_m = [], []
+                for ref, c, meta in zip(refs, contents, mdicts):
+                    nc, nm = run_external(cfg, ref, c or "", meta)
+                    new_c.append(nc)
+                    new_m.append(nm)
             yield pd.DataFrame(
                 {"reference": refs, "content": new_c, "meta": new_m}
             )

@@ -776,6 +776,75 @@ def fake_translate_udf():
     return udf
 
 
+def client_translate_udf(client=None, module: str | None = None):
+    """Real-translation adapter for ``split_translate`` — the
+    import-gated client pattern (same seam as sinks/kafka.py's
+    ``send_fn``): CI keeps the deterministic fake, a deployment
+    plugs in an installed client without touching the operator.
+
+    The client contract is one batched call per (src, tgt) pair per
+    Arrow batch: ``fn(texts: list[str], src: str, tgt: str) ->
+    list[str]`` (same length, same order) — so a service client
+    amortizes its round-trip over the batch instead of paying one
+    RPC per document (TranslatorSplitter.java:150-398 translates
+    serially; this is the vectorized shape of that contract).
+
+    * ``client``: the callable itself (must be picklable — it ships
+      in the UDF closure).
+    * ``module``: an import path ``"package.mod:attr"`` resolved
+      LAZILY ON EACH EXECUTOR — the import-gated slot: where the
+      package is absent the task raises ImportError naming it, and
+      nothing is imported at plan-build time.
+    """
+    if (client is None) == (module is None):
+        raise ValueError(
+            "client_translate_udf: pass exactly one of client= or "
+            "module="
+        )
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    state: dict = {}
+
+    def _resolve():
+        if "fn" not in state:
+            if client is not None:
+                state["fn"] = client
+            else:
+                import importlib
+
+                mod_name, _, attr = module.partition(":")
+                try:
+                    m = importlib.import_module(mod_name)
+                except ImportError as exc:
+                    raise ImportError(
+                        f"client_translate_udf: translation client "
+                        f"module {mod_name!r} is not installed on "
+                        f"this executor"
+                    ) from exc
+                state["fn"] = getattr(m, attr or "translate")
+        return state["fn"]
+
+    @F.pandas_udf(T.StringType())
+    def udf(text: pd.Series, src: pd.Series, tgt: pd.Series) -> pd.Series:
+        fn = _resolve()
+        out = pd.Series([""] * len(text), dtype=object)
+        frame = pd.DataFrame(
+            {"t": text.fillna(""), "s": src, "g": tgt}
+        )
+        for (s, g), grp in frame.groupby(["s", "g"], sort=True):
+            translated = fn(grp["t"].tolist(), s, g)
+            if len(translated) != len(grp):
+                raise RuntimeError(
+                    f"translation client returned {len(translated)} "
+                    f"texts for {len(grp)} inputs ({s}->{g})"
+                )
+            out.iloc[grp.index] = list(translated)
+        return out
+
+    return udf
+
+
 def split_translate(
     df,
     target_langs: tuple[str, ...],

@@ -17,10 +17,15 @@ micro-unit variant:
   no driver-side edge data, no cartesian anything. The degree dim is
   computed once and reused.
 * nodes without in-links get the damping floor; nodes without
-  out-links (dangling) simply leak their mass, matching the simple
-  propagation variant (documented deviation from mass-conserving
-  PageRank — at crawl-prioritization fidelity the ordering, not the
-  normalization, is what matters).
+  out-links (dangling) leak their mass by default — the simple
+  propagation variant, where ordering (not normalization) is what
+  crawl prioritization needs — or conserve it with
+  ``dangling="redistribute"``, which shares each round's dangling
+  total equally across all nodes using the same integer floors (the
+  textbook mass-conserving correction, still oracle-exact).
+* ``tol_micro`` turns on delta-based early stop for long
+  configurations: iteration ends when no node's rank moved more
+  than the tolerance, and the round count used is reported.
 
 At 100 TB: edges partition by dst for the contribution shuffle; the
 rank frame is O(nodes) and stays distributed; n_iters is a fixed
@@ -43,18 +48,40 @@ def pagerank_micro(
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint_every: int = 5,
+    dangling: str = "leak",
+    tol_micro: int = 0,
 ) -> DataFrame:
-    """(node, rank_micro) after ``n_iters`` integer PageRank rounds.
+    """(node, rank_micro) after up to ``n_iters`` integer PageRank
+    rounds.
 
     rank0 = 1.0 (MICRO); per round:
       contrib(dst) = sum over in-edges of floor(rank(src) / deg(src))
       rank'(node)  = (100 - damping_pct)% * MICRO
                      + floor(damping_pct * contrib / 100)
+                     [+ floor(damping_pct * dangling_sum
+                              / (100 * n_nodes))  when redistributing]
     All longs; ``damping_pct`` is an integer percentage so the oracle
     can mirror the exact arithmetic.
+
+    ``dangling``: ``"leak"`` (default — nodes without out-links lose
+    their mass, the simple-propagation variant) or ``"redistribute"``
+    (mass-conserving: each round the dangling nodes' total rank is
+    shared equally across all nodes; the per-round total is a 1-row
+    aggregate cross-joined back in — no driver collect, and the
+    unrolled-CTE oracle mirrors it exactly).
+
+    ``tol_micro`` > 0 enables delta-based early stop: iteration ends
+    once ``max |rank' - rank| <= tol_micro`` (a 1-value metrics
+    aggregate per round; each round's frame is then eagerly
+    localCheckpointed so the convergence check isn't recomputed).
+    The round count actually run is exposed as ``result._pr_iters``
+    — with early stop the result is still exact for that count, so
+    an oracle unrolled to ``result._pr_iters`` rounds matches.
     """
     if not 0 <= damping_pct <= 100:
         raise ValueError("damping_pct must be 0..100")
+    if dangling not in ("leak", "redistribute"):
+        raise ValueError("dangling must be 'leak' or 'redistribute'")
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
@@ -66,9 +93,17 @@ def pagerank_micro(
     )
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     base = (100 - damping_pct) * MICRO // 100
+    if dangling == "redistribute":
+        # nodes with no out-links, computed once; n_nodes is a single
+        # driver scalar (O(1) driver data)
+        dang = nodes.join(
+            deg.select(F.col("src").alias("node")), "node", "left_anti"
+        ).localCheckpoint(eager=True)
+        n_nodes = nodes.count()
     ranks = nodes.select(
         "node", F.lit(MICRO).cast("long").alias("rank_micro")
     )
+    iters_run = 0
     for i in range(n_iters):
         contribs = (
             e.join(ranks, e.src == F.col("node"))
@@ -81,24 +116,54 @@ def pagerank_micro(
             )
         )
         summed = contribs.groupBy("node").agg(F.sum("c").alias("s"))
-        ranks = (
-            nodes.join(summed, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.floor(
-                        F.lit(damping_pct)
-                        * F.coalesce(F.col("s"), F.lit(0))
-                        / F.lit(100)
-                    )
-                )
-                .cast("long")
-                .alias("rank_micro"),
-            )
+        new_rank = F.lit(base) + F.floor(
+            F.lit(damping_pct)
+            * F.coalesce(F.col("s"), F.lit(0))
+            / F.lit(100)
         )
-        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iters:
-            ranks = ranks.localCheckpoint(eager=True)
+        joined = nodes.join(summed, "node", "left")
+        if dangling == "redistribute":
+            d_row = (
+                ranks.join(dang, "node")
+                .agg(
+                    F.coalesce(F.sum("rank_micro"), F.lit(0))
+                    .cast("long")
+                    .alias("__dsum")
+                )
+            )
+            joined = joined.crossJoin(F.broadcast(d_row))
+            new_rank = new_rank + F.floor(
+                F.lit(damping_pct)
+                * F.col("__dsum")
+                / F.lit(100 * n_nodes)
+            )
+        new_ranks = joined.select(
+            "node", new_rank.cast("long").alias("rank_micro")
+        )
+        iters_run = i + 1
+        if tol_micro > 0:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+            delta = (
+                new_ranks.alias("n")
+                .join(ranks.alias("o"), "node")
+                .agg(
+                    F.max(
+                        F.abs(
+                            F.col("n.rank_micro")
+                            - F.col("o.rank_micro")
+                        )
+                    ).alias("d")
+                )
+                .collect()[0]["d"]
+            )
+            ranks = new_ranks
+            if delta is not None and delta <= tol_micro:
+                break
+        else:
+            ranks = new_ranks
+            if (i + 1) % checkpoint_every == 0 and i + 1 < n_iters:
+                ranks = ranks.localCheckpoint(eager=True)
+    ranks._pr_iters = iters_run
     return ranks
 
 

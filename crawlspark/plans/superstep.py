@@ -302,6 +302,18 @@ class StepStats:
     metrics: dict | None = None
 
 
+def _persistent_rdd_ids(spark: SparkSession) -> dict:
+    """{rdd id: JVM RDD handle} for every currently-persisted RDD —
+    the hook release() needs because localCheckpoint storage is only
+    reachable through the RDD API, not DataFrame.unpersist()."""
+    out = {}
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        e = it.next()
+        out[int(e._1())] = e._2()
+    return out
+
+
 class CrawlEngine:
     def __init__(
         self,
@@ -508,6 +520,19 @@ class CrawlEngine:
         )
         self._pending = []
         self._frontier_mem: DataFrame | None = None
+        # every cross-superstep persisted frame (ledger checkpoints,
+        # host-state snapshots, sitemap triggers, orphan frames)
+        # registers here so release() can unpersist the lot
+        self._pinned: list[DataFrame] = []
+        # persistent-RDD watermark: DataFrame.unpersist() is a NO-OP
+        # for localCheckpoint storage (it only uncaches
+        # InMemoryRelations), so release() additionally sweeps every
+        # persistent RDD created after this engine was built via the
+        # JVM RDD handle. Frames persisted BEFORE the engine are
+        # never touched.
+        self._preexisting_rdd_ids = set(
+            _persistent_rdd_ids(spark)
+        )
         self._host_state_mem: DataFrame | None = None
         self._metric_rows: list[tuple[str, str, int]] = []
         self._parallelism = spark.sparkContext.defaultParallelism
@@ -627,9 +652,15 @@ class CrawlEngine:
             self.bloom.add_df(frag)
         self._key_parts.append(frag)
         if self.cfg.redirect_requeue:
+            old_ev = self._bad_event_state
             self._bad_event_state = self._merge_bad_events(
                 new_rows.select(*_event_proj())
             ).localCheckpoint(eager=True)
+            if old_ev is not None:
+                try:
+                    old_ev.unpersist()
+                except Exception:
+                    pass
 
     def _restore_parts(self) -> None:
         for name in self.levels.parts():
@@ -842,6 +873,59 @@ class CrawlEngine:
         for f in list(self._pending):
             f.result()
         self._pending.clear()
+
+    def release(self) -> int:
+        """Unpersist every frame this engine pinned — localCheckpoint
+        fragments (URL-seen keys, registries, sitemap hosts, event
+        state, the in-memory frontier) and the Bloom filter's
+        distributed dim — plus the textops operator cache registry.
+        Returns how many frames were released. For long-lived
+        sessions / CLI teardown; the engine must not step() after.
+        All released frames are performance pins, not data: the
+        durable state lives in the workdir parquet."""
+        from ..operators.textops import release_caches
+
+        n = release_caches()
+        frames: list = []
+        frames += self._pinned
+        frames += self._key_parts
+        frames += self._registry_parts
+        frames += self._meta_registry_parts
+        frames += self._sitemap_host_parts
+        for dim in (
+            self.baseline, self.pages, self.headers, self.rules,
+            self.delays, self.sitemaps, self._host_state_mem,
+            self._bad_event_state, self._frontier_mem,
+        ):
+            if dim is not None:
+                frames.append(dim)
+        for df in frames:
+            try:
+                df.unpersist()
+                n += 1
+            except Exception:
+                pass
+        if hasattr(self.bloom, "release"):
+            self.bloom.release()
+        # sweep localCheckpoint storage (DataFrame.unpersist cannot
+        # release it): every persistent RDD newer than the engine is
+        # engine-created checkpoint state
+        for rid, jrdd in _persistent_rdd_ids(self.spark).items():
+            if rid not in self._preexisting_rdd_ids:
+                try:
+                    jrdd.unpersist(False)
+                    n += 1
+                except Exception:
+                    pass
+        self._pinned = []
+        self._key_parts = []
+        self._registry_parts = []
+        self._meta_registry_parts = []
+        self._sitemap_host_parts = []
+        self._bad_event_state = None
+        self._frontier_mem = None
+        self._host_state_mem = None
+        return n
 
     @classmethod
     def resume(
@@ -1277,6 +1361,7 @@ class CrawlEngine:
                 known = known.unionByName(frag)
             triggers = triggers.join(known, "host", "left_anti")
         trg = triggers.localCheckpoint(eager=True)
+        self._pinned.append(trg)
         n_new = trg.count()
         if n_new == 0:
             return None
@@ -2354,6 +2439,7 @@ class CrawlEngine:
         }
         new_chk = futs["ledger"].result()
         new_state = futs["host_state"].result()
+        self._pinned.append(new_chk)
         frag = new_chk.select("url", "seen_key")
         if self._bloom_synced:
             self.bloom.add_df(frag)
@@ -2372,10 +2458,26 @@ class CrawlEngine:
                 F.lit("PROCESSED").alias("kind"),
                 F.col("outcome").alias("ev_outcome"),
             ).unionByName(new_chk.select(*_event_proj()))
+            old_ev = self._bad_event_state
             self._bad_event_state = self._merge_bad_events(
                 cur_events
             ).localCheckpoint(eager=True)
+            if old_ev is not None:
+                try:
+                    old_ev.unpersist()
+                except Exception:
+                    pass
         next_frontier = new_chk.filter(F.col("status") == "QUEUED")
+        # the superseded snapshot is dead: new_state is eagerly
+        # materialized, nothing re-reads the old frame
+        if (
+            self._host_state_mem is not None
+            and self._host_state_mem is not new_state
+        ):
+            try:
+                self._host_state_mem.unpersist()
+            except Exception:
+                pass
         self._host_state_mem = new_state
         tick("mem_state")
 
@@ -2431,6 +2533,7 @@ class CrawlEngine:
         orphans = self.baseline.join(
             self._ledger_keys().select("url"), "url", "left_anti"
         ).cache()
+        self._pinned.append(orphans)
         strategy = self.cfg.orphan_strategy
         sid = self.superstep + 1
         part = f"{self.superstep:06d}"

@@ -264,3 +264,46 @@ def test_cli_site_mode_no_retries_fails_flaky(spark, tmp_path, capsys):
     m = re.search(r"(\d+) fetched, (\d+) committed", out.out)
     fetched, committed = int(m.group(1)), int(m.group(2))
     assert committed < fetched
+
+
+def test_cli_crawl_releases_all_cached_frames(spark, tmp_path):
+    """CLI teardown releases every persisted frame (r4 ADVICE: wire
+    release_caches + engine.release into teardown): a crawl run adds
+    ZERO net persistent RDDs to the session — repeated CLI calls on
+    one long-lived JVM cannot accumulate storage. (Delta, not
+    absolute: frames persisted by OTHER code before the run are
+    deliberately out of release()'s reach.)"""
+    from crawlspark.cli import main
+    from crawlspark.plans.superstep import _persistent_rdd_ids
+    from crawlspark.sources.webgen import SiteParams, build_site
+
+    before = set(_persistent_rdd_ids(spark))
+
+    site = build_site(
+        SiteParams(seed=3, n_hosts=2, depth=2, branching=2,
+                   n_seed_hosts=1)
+    )
+    spark.createDataFrame(site.pages).write.mode("overwrite").parquet(
+        str(tmp_path / "pages")
+    )
+    spark.createDataFrame(site.robots).write.mode("overwrite").parquet(
+        str(tmp_path / "robots")
+    )
+    seeds_file = tmp_path / "seeds.txt"
+    seeds_file.write_text(
+        "\n".join(r["url"] for r in site.seeds.to_dict("records")) + "\n"
+    )
+    rc = main(
+        [
+            "crawl",
+            "--workdir", str(tmp_path / "run"),
+            "--pages", str(tmp_path / "pages"),
+            "--robots", str(tmp_path / "robots"),
+            "--seeds", str(seeds_file),
+            "--max-depth", "2",
+            "--delay-ms", "500",
+        ]
+    )
+    assert rc == 0
+    leaked = set(_persistent_rdd_ids(spark)) - before
+    assert not leaked, sorted(leaked)

@@ -182,3 +182,95 @@ def test_embedded_token_substitution(tmp_path):
     )
     content, _ = run_external(cfg, "doc:t", "x", {})
     assert content == "ok"
+
+
+BATCH_TOOL = (
+    "import sys, json, os\n"
+    "marker = sys.argv[1]\n"
+    "open(marker, 'a').write('run\\n')\n"
+    "for ln in sys.stdin:\n"
+    "    if not ln.strip():\n"
+    "        continue\n"
+    "    d = json.loads(ln)\n"
+    "    print(json.dumps({'content': d['content'].upper(),\n"
+    "                      'metadata': {'seen': [d['reference']]}}))\n"
+)
+
+
+def test_batch_mode_one_process_per_batch(spark, tmp_path):
+    """batch_mode=True: N documents -> ONE subprocess per Arrow
+    batch (counted via a marker file), identical outputs to the
+    per-document contract (content transformed, metadata merged)."""
+    marker = tmp_path / "runs"
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"text {i}", {"src": ["seed"]}) for i in range(6)],
+        "reference string, content string, "
+        "meta map<string, array<string>>",
+    ).coalesce(1)
+    cfg = ExternalConfig(
+        command=f'{PY} -c "{BATCH_TOOL}" {marker}',
+        batch_mode=True,
+    )
+    got = {
+        r["reference"]: r
+        for r in external_transform(docs, cfg).collect()
+    }
+    assert len(got) == 6
+    for i in range(6):
+        row = got[f"d{i}"]
+        assert row["content"] == f"TEXT {i}"
+        m = dict(row["meta"])
+        assert m["src"] == ["seed"]          # input meta kept
+        assert m["seen"] == [f"d{i}"]        # per-doc merge applied
+    # one partition, one Arrow batch -> exactly one subprocess
+    assert marker.read_text().count("run") == 1
+
+
+def test_batch_mode_equals_per_document(spark):
+    """The same upper-casing tool run per-document and per-batch
+    yields identical frames."""
+    tool_doc = ExternalConfig(command="tr a-z A-Z")
+    tool_batch = ExternalConfig(
+        command=(
+            f'{PY} -c "import sys, json\n'
+            "for ln in sys.stdin:\n"
+            "    if ln.strip():\n"
+            "        d = json.loads(ln)\n"
+            "        print(json.dumps("
+            "{'content': d['content'].upper()}))\""
+        ),
+        batch_mode=True,
+    )
+    docs = spark.createDataFrame(
+        [("a", "alpha", None), ("b", "beta", None)],
+        "reference string, content string, "
+        "meta map<string, array<string>>",
+    )
+    per_doc = {
+        r["reference"]: r["content"]
+        for r in external_transform(docs, tool_doc).collect()
+    }
+    per_batch = {
+        r["reference"]: r["content"]
+        for r in external_transform(docs, tool_batch).collect()
+    }
+    assert per_doc == per_batch == {"a": "ALPHA", "b": "BETA"}
+
+
+def test_batch_mode_rejects_patterns_and_count_mismatch(tmp_path):
+    from crawlspark.functions.external import run_external_batch
+
+    with pytest.raises(ValueError, match="patterns"):
+        run_external_batch(
+            ExternalConfig(
+                command="cat",
+                batch_mode=True,
+                patterns=(ExtractionPattern(r"x", field="f"),),
+            ),
+            [("r", "c", {})],
+        )
+    cfg = ExternalConfig(
+        command=f'{PY} -c "print(\'{{}}\')"', batch_mode=True
+    )
+    with pytest.raises(RuntimeError, match="output lines"):
+        run_external_batch(cfg, [("a", "1", {}), ("b", "2", {})])

@@ -485,3 +485,61 @@ def test_split_translate_contract(spark):
         split_translate(docs, ("fr",))
     with pytest.raises(ValueError, match="no target languages"):
         split_translate(docs, (), source_lang="en")
+
+
+def test_client_translate_adapter_seam(spark, tmp_path):
+    """client_translate_udf: the import-gated real-client slot. A
+    client registered as an importable module (simulating an
+    installed translation package) is resolved lazily on executors
+    and called ONCE per (src,tgt) pair per batch; a missing module
+    raises ImportError naming it; passing both/neither knobs raises."""
+    import pytest
+
+    from crawlspark.functions.transformers import (
+        client_translate_udf,
+        split_translate,
+    )
+
+    # a fake INSTALLED client package (kafka-python pattern: the test
+    # stands in for the real dependency), shipped to executors the
+    # way a deployment ships any client: addPyFile / --py-files
+    mod_file = tmp_path / "fake_mt_client.py"
+    mod_file.write_text(
+        "def translate(texts, src, tgt):\n"
+        "    return [f'<{src}:{tgt}>{t}' for t in texts]\n"
+    )
+    spark.sparkContext.addPyFile(str(mod_file))
+    docs = spark.createDataFrame(
+        [("r1", "hello"), ("r2", "world")],
+        "ref string, content string",
+    ).coalesce(1)
+    out = {
+        (r["ref"], r["language"]): r["content"]
+        for r in split_translate(
+            docs,
+            ("fr", "de"),
+            source_lang="en",
+            translate_udf=client_translate_udf(
+                module="fake_mt_client:translate"
+            ),
+        ).collect()
+    }
+    assert out[("r1!translation-fr", "fr")] == "<en:fr>hello"
+    assert out[("r2!translation-de", "de")] == "<en:de>world"
+    assert len(out) == 4
+
+    # missing module: the task fails with a clear ImportError
+    docs = spark.createDataFrame([("r", "x")], "ref string, content string")
+    bad = split_translate(
+        docs, ("fr",), source_lang="en",
+        translate_udf=client_translate_udf(
+            module="definitely_not_installed_mt"
+        ),
+    )
+    with pytest.raises(Exception, match="not installed"):
+        bad.collect()
+
+    with pytest.raises(ValueError, match="exactly one"):
+        client_translate_udf()
+    with pytest.raises(ValueError, match="exactly one"):
+        client_translate_udf(client=lambda t, s, g: t, module="x:y")
