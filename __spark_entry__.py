@@ -671,12 +671,13 @@ def q_embedded_split(spark, sf_dir):
 
 
 def q_content_detect(spark, sf_dir):
-    """ContentTypeDetector + CharsetDetector over real bytes of seven
+    """ContentTypeDetector + CharsetDetector over real bytes of eight
     formats (PDF / PNG / HTML / UTF-16 text / ZIP / legacy .doc /
-    legacy .xls), one per doc_id residue — the oracle knows which
-    format each row was encoded as, so a hash match proves magic-byte
-    + container detection on real payloads of every family (the CFB
-    rows exercise functions/cfbcodec.py's directory walk)."""
+    legacy .xls / EPUB), one per doc_id residue — the oracle knows
+    which format each row was encoded as, so a hash match proves
+    magic-byte + container detection on real payloads of every family
+    (the CFB rows exercise functions/cfbcodec.py's directory walk;
+    the EPUB rows the OCF mimetype-member sniff)."""
     import io
     import zipfile
 
@@ -696,7 +697,7 @@ def q_content_detect(spark, sf_dir):
         )
 
         for i, t in zip(ids, texts):
-            k = int(i) % 7
+            k = int(i) % 8
             t = (t or "")[:40]
             if k == 0:
                 b = build_pdf([t])
@@ -712,6 +713,10 @@ def q_content_detect(spark, sf_dir):
                 b = make_doc_bytes(t or "x")
             elif k == 6:
                 b = make_xls_bytes([t or "x"])
+            elif k == 7:
+                from crawlspark.functions.parsers import make_epub_bytes
+
+                b = make_epub_bytes([t or "x"])
             else:
                 buf = io.BytesIO()
                 with zipfile.ZipFile(buf, "w") as zf:
@@ -2002,15 +2007,16 @@ FROM d
 """,
         "q_content_detect": """
 SELECT doc_id::BIGINT AS doc_id,
-       CASE doc_id % 7
+       CASE doc_id % 8
          WHEN 0 THEN 'application/pdf'
          WHEN 1 THEN 'image/png'
          WHEN 2 THEN 'text/html'
          WHEN 3 THEN 'text/plain'
          WHEN 5 THEN 'application/msword'
          WHEN 6 THEN 'application/vnd.ms-excel'
+         WHEN 7 THEN 'application/epub+zip'
          ELSE 'application/zip' END AS content_type,
-       CASE doc_id % 7
+       CASE doc_id % 8
          WHEN 2 THEN 'utf-8'
          WHEN 3 THEN 'utf-16-le'
          ELSE NULL END AS charset

@@ -255,6 +255,7 @@ PPTX_TYPE = (
     "presentationml.presentation"
 )
 ODF_PREFIX = "application/vnd.oasis.opendocument."
+EPUB_TYPE = "application/epub+zip"
 OFFICE_TYPES = (DOCX_TYPE, XLSX_TYPE, PPTX_TYPE)
 
 _OOXML_MARKERS = [
@@ -273,7 +274,7 @@ def _sniff_office_zip(data: bytes) -> str | None:
             names = set(zf.namelist())
             if "mimetype" in names:
                 mt = zf.read("mimetype").decode("ascii", "replace").strip()
-                if mt.startswith(ODF_PREFIX):
+                if mt.startswith(ODF_PREFIX) or mt == EPUB_TYPE:
                     return mt
             if "[Content_Types].xml" in names:
                 for marker, ctype in _OOXML_MARKERS:
@@ -351,6 +352,125 @@ def _extract_office_text(data: bytes, ctype: str) -> str:
     except (zipfile.BadZipFile, OSError, KeyError, ValueError):
         return ""
     return ""
+
+
+def _extract_epub_text(data: bytes) -> str:
+    """EPUB (OCF zip container): META-INF/container.xml names the OPF
+    package file; the OPF ``spine`` orders ``manifest`` items by
+    idref — the content documents are XHTML, stripped like any HTML.
+    Reference: importer DefaultParser routes epub through Tika's
+    EpubParser; structurally it is zip + two small XML indexes, so
+    stdlib zipfile + ElementTree cover it. Missing/renamed members
+    degrade to extracting every (X)HTML member in archive order."""
+    import posixpath
+    import xml.etree.ElementTree as ET
+
+    def _root(xml_bytes: bytes):
+        try:
+            return ET.fromstring(xml_bytes)
+        except ET.ParseError:
+            return None
+
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            names = set(zf.namelist())
+            docs: list[str] = []
+            opf_path = None
+            if "META-INF/container.xml" in names:
+                c = _root(zf.read("META-INF/container.xml"))
+                if c is not None:
+                    for el in c.iter():
+                        if (
+                            _local(el.tag) == "rootfile"
+                            and el.get("full-path") in names
+                        ):
+                            opf_path = el.get("full-path")
+                            break
+            if opf_path is not None:
+                opf = _root(zf.read(opf_path))
+                base = posixpath.dirname(opf_path)
+                if opf is not None:
+                    hrefs = {
+                        el.get("id"): el.get("href")
+                        for el in opf.iter()
+                        if _local(el.tag) == "item" and el.get("href")
+                    }
+                    for el in opf.iter():
+                        if _local(el.tag) != "itemref":
+                            continue
+                        href = hrefs.get(el.get("idref"))
+                        if not href:
+                            continue
+                        member = posixpath.normpath(
+                            posixpath.join(base, href)
+                        )
+                        if member in names:
+                            docs.append(member)
+            if not docs:  # lenient fallback: every XHTML member
+                docs = sorted(
+                    n for n in names
+                    if n.lower().endswith((".xhtml", ".html", ".htm"))
+                )
+            parts = []
+            for member in docs:
+                body = zf.read(member)
+                t = _strip_markup(
+                    body.decode(detect_charset(body), errors="replace")
+                )
+                if t:
+                    parts.append(t)
+            return "\n".join(parts)
+    except (zipfile.BadZipFile, OSError, KeyError, ValueError):
+        return ""
+
+
+def make_epub_bytes(chapters: list[str], title: str = "t") -> bytes:
+    """Deterministic minimal EPUB builder (test/oracle fixture — the
+    make_doc_bytes/make_xls_bytes pattern from cfbcodec): stored-first
+    ``mimetype``, container.xml -> OEBPS/content.opf, one XHTML
+    chapter per input string, spine in input order."""
+    epoch = (1980, 1, 1, 0, 0, 0)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(
+            zipfile.ZipInfo("mimetype", epoch),
+            EPUB_TYPE,
+            compress_type=zipfile.ZIP_STORED,
+        )
+        zf.writestr(
+            zipfile.ZipInfo("META-INF/container.xml", epoch),
+            '<?xml version="1.0"?><container version="1.0" '
+            'xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+            '<rootfiles><rootfile full-path="OEBPS/content.opf" '
+            'media-type="application/oebps-package+xml"/>'
+            "</rootfiles></container>",
+        )
+        items = "".join(
+            f'<item id="c{i}" href="ch{i}.xhtml" '
+            'media-type="application/xhtml+xml"/>'
+            for i in range(len(chapters))
+        )
+        spine = "".join(
+            f'<itemref idref="c{i}"/>' for i in range(len(chapters))
+        )
+        zf.writestr(
+            zipfile.ZipInfo("OEBPS/content.opf", epoch),
+            '<?xml version="1.0"?><package version="3.0" '
+            'xmlns="http://www.idpf.org/2007/opf" unique-identifier="u">'
+            f"<metadata><dc:title xmlns:dc="
+            f'"http://purl.org/dc/elements/1.1/">{title}</dc:title>'
+            f"</metadata><manifest>{items}</manifest>"
+            f'<spine>{spine}</spine></package>',
+        )
+        for i, ch in enumerate(chapters):
+            zf.writestr(
+                zipfile.ZipInfo(f"OEBPS/ch{i}.xhtml", epoch),
+                "<?xml version='1.0'?><html xmlns="
+                "'http://www.w3.org/1999/xhtml'><body><p>"
+                + ch
+                + "</p></body></html>",
+            )
+    return buf.getvalue()
 
 
 # ---------------------------------------------------------------------------
@@ -605,6 +725,8 @@ def extract_text(data: bytes | None, content_type: str | None = None) -> str:
         return b.decode(detect_charset(b), errors="replace")
     if ctype in OFFICE_TYPES or ctype.startswith(ODF_PREFIX):
         return _extract_office_text(b, ctype)
+    if ctype == EPUB_TYPE:
+        return _extract_epub_text(b)
     if ctype == "application/msword":
         from .cfbcodec import doc_text
 

@@ -659,3 +659,70 @@ def test_rtf_unicode_and_uc_fallback_skip():
     # \uc2 swallows two fallback characters
     rtf2 = rb"{\rtf1 \uc2\u945?? end}"
     assert extract_text(rtf2) == "\u03b1 end"
+
+
+def test_epub_detect_and_extract_spine_order():
+    """EPUB = OCF zip: detected by the stored-first mimetype member
+    (Tika EpubParser analog); text extracted chapter-by-chapter in
+    SPINE order, not archive/alphabetical order."""
+    from crawlspark.functions.parsers import (
+        EPUB_TYPE,
+        detect_content_type,
+        extract_text,
+        make_epub_bytes,
+    )
+
+    b = make_epub_bytes(["zulu last-name chapter", "alpha second"])
+    assert detect_content_type(b) == EPUB_TYPE
+    assert extract_text(b) == "zulu last-name chapter\nalpha second"
+    # deterministic bytes (oracle fixture contract)
+    assert b == make_epub_bytes(["zulu last-name chapter", "alpha second"])
+
+
+def test_epub_fallbacks():
+    import io
+    import zipfile
+
+    from crawlspark.functions.parsers import (
+        EPUB_TYPE,
+        detect_content_type,
+        extract_text,
+    )
+
+    # mimetype says epub but no container.xml/OPF: lenient fallback
+    # extracts every (X)HTML member in name order
+    buf = io.BytesIO()
+    epoch = (1980, 1, 1, 0, 0, 0)
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(
+            zipfile.ZipInfo("mimetype", epoch),
+            EPUB_TYPE,
+            compress_type=zipfile.ZIP_STORED,
+        )
+        zf.writestr(
+            zipfile.ZipInfo("b.xhtml", epoch),
+            "<html><body>second</body></html>",
+        )
+        zf.writestr(
+            zipfile.ZipInfo("a.xhtml", epoch),
+            "<html><body>first</body></html>",
+        )
+    raw = buf.getvalue()
+    assert detect_content_type(raw) == EPUB_TYPE
+    assert extract_text(raw) == "first\nsecond"
+    # truncated blob degrades to plain zip -> empty text, no raise
+    assert extract_text(raw[:30]) == ""
+    # OPF pointing at missing members -> falls back, never raises
+    buf2 = io.BytesIO()
+    with zipfile.ZipFile(buf2, "w") as zf:
+        zf.writestr(
+            zipfile.ZipInfo("mimetype", epoch),
+            EPUB_TYPE,
+            compress_type=zipfile.ZIP_STORED,
+        )
+        zf.writestr(
+            zipfile.ZipInfo("META-INF/container.xml", epoch),
+            '<container xmlns="urn:x"><rootfiles><rootfile '
+            'full-path="missing.opf"/></rootfiles></container>',
+        )
+    assert extract_text(buf2.getvalue()) == ""
