@@ -671,13 +671,13 @@ def q_embedded_split(spark, sf_dir):
 
 
 def q_content_detect(spark, sf_dir):
-    """ContentTypeDetector + CharsetDetector over real bytes of eight
+    """ContentTypeDetector + CharsetDetector over real bytes of nine
     formats (PDF / PNG / HTML / UTF-16 text / ZIP / legacy .doc /
-    legacy .xls / EPUB), one per doc_id residue — the oracle knows
-    which format each row was encoded as, so a hash match proves
-    magic-byte + container detection on real payloads of every family
-    (the CFB rows exercise functions/cfbcodec.py's directory walk;
-    the EPUB rows the OCF mimetype-member sniff)."""
+    legacy .xls / EPUB / legacy .ppt), one per doc_id residue — the
+    oracle knows which format each row was encoded as, so a hash
+    match proves magic-byte + container detection on real payloads of
+    every family (the CFB rows exercise functions/cfbcodec.py's
+    directory walk; the EPUB rows the OCF mimetype-member sniff)."""
     import io
     import zipfile
 
@@ -697,7 +697,7 @@ def q_content_detect(spark, sf_dir):
         )
 
         for i, t in zip(ids, texts):
-            k = int(i) % 8
+            k = int(i) % 9
             t = (t or "")[:40]
             if k == 0:
                 b = build_pdf([t])
@@ -717,6 +717,10 @@ def q_content_detect(spark, sf_dir):
                 from crawlspark.functions.parsers import make_epub_bytes
 
                 b = make_epub_bytes([t or "x"])
+            elif k == 8:
+                from crawlspark.functions.cfbcodec import make_ppt_bytes
+
+                b = make_ppt_bytes([t or "x"])
             else:
                 buf = io.BytesIO()
                 with zipfile.ZipFile(buf, "w") as zf:
@@ -2007,7 +2011,7 @@ FROM d
 """,
         "q_content_detect": """
 SELECT doc_id::BIGINT AS doc_id,
-       CASE doc_id % 8
+       CASE doc_id % 9
          WHEN 0 THEN 'application/pdf'
          WHEN 1 THEN 'image/png'
          WHEN 2 THEN 'text/html'
@@ -2015,8 +2019,9 @@ SELECT doc_id::BIGINT AS doc_id,
          WHEN 5 THEN 'application/msword'
          WHEN 6 THEN 'application/vnd.ms-excel'
          WHEN 7 THEN 'application/epub+zip'
+         WHEN 8 THEN 'application/vnd.ms-powerpoint'
          ELSE 'application/zip' END AS content_type,
-       CASE doc_id % 8
+       CASE doc_id % 9
          WHEN 2 THEN 'utf-8'
          WHEN 3 THEN 'utf-16-le'
          ELSE NULL END AS charset

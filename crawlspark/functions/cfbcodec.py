@@ -458,6 +458,68 @@ def make_xls_bytes(strings: list[str]) -> bytes:
     return encode_cfb({"Workbook": wb})
 
 
+def _ppt_records(stream: bytes, pos: int = 0, end: int | None = None):
+    """Walk MS-PPT binary records ((verAndInstance, recType, recLen)
+    8-byte headers); recurses into containers (recVer == 0xF),
+    yielding (recType, body) for atoms in stream order."""
+    end = len(stream) if end is None else end
+    while pos + 8 <= end:
+        ver_inst, rtype, rlen = struct.unpack_from("<HHI", stream, pos)
+        pos += 8
+        if rlen > end - pos:
+            break  # truncated/corrupt record: keep what parsed
+        if ver_inst & 0x000F == 0x000F:  # container
+            yield from _ppt_records(stream, pos, pos + rlen)
+        else:
+            yield rtype, stream[pos:pos + rlen]
+        pos += rlen
+
+
+_PPT_TEXT_CHARS = 0x0FA0  # TextCharsAtom (UTF-16LE)
+_PPT_TEXT_BYTES = 0x0FA8  # TextBytesAtom (low bytes of UTF-16 chars)
+
+
+def ppt_text(data: bytes) -> str:
+    """CFB ``.ppt`` bytes -> slide/outline text: TextCharsAtom +
+    TextBytesAtom bodies from the PowerPoint Document stream, in
+    stream order (MS-PPT; Tika/POI extracts the same atoms). PPT
+    stores paragraph breaks as CR and line breaks as VT — both
+    normalize to newlines."""
+    streams = cfb_streams(data)
+    doc = streams.get("PowerPoint Document")
+    if doc is None:
+        return ""
+    out: list[str] = []
+    for rtype, body in _ppt_records(doc):
+        if rtype == _PPT_TEXT_CHARS:
+            s = body.decode("utf-16-le", errors="replace")
+        elif rtype == _PPT_TEXT_BYTES:
+            s = "".join(chr(b) for b in body)
+        else:
+            continue
+        s = s.replace("\r", "\n").replace("\x0b", "\n").strip("\x00")
+        if s:
+            out.append(s)
+    return "\n".join(s for s in out if s).strip()
+
+
+def make_ppt_bytes(texts: list[str]) -> bytes:
+    """Deterministic minimal ``.ppt`` fixture: a Document container
+    holding one Text{Chars,Bytes}Atom per input string (Chars when
+    any code point exceeds Latin-1)."""
+    def rec(ver_inst: int, rtype: int, body: bytes) -> bytes:
+        return struct.pack("<HHI", ver_inst, rtype, len(body)) + body
+
+    atoms = b""
+    for s in texts:
+        if all(ord(c) < 256 for c in s):
+            atoms += rec(0x0000, _PPT_TEXT_BYTES, s.encode("latin-1"))
+        else:
+            atoms += rec(0x0000, _PPT_TEXT_CHARS, s.encode("utf-16-le"))
+    doc = rec(0x000F, 0x03E8, atoms)  # DocumentContainer
+    return encode_cfb({"PowerPoint Document": doc})
+
+
 # ---------------------------------------------------------------------------
 # detection
 # ---------------------------------------------------------------------------

@@ -741,8 +741,15 @@ def extract_text(data: bytes | None, content_type: str | None = None) -> str:
             return xls_text(b)
         except Exception:
             return ""
-    # application/vnd.ms-powerpoint / application/x-cfb: typed
-    # binary leaf (detected, not text-extracted — the Tika-OCR gap)
+    if ctype == "application/vnd.ms-powerpoint":
+        from .cfbcodec import ppt_text
+
+        try:
+            return ppt_text(b)
+        except Exception:
+            return ""
+    # application/x-cfb: typed binary leaf (detected, not
+    # text-extracted); OCR remains the one Tika-breadth gap
     if ctype == "message/rfc822":
         return _extract_email_text(b)
     if ctype == "application/mbox":

@@ -75,3 +75,38 @@ def test_parsers_dispatch_and_corrupt_guards():
     assert extract_text(d[:100]) == ""
     with pytest.raises(ValueError):
         cfb_streams(b"not a container")
+
+
+def test_ppt_text_atoms_in_stream_order():
+    """MS-PPT TextBytesAtom + TextCharsAtom walk (recursing through
+    container records), CR/VT newline normalization, UTF-16 path for
+    non-Latin-1 text."""
+    from crawlspark.functions.cfbcodec import make_ppt_bytes, ppt_text
+
+    b = make_ppt_bytes(
+        ["Slide one title", "bullet\rsecond line", "café — déjà"]
+    )
+    assert detect_cfb_type(b) == "application/vnd.ms-powerpoint"
+    assert detect_content_type(b) == "application/vnd.ms-powerpoint"
+    assert (
+        extract_text(b)
+        == "Slide one title\nbullet\nsecond line\ncafé — déjà"
+    )
+    # deterministic fixture bytes; truncation degrades to ""
+    assert b == make_ppt_bytes(
+        ["Slide one title", "bullet\rsecond line", "café — déjà"]
+    )
+    assert extract_text(b[:80]) == ""
+
+
+def test_ppt_records_skip_corrupt_tail():
+    """A record whose declared length overruns the stream ends the
+    walk with everything before it kept."""
+    import struct
+
+    from crawlspark.functions.cfbcodec import encode_cfb, ppt_text
+
+    good = struct.pack("<HHI", 0, 0x0FA8, 4) + b"keep"
+    bad = struct.pack("<HHI", 0, 0x0FA8, 9999) + b"xx"
+    blob = encode_cfb({"PowerPoint Document": good + bad})
+    assert ppt_text(blob) == "keep"

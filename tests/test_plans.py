@@ -289,3 +289,40 @@ def test_source_mix_single_scan_partial_agg(spark):
     assert plan.count("Scan parquet") <= 2  # tree + details sections
     assert "partial_count" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_session_shuffle_writer_and_scratch_defaults(spark):
+    """The file-creation-storm fix holds (see session.py: jstack put
+    27/32 task threads in FileOutputStream.open0 under the bypass
+    writer): sort-based shuffle writer forced, and in local mode the
+    shuffle scratch lives on tmpfs when /dev/shm is writable."""
+    import os
+
+    assert (
+        spark.conf.get("spark.shuffle.sort.bypassMergeThreshold") == "2"
+    )
+    if (
+        spark.sparkContext.master.startswith("local")
+        and os.access("/dev/shm", os.W_OK)
+        and os.environ.get("SPARK_GRAFT_LOCAL_DIR") is None
+    ):
+        assert spark.conf.get("spark.local.dir").startswith("/dev/shm")
+
+
+def test_sweep_stale_scratch(tmp_path):
+    """Only dead-session scratch (older than the age floor) is swept;
+    fresh dirs survive."""
+    import os
+    import time
+
+    from crawlspark.session import _sweep_stale_scratch
+
+    old = tmp_path / "spark-dead"
+    new = tmp_path / "spark-live"
+    old.mkdir()
+    new.mkdir()
+    (old / "f").write_text("x")
+    stale = time.time() - 10 * 3600
+    os.utime(old, (stale, stale))
+    _sweep_stale_scratch(str(tmp_path))
+    assert not old.exists() and new.exists()
