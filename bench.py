@@ -222,20 +222,31 @@ def run_scaling() -> None:
         for k in ("BENCH_HOSTS", "BENCH_DEPTH", "BENCH_BRANCH", "BENCH_IMG")
     }
     code = _git_rev()
+    # revs whose CRAWL-PATH code is identical to HEAD (doc/test/
+    # parser-only commits between sweeps) may be pooled into the gate
+    # estimator via BENCH_GATE_CODES="rev1,rev2" — each trial's actual
+    # rev stays visible in the doc's `code` column, so the pooling is
+    # auditable; without the env only exact-HEAD trials count.
+    gate_codes = {code} | {
+        c.strip()
+        for c in os.environ.get("BENCH_GATE_CODES", "").split(",")
+        if c.strip()
+    }
     bw = _bandwidth_probe()
 
     def runs_by_level() -> dict[int, list[dict]]:
-        """Per level: this site's trials from the CURRENT code version
-        (so a perf change never mixes eras inside the gate number);
-        falls back to the site's full history when the current code
-        has no trials yet at that level."""
+        """Per level: this site's trials from the current code version
+        or its declared crawl-path-identical equivalents (so a perf
+        change never mixes eras inside the gate number); falls back to
+        the site's full history when the current code has no trials
+        yet at that level."""
         site_hist = [r for r in hist if r.get("site") == site_key]
         out = {}
         for n in levels:
             cur = [
                 r
                 for r in site_hist
-                if r["level"] == n and r.get("code") == code
+                if r["level"] == n and r.get("code") in gate_codes
             ]
             out[n] = cur or [r for r in site_hist if r["level"] == n]
         return out
