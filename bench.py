@@ -438,16 +438,19 @@ names WHICH stages inflate at 4x threads:
 Reading: `parquet at <unknown>` is the fused fetch+parse+image-
 synthesize+commit pipeline — the mapInPandas stage whose output
 feeds the ledger/document parquet writes (Python workers doing
-numpy/zlib image synthesis; executor run time includes waiting on
-them). Its CPU time itself inflating near the bandwidth table's
-ratio — not just run time — is the memory-bus signature: the same
-instructions take more cycles when 4x threads share one bus. GC
-inflating on top of it is single-JVM heap contention (32 concurrent
-binary-heavy writers against one heap); a real 4N-executor cluster
-multiplies heaps and buses with nodes, which is exactly what this
-sandbox cannot. The seq-assignment / queue-materialize collect
-stages (dedup.py, superstep.py callsites) inflate similarly but are
-an order of magnitude smaller in absolute core-seconds.
+numpy/zlib image synthesis; executor run time is dominated by
+waiting on them, which parallelizes cleanly — after the round-5
+shuffle-writer/tmpfs fix this stage's 8->32 inflation and GC are
+both small). The residual inflators are the shuffle-bound stages
+(seq-assignment and queue-materialize collects, localCheckpoint):
+their CPU time inflating with thread count is the shared
+memory-bus signature the bandwidth table quantifies, but they are
+an order of magnitude smaller in absolute core-seconds than the
+fused stage, so they cap efficiency without dominating wall time.
+Earlier rounds' tables (same protocol, pre-fix code) showed the
+fused stage itself inflating ~3.8x with 11x GC; that was the
+shuffle file-creation storm counted as task CPU — see the round-5
+NOTES section for the kernel-stack evidence.
 """
 
 
