@@ -238,7 +238,12 @@ class CrawlConfig:
     # of bloom_bits/N bits living in a dim frame, cogroup-applied
     # co-partitioned with candidates — the shape that sizes to 10^10
     # URLs (~12 GB of bitmap) without a driver array.
-    bloom_bits: int = 1 << 22
+    # 2^24 bits = 2 MB of driver array ≈ 0.33 fill at 1.7M URLs (k=4)
+    # — covers multi-million-URL crawls without mid-run saturation
+    # (the r4 default 2^22 auto-disabled at ~1.7M ledger rows on the
+    # bench site); still trivially driver-safe. Size up or shard for
+    # bigger frontiers.
+    bloom_bits: int = 1 << 24
     bloom_shards: int = 0
     image_w: int = 32
     image_h: int = 32

@@ -82,12 +82,33 @@ def assign_seq(
     start: int,
     seq_col: str = "seq",
     n_part: int | None = None,
+    first_col_bounds: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Add a dense 0-gap sequence ``start, start+1, ...`` following the
-    total order given by ``order_cols`` (must be unique per row)."""
+    total order given by ``order_cols`` (must be unique per row).
+
+    ``first_col_bounds=(lo, hi)`` — when the caller knows the value
+    range of ``order_cols[0]`` (the crawl engine does: a candidate's
+    ``parent_seq`` is always a seq of the level being processed, whose
+    dense range the driver tracks), the range-partitioner's SAMPLING
+    pass is skipped entirely: rows are bucketed by a computed
+    ``(v - lo) * buckets // span`` id — monotone in the first order
+    column, so bucket k's rows all precede bucket k+1's in the total
+    order — and hash-clustered by that id (every row of a bucket lands
+    in one partition; which physical partition is irrelevant because
+    offsets are accumulated per *bucket*). One shuffle + one tiny
+    per-bucket count job instead of sample + shuffle + count: a whole
+    pass over the candidate lineage saved per superstep. NULL first
+    columns all map to bucket 0 (Spark sorts nulls first ascending, so
+    they belong at the front of the total order anyway).
+    """
     spark = df.sparkSession
     if n_part is None:
         n_part = max(2, spark.sparkContext.defaultParallelism)
+    if first_col_bounds is not None:
+        return _assign_seq_bucketed(
+            df, order_cols, start, seq_col, n_part, first_col_bounds
+        )
     parted = df.repartitionByRange(n_part, *order_cols).sortWithinPartitions(
         *order_cols
     )
@@ -129,6 +150,90 @@ def assign_seq(
     # expose the internal cache so the caller can release it once the
     # result is materialized (long superstep loops would otherwise
     # accumulate cached frames)
+    out._assign_seq_cache = parted
+    return out
+
+
+def _assign_seq_bucketed(
+    df: DataFrame,
+    order_cols: list[str],
+    start: int,
+    seq_col: str,
+    n_part: int,
+    bounds: tuple[int, int],
+) -> DataFrame:
+    """Sample-free ``assign_seq``: explicit order-contiguous buckets
+    from the known first-column range (see ``assign_seq`` docstring).
+
+    4x more buckets than partitions so hash collisions (two buckets
+    sharing a physical partition) stay a balance footnote, never a
+    correctness concern — offsets are per bucket, and hash clustering
+    guarantees a bucket never straddles partitions."""
+    lo, hi = bounds
+    span = max(1, int(hi) - int(lo) + 1)
+    n_buckets = max(1, min(4 * n_part, span))
+    first = F.col(order_cols[0]).cast("long")
+    bucket = F.when(
+        first.isNull(), F.lit(0)
+    ).otherwise(
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(n_buckets - 1),
+                ((first - F.lit(int(lo))) * n_buckets / F.lit(span)).cast(
+                    "long"
+                ),
+            ),
+        )
+    )
+    parted = (
+        df.withColumn("__bkt", bucket)
+        .repartition(n_part, F.col("__bkt"))
+        .sortWithinPartitions("__bkt", *order_cols)
+    )
+    parted = parted.cache()
+    counts = parted.groupBy("__bkt").count().collect()
+    sizes = {int(r["__bkt"]): r["count"] for r in counts}
+    offsets: dict[int, int] = {}
+    acc = start
+    for b in sorted(sizes):
+        offsets[b] = acc
+        acc += sizes[b]
+    boff = parted.sparkSession.sparkContext.broadcast(offsets)
+    cols = df.columns
+
+    def add_seq(it):
+        # batches arrive sorted by (__bkt, *order_cols); a bucket's rows
+        # are contiguous within the partition and global to it, so a
+        # per-bucket running offset is exact.
+        cur_bkt = None
+        off = 0
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            bkts = pdf["__bkt"].to_numpy()
+            seqs = np.empty(len(pdf), dtype="int64")
+            pos = 0
+            # contiguous runs of equal bucket id
+            change = np.flatnonzero(np.diff(bkts)) + 1
+            for s, e in zip(
+                np.concatenate(([0], change)),
+                np.concatenate((change, [len(bkts)])),
+            ):
+                b = int(bkts[s])
+                if b != cur_bkt:
+                    cur_bkt = b
+                    off = boff.value[b]
+                seqs[s:e] = np.arange(off, off + (e - s), dtype="int64")
+                off += e - s
+                pos = e
+            assert pos == len(bkts)
+            yield pdf.assign(**{seq_col: seqs}).drop(columns="__bkt")
+
+    schema = parted.drop("__bkt").withColumn(
+        seq_col, F.lit(0).cast("long")
+    ).schema
+    out = parted.mapInPandas(add_seq, schema=schema).select(*cols, seq_col)
     out._assign_seq_cache = parted
     return out
 

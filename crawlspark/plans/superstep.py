@@ -123,6 +123,9 @@ _TIMING = os.environ.get("CRAWLSPARK_TIMING", "") == "1"
 # few thousand rows ≈ tens of ms per task, comfortably above task
 # overhead while still fanning wide levels out to every core.
 ROWS_PER_TASK = 2500
+# below this level size AQE's per-stage re-planning round-trips cost
+# more driver latency than they save (see _set_shuffle)
+AQE_MIN_ROWS = 100_000
 # below this many candidates, seq assignment single-task sorts instead
 # of range-partitioning (saves the sampling + count jobs).
 SMALL_SEQ_ROWS = 150_000
@@ -453,6 +456,10 @@ class CrawlEngine:
         )
         self.superstep = 0
         self.max_seq = 0
+        # seq range of the most recently assigned level (None until the
+        # first pipeline run and after resume — assign_seq then falls
+        # back to its sampling path)
+        self._level_bounds: tuple[int, int] | None = None
         self.committed_total = 0
         self.queued_remaining = 0
         # highest politeness-clock value scheduled so far (drives the
@@ -491,6 +498,11 @@ class CrawlEngine:
         # crawl-loop regression.
         self._bad_event_state: DataFrame | None = None
         self._resume_event_parts: list[DataFrame] = []
+        # deferred pool work from step()'s commit region: the bitmap
+        # fold and the bad-event-state checkpoint both overlap the next
+        # superstep's parse and land at their first consumer
+        self._bloom_fut = None
+        self._bad_ev_fut = None
         # (host, [path,] xml) dim for SitemapResolution; hosts whose
         # sitemap has been resolved (once-per-host-ever,
         # SitemapResolutionStage.java:94-110 compute-if-absent)
@@ -548,9 +560,21 @@ class CrawlEngine:
         return max(1, min(4 * self._parallelism, rows // ROWS_PER_TASK + 1))
 
     def _set_shuffle(self, rows: int) -> None:
-        """Size upcoming shuffles to the data, not the cluster."""
+        """Size upcoming shuffles to the data, not the cluster.
+
+        AQE is toggled with the level size: its per-stage re-planning
+        costs one driver round-trip per shuffle stage, which on a
+        small level (bootstrap, redirect-requeue tails) is pure
+        latency — every shuffle here is already explicitly sized, and
+        skew/coalesce only matter at data volumes. Big levels keep AQE
+        for its skew-join splitting. run() restores the session
+        default (true) on exit so the setting never leaks."""
         self.spark.conf.set(
             "spark.sql.shuffle.partitions", str(self._n_part(rows))
+        )
+        self.spark.conf.set(
+            "spark.sql.adaptive.enabled",
+            "true" if rows > AQE_MIN_ROWS else "false",
         )
 
     def _baseline_hint(self, proj: DataFrame) -> DataFrame:
@@ -772,11 +796,33 @@ class CrawlEngine:
                 base = base.unionByName(p)
         return base.select("checksum", F.lit(True).alias("ck_seen"))
 
+    def _resolve_bloom(self) -> None:
+        """Block on the deferred bitmap fold (submitted by step()'s
+        commit region) before the bitmap is consulted again."""
+        fut = self._bloom_fut
+        if fut is not None:
+            self._bloom_fut = None
+            fut.result()
+
+    def _resolve_bad_events(self) -> None:
+        """Land the deferred bad-event-state checkpoint (see step())."""
+        fut = self._bad_ev_fut
+        if fut is not None:
+            self._bad_ev_fut = None
+            chk, old = fut.result()
+            self._bad_event_state = chk
+            if old is not None:
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass
+
     def _events(self) -> DataFrame:
         """(url, turn, kind, ev_outcome) — the compact requeue state:
         per url, the latest ledger event, kept only when it is a
         bad-outcome PROCESSED (see __init__). Usually a handful of
         rows; never O(ledger)."""
+        self._resolve_bad_events()
         if self._bad_event_state is None:
             return self.spark.createDataFrame(
                 [], "url string, turn long, kind string, ev_outcome string"
@@ -792,6 +838,7 @@ class CrawlEngine:
         requeue behavior with O(level + |bad|) work per superstep."""
         from ..functions.checksums import GOOD_OUTCOMES
 
+        self._resolve_bad_events()
         ev = new_events
         if self._bad_event_state is not None:
             ev = self._bad_event_state.unionByName(ev)
@@ -885,6 +932,8 @@ class CrawlEngine:
         durable state lives in the workdir parquet."""
         from ..operators.textops import release_caches
 
+        self._resolve_bloom()
+        self._resolve_bad_events()
         n = release_caches()
         frames: list = []
         frames += self._pinned
@@ -1088,6 +1137,7 @@ class CrawlEngine:
                 ["parent_seq", "out_pos", "sub"],
                 self.max_seq,
                 n_part=self._n_part(n_cand),
+                first_col_bounds=self._level_bounds,
             )
         qtick("qp:seq_assigned")
         if cfg.record_url_variants:
@@ -1191,6 +1241,7 @@ class CrawlEngine:
         # The bitmap is synced from the full ledger once, at the
         # threshold crossing; afterwards step() feeds it only new rows.
         ledger_keys = ledger.select("url", "seen_key")
+        self._resolve_bloom()
         if (
             not self._bloom_synced
             and self._ledger_rows >= cfg.bloom_prefilter_min_ledger
@@ -1443,7 +1494,14 @@ class CrawlEngine:
             "DUPLICATE_OR_BAD_SKIPPED": n_cand - n_new,
         }
         stats.update(sm_stats)
+        # the level just assigned spans exactly [old max_seq, new max_seq):
+        # next superstep's candidates carry parent_seq values from inside
+        # it, so assign_seq can bucket by this range instead of sampling.
+        # A stale/loose range is only a balance hint (the bucket map is
+        # clamped + monotone), never a correctness input.
+        lo = self.max_seq
         self.max_seq += n_new
+        self._level_bounds = (lo, self.max_seq - 1) if n_new else None
         self._ledger_rows += n_new
         return stats
 
@@ -2442,7 +2500,12 @@ class CrawlEngine:
         self._pinned.append(new_chk)
         frag = new_chk.select("url", "seen_key")
         if self._bloom_synced:
-            self.bloom.add_df(frag)
+            # the bitmap isn't consulted again until the NEXT
+            # superstep's queue pipeline — fold the new keys in on the
+            # pool and only block there (_resolve_bloom)
+            self._bloom_fut = self._ckpt_pool.submit(
+                self.bloom.add_df, frag
+            )
         self._key_parts.append(frag)
         self._registry_parts.append(futs["registry"].result())
         if cfg.metadata_dedup:
@@ -2451,7 +2514,11 @@ class CrawlEngine:
             # fold this superstep's events (PROCESSED rows at their own
             # seq; new QUEUED/REJECTED rows at their parent's turn) into
             # the compact bad-target state — O(level + |bad|), replacing
-            # r2's ever-growing event-fragment union
+            # r2's ever-growing event-fragment union. The fold's plan is
+            # built here (it references the current state) but its
+            # checkpoint runs on the pool — the state is next read in
+            # the NEXT superstep's queue pipeline (_events), which
+            # resolves the future.
             cur_events = parsed.select(
                 "url",
                 F.col("seq").alias("turn"),
@@ -2459,14 +2526,13 @@ class CrawlEngine:
                 F.col("outcome").alias("ev_outcome"),
             ).unionByName(new_chk.select(*_event_proj()))
             old_ev = self._bad_event_state
-            self._bad_event_state = self._merge_bad_events(
-                cur_events
-            ).localCheckpoint(eager=True)
-            if old_ev is not None:
-                try:
-                    old_ev.unpersist()
-                except Exception:
-                    pass
+            merged_ev = self._merge_bad_events(cur_events)
+            self._bad_ev_fut = self._ckpt_pool.submit(
+                lambda df=merged_ev, old=old_ev: (
+                    df.localCheckpoint(True),
+                    old,
+                )
+            )
         next_frontier = new_chk.filter(F.col("status") == "QUEUED")
         # the superseded snapshot is dead: new_state is eagerly
         # materialized, nothing re-reads the old frame
@@ -2602,6 +2668,10 @@ class CrawlEngine:
                 break
             out.append(st)
         self.flush()
+        # _set_shuffle may have left AQE off after a small final level;
+        # restore the session default so later non-engine queries (and
+        # plan tests) see it on
+        self.spark.conf.set("spark.sql.adaptive.enabled", "true")
         return out
 
     # -- outputs -------------------------------------------------------------

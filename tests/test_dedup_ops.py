@@ -54,6 +54,37 @@ def test_assign_seq_empty(spark):
     assert assign_seq(df, ["a", "b"], start=0).count() == 0
 
 
+def test_assign_seq_bucketed_matches_sampled(spark):
+    """The sample-free bounds path must produce the identical dense
+    sequence — with exact bounds, loose bounds, stale (wrong) bounds,
+    and null first-column values (bounds are a balance hint only)."""
+    df = spark.range(10_000).select(
+        (F.col("id") * 7919 % 10_000 + 50_000).alias("a"),
+        F.col("id").alias("b"),
+    )
+    expect = list(range(7, 7 + 10_000))
+
+    def seqs(bounds):
+        out = assign_seq(
+            df, ["a", "b"], start=7, first_col_bounds=bounds
+        ).collect()
+        rows = sorted(out, key=lambda r: (r["a"], r["b"]))
+        return [r["seq"] for r in rows]
+
+    assert seqs((50_000, 59_999)) == expect  # exact
+    assert seqs((0, 10_000_000)) == expect  # loose
+    assert seqs((59_000, 59_010)) == expect  # stale/wrong: skew only
+    # null first column sorts first, like the sampled path
+    dfn = spark.createDataFrame(
+        [(None, 2), (5, 0), (None, 1), (3, 9)], "a long, b long"
+    )
+    out = assign_seq(
+        dfn, ["a", "b"], start=0, first_col_bounds=(3, 5)
+    ).collect()
+    got = {(r["a"], r["b"]): r["seq"] for r in out}
+    assert got == {(None, 1): 0, (None, 2): 1, (3, 9): 2, (5, 0): 3}
+
+
 def test_first_wins(spark):
     df = spark.createDataFrame(
         [("u1", 5, 0), ("u1", 3, 1), ("u2", 9, 0), ("u1", 3, 0)],
