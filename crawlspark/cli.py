@@ -112,6 +112,42 @@ def _engine(spark, args, resume: bool):
         # GenericSitemapResolver
         sitemaps = discover_sitemaps_df(spark, roots_df, robots, hcfg)
         fetcher = make_http_fetcher(hcfg)
+        if getattr(args, "render", None):
+            # MultiFetcher chain (MultiFetcher.java:110-158): the
+            # rendering fetcher accepts matching URLs first; everything
+            # else (and render failures) falls through to sockets.
+            from .sources.browserfetch import (
+                BrowserFetcherConfig,
+                _with_retry,
+                accept_fn,
+                chain_fetchers,
+                playwright_render_fn,
+            )
+            from .sources.httpfetch import fetch_url
+
+            bcfg = BrowserFetcherConfig(
+                accept_pattern=(
+                    None if args.render == "all" else args.render
+                ),
+                retries=cfg.fetch_retries,
+            )
+            fetcher = chain_fetchers(
+                [
+                    (
+                        accept_fn(bcfg),
+                        _with_retry(
+                            playwright_render_fn(bcfg), bcfg.retries
+                        ),
+                    ),
+                    (
+                        lambda u: True,
+                        _with_retry(
+                            lambda u: fetch_url(u, hcfg),
+                            cfg.fetch_retries,
+                        ),
+                    ),
+                ]
+            )
     else:
         pages = spark.read.parquet(args.pages) if args.pages else None
         robots = (
@@ -279,6 +315,14 @@ def main(argv: list[str] | None = None) -> int:
             action="store_true",
             help="fetch over real sockets (HttpClientFetcher analog); "
             "robots.txt fetched per seed host; honors --retries",
+        )
+        p.add_argument(
+            "--render",
+            metavar="PATTERN",
+            help="with --http: route URLs matching this regex through "
+            "a JS-rendering Playwright fetcher first (MultiFetcher "
+            "chain, PlaywrightFetcher analog); 'all' renders every "
+            "URL. Needs the playwright package on the executors.",
         )
         p.add_argument("--robots", help="parquet (host, body)")
         p.add_argument("--seeds", help="text file, one URL per line")

@@ -49,6 +49,15 @@ _META_REFRESH_RE = re.compile(
     re.I,
 )
 _NOFOLLOW_RE = re.compile(r"\brel\s*=\s*[\"']?[^\"'>]*nofollow", re.I)
+# script bodies must not contribute links — the reference blanks them
+# before extraction (HtmlLinkExtractor.java:375-378 "Get rid of
+# <script> tags content to eliminate possibly generated URLs"); a
+# URL inside JS only becomes followable after rendering
+# (sources/browserfetch.py). Bodies are replaced by same-length
+# padding so the document-order positions of real links are unmoved.
+_SCRIPT_BODY_RE = re.compile(
+    r"(<script\b[^>]*>)(.*?)(</script>)", re.I | re.S
+)
 _HEAD_RE = re.compile(r"<head\b.*?</head>", re.I | re.S)
 _CANONICAL_RE = re.compile(
     r"<link\b[^>]*rel\s*=\s*[\"']?canonical[\"']?[^>]*"
@@ -73,6 +82,10 @@ def extract_links(base_url: str, html: str | None) -> list[tuple[str, int]]:
     """
     if not html:
         return []
+    html = _SCRIPT_BODY_RE.sub(
+        lambda m: m.group(1) + " " * len(m.group(2)) + m.group(3),
+        html,
+    )
     m = _BASE_RE.search(html)
     base = resolve_href(base_url, m.group(1)) if m else base_url
     if base is None:
