@@ -262,9 +262,14 @@ def run_scaling() -> None:
                 env=env,
             )
             if out.returncode != 0:
+                # keep the WHOLE failing stderr: the root exception of
+                # a py4j stack sits thousands of lines above the tail
+                with open("BENCH/lastfail.err", "w") as f:
+                    f.write(out.stderr)
                 sys.stderr.write(out.stderr[-4000:])
                 raise SystemExit(
                     f"crawl-only at {n} cores failed rc={out.returncode}"
+                    " (full stderr: BENCH/lastfail.err)"
                 )
             line = [
                 l for l in out.stdout.splitlines() if l.startswith("{")

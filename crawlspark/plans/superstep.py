@@ -916,7 +916,13 @@ class CrawlEngine:
             self._pending.remove(f)
 
     def flush(self) -> None:
-        """Block until every submitted durability commit has landed."""
+        """Block until every submitted durability commit has landed —
+        and until the deferred pool folds have too, so no engine job
+        outlives flush() into a caller's teardown (session stop with a
+        fold mid-checkpoint logs spurious 'Block does not exist'
+        storms and can fail a pool task)."""
+        self._resolve_bloom()
+        self._resolve_bad_events()
         for f in list(self._pending):
             f.result()
         self._pending.clear()
@@ -1524,6 +1530,15 @@ class CrawlEngine:
         tick = _Tick(self.superstep)
         self._cur_part = f"{self.superstep:06d}"
         self._raise_failed()
+        # land the previous superstep's deferred pool folds BEFORE any
+        # session-conf mutation: the bad-event fold shuffles (its
+        # first_wins Window reads spark.sql.* at execution), so letting
+        # _set_shuffle flip shuffle sizing / AQE mid-execution is a
+        # race. They were submitted at the top of the previous commit
+        # region, so they have already overlapped that superstep's
+        # background parquet writes — the win this deferral exists for.
+        self._resolve_bloom()
+        self._resolve_bad_events()
         self._set_shuffle(self.queued_remaining)
         # sched_ms/checksum are re-derived this superstep (QUEUED rows
         # carry nulls for both). The frontier and host state are handed
