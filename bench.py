@@ -540,7 +540,10 @@ def _write_scaling_doc(
         else None
     )
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    # supplementary sweeps (e.g. a larger site probing the 8->32 pair)
+    # write to their own doc so the gate doc is never clobbered
+    doc_path = os.environ.get("BENCH_SCALING_DOC", "BENCH/BASELINE.md")
+    with open(doc_path, "w") as f:
         f.write(
             f"""# BENCH — crawl-engine scaling evidence
 
@@ -629,7 +632,7 @@ local[{max(levels)}].
 {_stage_section(best, levels)}{_notes_section()}"""
         )
     effs = "  ".join(f"{a}->{b}: {_eff(a, b):.3f}" for a, b in pairs)
-    print(f"efficiency {effs}  (wrote BENCH/BASELINE.md)")
+    print(f"efficiency {effs}  (wrote {doc_path})")
 
 
 def _bandwidth_probe() -> dict:

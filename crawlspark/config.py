@@ -245,6 +245,16 @@ class CrawlConfig:
     # bigger frontiers.
     bloom_bits: int = 1 << 24
     bloom_shards: int = 0
+    # URL-seen prefilter flavor — the north rule names BOTH shapes
+    # ("partitioned Bloom/cuckoo filters"). "bloom" (default) probes
+    # k bit positions; "cuckoo" (requires bloom_shards > 0) stores
+    # 16-bit fingerprints in 4-slot buckets — slightly more memory per
+    # key at low fill, but supports delete_df (recrawl eviction) and a
+    # lower false-'maybe' rate near capacity. Both are PREfilters: the
+    # exact anti-join always decides the real URL-seen set, so the
+    # flavor has no semantic effect. bloom_bits is interpreted as the
+    # TOTAL table bits either way (cuckoo: 64 bits per bucket).
+    urlseen_filter: str = "bloom"
     image_w: int = 32
     image_h: int = 32
 
@@ -291,6 +301,17 @@ def validate(cfg: CrawlConfig) -> list[str]:
             errs.append(f"delay_patterns: negative delay {d}")
     if cfg.orphan_strategy not in ("PROCESS", "DELETE", "IGNORE"):
         errs.append(f"orphan_strategy: unknown {cfg.orphan_strategy!r}")
+    if cfg.urlseen_filter not in ("bloom", "cuckoo"):
+        errs.append(
+            f"urlseen_filter must be 'bloom' or 'cuckoo', "
+            f"got {cfg.urlseen_filter!r}"
+        )
+    elif cfg.urlseen_filter == "cuckoo" and cfg.bloom_shards <= 0:
+        errs.append(
+            "urlseen_filter='cuckoo' requires bloom_shards > 0 "
+            "(the cuckoo filter is distributed-only; no driver-held "
+            "variant exists)"
+        )
     for outcome, strat in cfg.spoiled_strategies:
         if strat not in ("DELETE", "GRACE_ONCE", "IGNORE"):
             errs.append(f"spoiled_strategies: unknown strategy {strat!r}")

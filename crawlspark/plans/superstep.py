@@ -102,6 +102,7 @@ from ..functions.urls import normalize_url_udf, url_host_col
 from ..operators.dedup import (
     BloomPrefilter,
     ShardedBloomPrefilter,
+    ShardedCuckooPrefilter,
     assign_seq,
     assign_seq_small,
     first_wins,
@@ -468,7 +469,18 @@ class CrawlEngine:
         self._max_sched_seen = 0
         self._frontier_part: str | None = None
         self._ledger_rows = 0
-        if cfg.bloom_shards > 0:
+        if cfg.urlseen_filter == "cuckoo":
+            # total-bits parity with the bloom knob: one 4-slot bucket
+            # of 16-bit fingerprints = 64 bits
+            per_shard = max(
+                2, cfg.bloom_bits // (cfg.bloom_shards * 64)
+            )
+            per_shard = 1 << (per_shard - 1).bit_length()
+            self.bloom = ShardedCuckooPrefilter(
+                buckets_per_shard=per_shard,
+                n_shards=cfg.bloom_shards,
+            )
+        elif cfg.bloom_shards > 0:
             self.bloom = ShardedBloomPrefilter(
                 bits_per_shard=max(
                     64, cfg.bloom_bits // cfg.bloom_shards

@@ -582,3 +582,158 @@ def test_crawl_parity_with_sharded_bloom(spark, tmp_path):
     assert eng._bloom_synced  # the sharded path actually engaged
     got = eng.fetch_log().toPandas()
     assert got["url"].tolist() == [r["url"] for r in sim.fetch_log]
+
+
+def test_sharded_cuckoo_no_false_negatives_and_low_fpp(spark):
+    """Cuckoo flavor of the distributed prefilter: same contract as
+    the sharded Bloom — zero false negatives, low false-positive rate,
+    tables living in a dim frame, nothing on the driver."""
+    from crawlspark.operators.dedup import ShardedCuckooPrefilter
+
+    n = 50_000
+    seen = spark.range(n).select(
+        F.col("id").alias("url"), F.xxhash64(F.col("id")).alias("seen_key")
+    )
+    ck = ShardedCuckooPrefilter(buckets_per_shard=1 << 12, n_shards=16)
+    ck.add_df(seen)
+    assert ck.enabled
+    cand = spark.range(n // 2, n + n // 2).select(
+        F.col("id").alias("url"), F.xxhash64(F.col("id")).alias("seen_key")
+    )
+    caches = []
+    maybe, fresh = ck.filter_candidates(cand, caches=caches)
+    maybe_ids = set(r["url"] for r in maybe.collect())
+    fresh_ids = set(r["url"] for r in fresh.collect())
+    assert maybe_ids | fresh_ids == set(range(n // 2, n + n // 2))
+    assert maybe_ids.isdisjoint(fresh_ids)
+    for i in range(n // 2, n):  # no false negatives
+        assert i in maybe_ids
+    # 16-bit fingerprints: false-'maybe' rate well under the Bloom's
+    fp = sum(1 for i in range(n, n + n // 2) if i in maybe_ids)
+    assert fp / (n // 2) < 0.01, fp
+    for df in caches:
+        df.unpersist()
+    ck.release()
+
+
+def test_sharded_cuckoo_incremental_merge(spark):
+    """Keys added across several add_df calls (the per-superstep
+    fragment feed) fold into one filter — the XOR partial-key identity
+    makes table merges key-free."""
+    from crawlspark.operators.dedup import ShardedCuckooPrefilter
+
+    ck = ShardedCuckooPrefilter(buckets_per_shard=1 << 10, n_shards=4)
+    for lo, hi in [(0, 1000), (500, 2000), (2000, 3000)]:  # overlap too
+        ck.add_df(
+            spark.range(lo, hi).select(
+                F.xxhash64(F.col("id")).alias("seen_key")
+            )
+        )
+    cand = spark.range(0, 3000).select(
+        F.col("id").alias("url"),
+        F.xxhash64(F.col("id")).alias("seen_key"),
+    )
+    maybe, fresh = ck.filter_candidates(cand)
+    assert fresh.count() == 0  # all seen -> all maybe
+    assert maybe.count() == 3000
+    ck.release()
+
+
+def test_sharded_cuckoo_delete(spark):
+    """delete_df — the capability a Bloom filter cannot offer. Keys
+    still present keep zero false negatives; deleted keys drop back to
+    'definitely new' (up to fingerprint-collision noise)."""
+    from crawlspark.operators.dedup import ShardedCuckooPrefilter
+
+    n = 20_000
+    ck = ShardedCuckooPrefilter(buckets_per_shard=1 << 12, n_shards=4)
+    ck.add_df(
+        spark.range(n).select(F.xxhash64(F.col("id")).alias("seen_key"))
+    )
+    ck.delete_df(
+        spark.range(n // 2).select(
+            F.xxhash64(F.col("id")).alias("seen_key")
+        )
+    )
+    cand = spark.range(n).select(
+        F.col("id").alias("url"),
+        F.xxhash64(F.col("id")).alias("seen_key"),
+    )
+    maybe, fresh = ck.filter_candidates(cand)
+    maybe_ids = set(r["url"] for r in maybe.collect())
+    for i in range(n // 2, n):  # survivors: still no false negatives
+        assert i in maybe_ids
+    # deleted keys probe fresh except for shared-fingerprint collisions
+    still = sum(1 for i in range(n // 2) if i in maybe_ids)
+    assert still / (n // 2) < 0.02, still
+    ck.release()
+
+
+def test_sharded_cuckoo_saturation_disables(spark):
+    """An insert failure (all kicks exhausted) would create a false
+    negative if ignored — the filter must auto-disable loudly and pass
+    everything through as 'maybe' instead."""
+    from crawlspark.operators.dedup import ShardedCuckooPrefilter
+
+    ck = ShardedCuckooPrefilter(buckets_per_shard=4, n_shards=2)
+    with pytest.warns(RuntimeWarning, match="saturated"):
+        ck.add_df(
+            spark.range(2000).select(
+                F.xxhash64(F.col("id")).alias("seen_key")
+            )
+        )
+    assert not ck.enabled
+    cand = spark.range(10).select(
+        F.col("id").alias("url"),
+        F.xxhash64(F.col("id")).alias("seen_key"),
+    )
+    maybe, fresh = ck.filter_candidates(cand)
+    assert maybe.count() == 10 and fresh.count() == 0
+
+
+def test_urlseen_filter_config_validation():
+    from crawlspark.config import CrawlConfig, validate
+
+    assert validate(CrawlConfig(urlseen_filter="bogus"))
+    # cuckoo is distributed-only: requires shards
+    assert validate(CrawlConfig(urlseen_filter="cuckoo", bloom_shards=0))
+    assert not validate(
+        CrawlConfig(urlseen_filter="cuckoo", bloom_shards=8)
+    )
+
+
+def test_crawl_parity_with_cuckoo(spark, tmp_path):
+    """Engine run with urlseen_filter='cuckoo' engaged from the first
+    superstep: fetch sequence must equal the oracle — like the Bloom,
+    the cuckoo prefilter may only shrink the exact anti-join's probe
+    side, never change survivors."""
+    from crawlspark.config import CrawlConfig
+    from crawlspark.operators.dedup import ShardedCuckooPrefilter
+    from crawlspark.oracle.simulator import CrawlSimulator
+    from crawlspark.plans.superstep import CrawlEngine
+    from crawlspark.sources.webgen import SiteParams, build_site
+
+    params = SiteParams(
+        seed=7, n_hosts=3, depth=3, branching=3, dup_pct=0.25,
+        redirect_pct=0.1, cross_pct=0.4, n_seed_hosts=2,
+    )
+    cfg = CrawlConfig(
+        max_depth=3, default_delay_ms=1000,
+        bloom_prefilter_min_ledger=1,
+        urlseen_filter="cuckoo", bloom_shards=8, bloom_bits=1 << 18,
+    )
+    site = build_site(params)
+    seeds = [r["url"] for r in site.seeds.to_dict("records")]
+    sim = CrawlSimulator(
+        site.pages_dict(), site.robots_dict(), cfg
+    ).run(seeds)
+    eng = CrawlEngine(
+        spark, str(tmp_path / "crawl"), cfg,
+        site.spark_pages_df(spark), site.spark_robots_df(spark),
+    )
+    assert isinstance(eng.bloom, ShardedCuckooPrefilter)
+    eng.bootstrap(seeds)
+    eng.run()
+    assert eng._bloom_synced  # the cuckoo path actually engaged
+    got = eng.fetch_log().toPandas()
+    assert got["url"].tolist() == [r["url"] for r in sim.fetch_log]
