@@ -737,3 +737,60 @@ def test_crawl_parity_with_cuckoo(spark, tmp_path):
     assert eng._bloom_synced  # the cuckoo path actually engaged
     got = eng.fetch_log().toPandas()
     assert got["url"].tolist() == [r["url"] for r in sim.fetch_log]
+
+
+def test_cuckoo_core_model_no_false_negatives():
+    """Model-based check of the numpy cuckoo core (no Spark): after an
+    arbitrary interleaving of inserts, every still-present key must
+    probe True — the zero-false-negative contract the prefilter relies
+    on — and inserts report failures instead of silently dropping."""
+    from crawlspark.operators.dedup import ShardedCuckooPrefilter as CK
+
+    rng = np.random.default_rng(42)
+    n_buckets = 1 << 8
+    table = np.zeros(n_buckets * CK.SLOTS, dtype=np.uint16)
+    present: set[int] = set()
+    total_failed = 0
+    for _ in range(20):
+        keys = rng.integers(
+            -(2**63), 2**63 - 1, size=40, dtype=np.int64
+        )
+        n_new, failed = CK._insert_keys(table, n_buckets, keys)
+        total_failed += failed
+        if failed == 0:
+            present.update(keys.tolist())
+        else:
+            break  # engine disables the filter at first failure
+    arr = np.array(sorted(present), dtype=np.int64)
+    hits = CK._contains(table, n_buckets, arr)
+    assert bool(hits.all()), "false negative for a present key"
+
+
+def test_cuckoo_core_delete_restores_capacity():
+    """Deleting previously-inserted keys frees their slots: a fill ->
+    delete-all -> refill cycle succeeds with zero failed inserts, and
+    the emptied table probes False for the deleted keys."""
+    from crawlspark.operators.dedup import ShardedCuckooPrefilter as CK
+
+    n_buckets = 1 << 6
+    table = np.zeros(n_buckets * CK.SLOTS, dtype=np.uint16)
+    keys = np.arange(100, dtype=np.int64) * 0x9E3779B97F4A7C15
+    n_new, failed = CK._insert_keys(table, n_buckets, keys)
+    assert failed == 0 and n_new > 0
+    # delete every key: one fingerprint copy from its (i1, i2) pair
+    fp, i1 = CK._fp_i1(keys, n_buckets)
+    i2 = i1 ^ CK._alt(fp, n_buckets)
+    t = table.reshape(n_buckets, CK.SLOTS)
+    for f, b1, b2 in zip(fp.tolist(), i1.tolist(), i2.tolist()):
+        for b in (b1, b2):
+            hit = np.nonzero(t[b] == f)[0]
+            if hit.size:
+                t[b][hit[0]] = 0
+                break
+    assert int(np.count_nonzero(table)) == 0
+    assert not CK._contains(table, n_buckets, keys).any()
+    # refill with different keys: full capacity is back
+    keys2 = (np.arange(100, dtype=np.int64) + 7777) * -0x61C8864680B583EB
+    _, failed2 = CK._insert_keys(table, n_buckets, keys2)
+    assert failed2 == 0
+    assert CK._contains(table, n_buckets, keys2).all()
