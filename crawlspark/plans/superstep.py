@@ -1199,7 +1199,19 @@ class CrawlEngine:
             "trail",
             rv_col.alias("raw_variants"),
             F.lit(self.superstep).cast("int").alias("superstep"),
-        ).cache()
+        )
+        # Materialize as a flat LogicalRDD, not .cache(): a cached
+        # frame short-circuits re-EXECUTION but every downstream
+        # action (the merged metrics collect, the ledger/key-fragment
+        # checkpoints, the level parquet write, the frontier filter,
+        # the bad-event projection) still re-ANALYZES the full queue
+        # mega-plan — politeness recurrence, normalize UDF, robots
+        # join, two dedup windows, seq assignment — a ~1s driver cost
+        # per action that is pure per-superstep floor (measured on the
+        # scaling site; the same reason parse_ckpt exists). One
+        # compile + one execution here; every consumer then optimizes
+        # a one-node plan.
+        new_rows = new_rows.localCheckpoint(eager=True)
 
         qtick("qp:plan_built")
         counts_df = new_rows.groupBy("status", "outcome").count()
