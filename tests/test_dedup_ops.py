@@ -774,7 +774,12 @@ def test_cuckoo_core_delete_restores_capacity():
 
     n_buckets = 1 << 6
     table = np.zeros(n_buckets * CK.SLOTS, dtype=np.uint16)
-    keys = np.arange(100, dtype=np.int64) * 0x9E3779B97F4A7C15
+    # wrapping uint64 multiply (the constant exceeds int64, so plain
+    # int64 * python-int promotes to float64 and the later int cast
+    # is invalid for values past 2^63)
+    keys = (
+        np.arange(100, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    ).view(np.int64)
     n_new, failed = CK._insert_keys(table, n_buckets, keys)
     assert failed == 0 and n_new > 0
     # delete every key: one fingerprint copy from its (i1, i2) pair
