@@ -44,8 +44,11 @@ _SRC_TAG_RE = re.compile(
     r"<(?:frame|iframe|img)\b[^>]*\bsrc\s*=\s*[\"']?([^\"'\s>]+)", re.I
 )
 _META_REFRESH_RE = re.compile(
+    # the URL= value may itself be quoted inside the content value
+    # ("10;URL='/x.html'") — the reference strips those quotes
+    # (LinkUtil.extractHttpEquivRefreshContentUrl)
     r"<meta\b[^>]*http-equiv\s*=\s*[\"']?refresh[\"']?[^>]*"
-    r"content\s*=\s*[\"'][^\"']*url\s*=\s*([^\"'\s;>]+)",
+    r"content\s*=\s*[\"'][^\"']*?url\s*=\s*[\"']?([^\"'\s;>]+)",
     re.I,
 )
 _NOFOLLOW_RE = re.compile(r"\brel\s*=\s*[\"']?[^\"'>]*nofollow", re.I)
@@ -459,3 +462,256 @@ def extract_links_dom(
             if n.attrs.get(attr)
         ]
     return _finalize_links(base_url, found)
+
+
+# ---------------------------------------------------------------------------
+# TikaLinkExtractor analog
+# ---------------------------------------------------------------------------
+
+# Tika's LinkContentHandler tag set: a[href] link[href] with rel,
+# iframe/img/script[src]; anchors carry their (tag-stripped) text.
+_TIKA_A_RE = re.compile(r"<a\b([^>]*)>(.*?)</a\s*>", re.I | re.S)
+_TIKA_SRC_TAGS_RE = re.compile(r"<(link|script|iframe|img)\b([^>]*?)/?>", re.I)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+_TAG_STRIP_RE = re.compile(r"<[^>]*>")
+_WS_COLLAPSE_RE = re.compile(r"\s+")
+_ATTR_PAIR_RE = re.compile(
+    r"([a-zA-Z][a-zA-Z0-9_:.-]*)\s*=\s*"
+    r"(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'>]+))"
+)
+
+
+def _tag_attrs(s: str) -> dict[str, str]:
+    """name->value for one tag's attribute string; first wins,
+    names lowercased, any quoting style."""
+    out: dict[str, str] = {}
+    for m in _ATTR_PAIR_RE.finditer(s):
+        name = m.group(1).lower()
+        if name not in out:
+            v = m.group(2)
+            if v is None:
+                v = m.group(3)
+            if v is None:
+                v = m.group(4)
+            out[name] = v
+    return out
+
+
+def _has_nofollow_token(rel: str | None) -> bool:
+    """rel value contains a whole "nofollow" token
+    (TikaLinkExtractor.java:185-201: split on space/comma/tab/newline,
+    case-insensitive)."""
+    if not rel:
+        return False
+    return any(
+        t.lower() == "nofollow" for t in re.split(r"[ ,\t\n\r]+", rel) if t
+    )
+
+
+def _tika_absolute(doc_url: str, base: str, href: str) -> str | None:
+    """Tika's URL resolution (TikaLinkExtractor.java:160-168):
+    ``?``/``#``-leading hrefs append to the document URL verbatim;
+    everything else resolves against the base. Unlike the HTML
+    extractor there is no scheme allowlist (tel:/mailto: are
+    reported) and no length cap."""
+    from html import unescape
+    from urllib.parse import urljoin
+
+    href = unescape(href).strip()
+    if not href:
+        return None
+    if href.startswith(("?", "#")):
+        return doc_url + href
+    try:
+        return urljoin(base, href) or None
+    except ValueError:
+        return None
+
+
+def extract_links_tika(
+    base_url: str,
+    html: str | None,
+    ignore_nofollow: bool = False,
+    ignore_link_data: bool = False,
+) -> list[dict]:
+    """TikaLinkExtractor analog (web/.../link/impl/TikaLinkExtractor
+    .java:78-186) — the alternative HTML extractor with Tika's
+    LinkContentHandler semantics: tag set ``a[href] link[href]
+    iframe[src] img[src] script[src]`` plus the meta-refresh URL;
+    comments and script bodies contribute nothing; anchors keep a
+    pre-defined link-data set (text, tag, attr, title, rel) unless
+    ``ignore_link_data``; ``rel=nofollow`` (whole token, any case)
+    skips the link unless ``ignore_nofollow``; ``tel:``/``mailto:``
+    URIs are reported (no scheme allowlist, no 2048 cap — those are
+    HtmlLinkExtractorConfig policies, not Tika's).
+
+    Returns dicts ``{url, pos, text, tag, attr, title, rel}`` in
+    document order, first-occurrence-wins per identical link.
+    """
+    if not html:
+        return []
+    html = _SCRIPT_BODY_RE.sub(
+        lambda m: m.group(1) + " " * len(m.group(2)) + m.group(3),
+        html,
+    )
+    html = _COMMENT_RE.sub(lambda m: " " * len(m.group(0)), html)
+    m = _BASE_RE.search(html)
+    base = resolve_href(base_url, m.group(1)) if m else base_url
+    if base is None:
+        base = base_url
+
+    found: list[tuple[int, dict]] = []
+    for m in _TIKA_A_RE.finditer(html):
+        attrs = _tag_attrs(m.group(1))
+        href = attrs.get("href")
+        if href is None or not href.strip():
+            continue
+        rel = attrs.get("rel")
+        if not ignore_nofollow and _has_nofollow_token(rel):
+            continue
+        url = _tika_absolute(base_url, base, href)
+        if not url:
+            continue
+        from html import unescape
+
+        text = (
+            _WS_COLLAPSE_RE.sub(
+                " ", unescape(_TAG_STRIP_RE.sub("", m.group(2)))
+            ).strip()
+            or None
+        )
+        found.append(
+            (
+                m.start(),
+                {
+                    "url": url,
+                    "text": text,
+                    "tag": "a",
+                    "attr": "href",
+                    "title": attrs.get("title"),
+                    "rel": rel,
+                },
+            )
+        )
+    for m in _TIKA_SRC_TAGS_RE.finditer(html):
+        tag = m.group(1).lower()
+        attrs = _tag_attrs(m.group(2))
+        key = "href" if tag == "link" else "src"
+        v = attrs.get(key)
+        if v is None or not v.strip():
+            continue
+        rel = attrs.get("rel")
+        if not ignore_nofollow and _has_nofollow_token(rel):
+            continue
+        url = _tika_absolute(base_url, base, v)
+        if not url:
+            continue
+        found.append(
+            (
+                m.start(),
+                {
+                    "url": url,
+                    "text": None,
+                    "tag": tag,
+                    "attr": key,
+                    "title": attrs.get("title"),
+                    "rel": rel,
+                },
+            )
+        )
+    for m in _META_REFRESH_RE.finditer(html):
+        url = _tika_absolute(base_url, base, m.group(1))
+        if url:
+            found.append(
+                (
+                    m.start(),
+                    {
+                        "url": url,
+                        "text": None,
+                        "tag": None,
+                        "attr": None,
+                        "title": None,
+                        "rel": None,
+                    },
+                )
+            )
+
+    found.sort(key=lambda t: t[0])
+    out: list[dict] = []
+    seen: set[tuple] = set()
+    for _, link in found:
+        if ignore_link_data:
+            link = {
+                "url": link["url"],
+                "text": None,
+                "tag": None,
+                "attr": None,
+                "title": None,
+                "rel": None,
+            }
+        k = (
+            link["url"],
+            link["text"],
+            link["tag"],
+            link["attr"],
+            link["title"],
+        )
+        if k in seen:
+            continue
+        seen.add(k)
+        link["pos"] = len(out)
+        out.append(link)
+    return out
+
+
+def extract_links_tika_urls(
+    base_url: str, html: str | None, ignore_nofollow: bool = False
+) -> list[tuple[str, int]]:
+    """(url, pos) adapter so the Tika extractor drops into the same
+    parse-transformer slot as the Html/Dom/Regex/XmlFeed extractors."""
+    return [
+        (d["url"], d["pos"])
+        for d in extract_links_tika(
+            base_url, html, ignore_nofollow=ignore_nofollow
+        )
+    ]
+
+
+_TIKA_LINK_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tag", T.StringType()),
+            T.StructField("attr", T.StringType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("rel", T.StringType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(_TIKA_LINK_SCHEMA)
+def extract_links_tika_udf(url: pd.Series, html: pd.Series) -> pd.Series:
+    """Arrow-batched column form: array<struct> of links with link
+    data, for pipelines that keep anchor text/titles (e.g. image
+    caption candidates from surrounding markup)."""
+    return pd.Series(
+        [
+            [
+                (
+                    d["url"],
+                    d["pos"],
+                    d["text"],
+                    d["tag"],
+                    d["attr"],
+                    d["title"],
+                    d["rel"],
+                )
+                for d in extract_links_tika(u, h)
+            ]
+            for u, h in zip(url, html)
+        ],
+        dtype=object,
+    )
