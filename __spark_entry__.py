@@ -1004,6 +1004,27 @@ def q_embedding_neardup(spark, sf_dir):
     return S.embedding_neardup_pairs(both, threshold=0.9)
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup semantic pruning (similarity.semdedup): trained-IVF
+    clusters cap the quadratic term, cosine>=0.9 to a lower-id
+    cluster-mate drops the higher id. Same scalar-multiple injection
+    as q_embedding_neardup so the keep=false branch has real work
+    (direction-preserving copies land in the same cluster with
+    cosine ~= 1); the oracle re-derives the k-means fit over the
+    identical union and the identical exists-a-lower-id rule."""
+    e = _t(spark, sf_dir, "embeddings")
+    injected = e.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x * F.lit(1.5)).cast("float")
+        ).alias("embedding"),
+    )
+    both = e.select("vec_id", "embedding").unionByName(injected)
+    return S.semdedup(both, threshold=0.9).select(
+        "vec_id", F.col("cell").cast("int").alias("cell"), "keep"
+    )
+
+
 def q_lsh_bucket_stats(spark, sf_dir):
     return S.lsh_bucket_stats(_t(spark, sf_dir, "embeddings")).select(
         "lsh_sig",
@@ -1176,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_ann": q_lsh_ann,
         "q_ann_recall": q_ann_recall,
         "q_embedding_neardup": q_embedding_neardup,
+        "q_semdedup": q_semdedup,
         "q_lsh_bucket_stats": q_lsh_bucket_stats,
         "q_image_payload": q_image_payload,
         "q_crawl_microsite": q_crawl_microsite,
@@ -1532,6 +1554,7 @@ def _ivf_train_ctes(
     n_dims: int = 64,
     n_iters: int = 2,
     sample_cap: int = 4096,
+    source: str = "embeddings",
 ) -> str:
     """SQL re-derivation of similarity.ivf_train's deterministic
     sampled k-means, as a CTE chain ending in ``cents{n_iters}``
@@ -1545,7 +1568,7 @@ def _ivf_train_ctes(
         f"""samp AS (
   SELECT md5(vec_id::VARCHAR) AS ord, vec_id,
          embedding[1:{n_dims}]::DOUBLE[] AS v
-  FROM embeddings WHERE embedding IS NOT NULL
+  FROM {source} WHERE embedding IS NOT NULL
   ORDER BY ord LIMIT {sample_cap})""",
         f"""cents0 AS (
   SELECT cell, c FROM (
@@ -2375,6 +2398,32 @@ pairs AS (
   FROM sigs l JOIN sigs r USING (lsh_sig)
   WHERE l.vec_id < r.vec_id)
 SELECT a, b, round(c, 6) AS cos FROM pairs WHERE c >= 0.9
+""",
+        "q_semdedup": f"""
+WITH unioned AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(embedding, x -> (x * 1.5)::FLOAT)
+  FROM embeddings WHERE vec_id < 10),
+{_ivf_train_ctes(source="unioned")},
+sc AS (
+  SELECT e.vec_id, e.embedding, c.cell AS j,
+         round({_cos_fold('e.embedding[1:64]', 'c.c')}, 6) AS score
+  FROM unioned e, cents2 c),
+asg AS (
+  SELECT vec_id, embedding, j AS cell FROM (
+    SELECT vec_id, embedding, j,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY score DESC, j) AS rk
+    FROM sc) WHERE rk = 1),
+rm AS (
+  SELECT DISTINCT r.vec_id
+  FROM asg l JOIN asg r ON l.cell = r.cell AND l.vec_id < r.vec_id
+  WHERE {_cos_fold('l.embedding', 'r.embedding')} >= 0.9)
+SELECT a.vec_id, a.cell::INT AS cell,
+       (a.vec_id NOT IN (SELECT vec_id FROM rm)) AS keep
+FROM asg a
 """,
         "q_lsh_bucket_stats": f"""
 SELECT {_lsh_sig_expr(8)} AS lsh_sig,

@@ -976,3 +976,67 @@ def ivf_recall(
             (F.col("n_hits") / F.lit(float(k))).alias("recall"),
         )
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    n_dims: int = 64,
+    n_iters: int = 2,
+    sample_cap: int = 4096,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pruning over an embedding column. Cluster with the
+    trained IVF codebook (the paper's k-means step — reuses
+    ``ivf_train``'s deterministic sampled fit), then inside each
+    cluster drop every vector whose cosine to a LOWER-id cluster-mate
+    reaches ``threshold``; the lowest id of each semantic group
+    survives (a deterministic, RNG-free canonical pick — the paper
+    keeps a random representative).
+
+    Returns one row per input vector: (vec_id, cell, keep BOOLEAN).
+    Downstream `.filter("keep")` is the pruned corpus; the cell column
+    keeps the cluster diagnosable.
+
+    Scale shape: the quadratic term never leaves a cluster — pairs
+    come from a cell equi-join, exactly the bound the paper introduces
+    clustering for. At corpus scale raise ``n_cells`` so cells stay
+    O(n/k) small (the reference regime is ~100k clusters for web-scale
+    corpora); only (vec_id, cell, embedding) crosses the shuffle, and
+    the codebook rides along as literals (no join for assignment).
+    """
+    cents = centroids or ivf_train(
+        emb, n_cells, n_dims, n_iters, sample_cap
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("j"))
+    asg = (
+        _trained_scored(emb.select("vec_id", "embedding"), cents, n_dims)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("j").alias("cell"), "embedding")
+        .localCheckpoint(eager=True)
+    )
+    lo = asg.select(
+        F.col("vec_id").alias("a"), "cell", F.col("embedding").alias("va")
+    )
+    hi = asg.select(
+        F.col("vec_id").alias("b"), "cell", F.col("embedding").alias("vb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    removed = (
+        lo.join(hi, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .filter(cos >= F.lit(float(threshold)))
+        .select(F.col("b").alias("vec_id"))
+        .distinct()
+        .withColumn("__rm", F.lit(True))
+    )
+    return asg.join(removed, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.coalesce(~F.col("__rm"), F.lit(True)).alias("keep"),
+    )

@@ -102,3 +102,51 @@ def test_ivf_driver_fit_equals_spark_fit(spark):
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     assert ivf_train(emb) == _ivf_train_spark(emb)
+
+
+def test_semdedup_drops_injected_copies_keeps_originals(spark):
+    """SemDeDup keep/drop semantics on planted semantic duplicates:
+    a scalar multiple of a vector is direction-identical (cos == 1
+    up to float error), lands in the same trained cell, and must be
+    dropped in favor of the lower id; every original survives
+    because injected ids are all higher."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.operators.similarity import semdedup
+
+    emb = _emb(spark).select("vec_id", "embedding")
+    injected = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x * F.lit(1.5)).cast("float")
+        ).alias("embedding"),
+    )
+    both = emb.unionByName(injected)
+    n_in = both.count()
+    out = semdedup(both, threshold=0.9).toPandas()
+    assert len(out) == n_in  # one verdict per input vector
+    verdict = dict(zip(out["vec_id"], out["keep"]))
+    cell = dict(zip(out["vec_id"], out["cell"]))
+    for i in range(10):
+        assert verdict[i], "original must survive (lowest id wins)"
+        assert not verdict[i + 100000], "scaled copy must be dropped"
+        assert cell[i] == cell[i + 100000], (
+            "direction-preserving copy must land in the same cell"
+        )
+    # determinism: a second run returns the identical verdict map
+    out2 = semdedup(both, threshold=0.9).toPandas()
+    assert dict(zip(out2["vec_id"], out2["keep"])) == verdict
+
+
+def test_semdedup_threshold_monotone(spark):
+    """Raising the threshold can only KEEP more: the removed set at
+    t2 > t1 is a subset of the removed set at t1."""
+    from crawlspark.operators.similarity import ivf_train, semdedup
+
+    emb = _emb(spark).select("vec_id", "embedding")
+    cents = ivf_train(emb)  # fit once, share across both thresholds
+    loose = semdedup(emb, threshold=0.5, centroids=cents).toPandas()
+    tight = semdedup(emb, threshold=0.99, centroids=cents).toPandas()
+    rm_loose = set(loose.loc[~loose["keep"], "vec_id"])
+    rm_tight = set(tight.loc[~tight["keep"], "vec_id"])
+    assert rm_tight <= rm_loose
