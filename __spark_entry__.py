@@ -1025,6 +1025,33 @@ def q_semdedup(spark, sf_dir):
     )
 
 
+def q_image_ocr(spark, sf_dir):
+    """The parser's image-only-document OCR slot on REAL image bytes:
+    render each document's cleaned text prefix into a PNG (vendored
+    encoder), push it through parse_documents(ocr_fn="bitmap") —
+    detect -> decode -> fixed-pitch glyph match — and return the
+    recognized text. The clean rule is ASCII-only by construction, so
+    the oracle can state the expected text in pure SQL; any defect in
+    the PNG codec, the font, or the matcher breaks the value hash."""
+    from crawlspark.functions.ocr import clean_ocr_text, render_text_png
+    from crawlspark.functions.parsers import parse_documents
+
+    @F.pandas_udf("binary")
+    def _render(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                render_text_png(clean_ocr_text(t or "")[:24])
+                for t in texts
+            ]
+        )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    imgs = d.select("doc_id", _render(F.col("text")).alias("bytes"))
+    return parse_documents(imgs, ocr_fn="bitmap").select(
+        "doc_id", "content_type", F.col("text").alias("ocr_text")
+    )
+
+
 def q_lsh_bucket_stats(spark, sf_dir):
     return S.lsh_bucket_stats(_t(spark, sf_dir, "embeddings")).select(
         "lsh_sig",
@@ -1198,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_recall": q_ann_recall,
         "q_embedding_neardup": q_embedding_neardup,
         "q_semdedup": q_semdedup,
+        "q_image_ocr": q_image_ocr,
         "q_lsh_bucket_stats": q_lsh_bucket_stats,
         "q_image_payload": q_image_payload,
         "q_crawl_microsite": q_crawl_microsite,
@@ -2424,6 +2452,17 @@ rm AS (
 SELECT a.vec_id, a.cell::INT AS cell,
        (a.vec_id NOT IN (SELECT vec_id FROM rm)) AS keep
 FROM asg a
+""",
+        # q_image_ocr: the Spark side does the real pixel work
+        # (render -> PNG encode -> decode -> glyph match); the oracle
+        # restates the ASCII-only clean rule, whose fixed point is
+        # exactly what a correct OCR roundtrip must return
+        "q_image_ocr": """
+SELECT doc_id, 'image/png' AS content_type,
+       substr(upper(trim(regexp_replace(regexp_replace(
+                coalesce(text, ''), '[^A-Za-z0-9 ]', ' ', 'g'),
+                ' +', ' ', 'g'))), 1, 24) AS ocr_text
+FROM documents
 """,
         "q_lsh_bucket_stats": f"""
 SELECT {_lsh_sig_expr(8)} AS lsh_sig,

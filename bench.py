@@ -121,6 +121,7 @@ HEADLINE = [
     "q_dup_components",
     "q_ivf_topk",
     "q_ivf_recall",
+    "q_semdedup",
     "q_corpus_profile",
     "q_stratified_sample",
     "q_pagerank",

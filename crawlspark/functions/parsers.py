@@ -687,13 +687,22 @@ def _extract_rtf_text(data: bytes) -> str:
     return re.sub(r"[ \t]*\n[ \t]*", "\n", text).strip()
 
 
-def extract_text(data: bytes | None, content_type: str | None = None) -> str:
+def extract_text(
+    data: bytes | None,
+    content_type: str | None = None,
+    ocr_fn=None,
+) -> str:
     """One document's bytes -> extracted text by detected type.
-    Unknown/binary types yield '' — never a mojibake guess."""
+    Unknown/binary types yield '' — never a mojibake guess. Image
+    types go to ``ocr_fn`` (the Tika TesseractOCRParser slot —
+    importer DefaultParser OCR path) when one is injected; without
+    one an image stays a typed binary leaf, as before."""
     if not data:
         return ""
     b = bytes(data)
     ctype = content_type or detect_content_type(b)
+    if ctype.startswith("image/"):
+        return ocr_fn(b, ctype) if ocr_fn is not None else ""
     if ctype in ("text/html", "application/xml"):
         return _strip_markup(b.decode(detect_charset(b), errors="replace"))
     if ctype == "application/pdf":
@@ -762,16 +771,32 @@ def extract_text(data: bytes | None, content_type: str | None = None) -> str:
 
 
 def parse_documents(
-    df: DataFrame, col: str = "bytes", out_col: str = "text"
+    df: DataFrame,
+    col: str = "bytes",
+    out_col: str = "text",
+    ocr_fn=None,
 ) -> DataFrame:
     """DefaultParser stage: binary column -> detected content_type +
-    charset + extracted text, all Arrow-batched, schema stable."""
+    charset + extracted text, all Arrow-batched, schema stable.
+
+    ``ocr_fn`` fills the image-only-document slot: a (data,
+    content_type) callable, the string "bitmap" (the in-container
+    pure-Python reader in functions/ocr.py), or "module:attr"
+    resolved lazily per executor (the translator-client pattern — a
+    real Tesseract binding drops in the same way)."""
 
     @F.pandas_udf("string")
     def _extract(data: pd.Series) -> pd.Series:
+        fn = None
+        if ocr_fn is not None:
+            from crawlspark.functions.ocr import resolve_ocr_fn
+
+            fn = resolve_ocr_fn(ocr_fn)
         return pd.Series(
             [
-                extract_text(bytes(b) if b is not None else None)
+                extract_text(
+                    bytes(b) if b is not None else None, ocr_fn=fn
+                )
                 for b in data
             ]
         )

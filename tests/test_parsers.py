@@ -231,6 +231,41 @@ def test_parse_documents_detect_columns(spark):
     assert got["d"] == ("application/octet-stream", None, "")
 
 
+def test_parse_documents_ocr_slot(spark):
+    """The image-only-document OCR slot (Tika TesseractOCRParser
+    analog): without an ocr_fn an image stays a typed binary leaf
+    (text ''); with the in-container bitmap reader the parser
+    recovers the rendered text from real PNG bytes; a custom callable
+    slots in unchanged (the translator-client injection pattern)."""
+    from crawlspark.functions.ocr import render_text_png
+
+    df = spark.createDataFrame(
+        [
+            ("img", bytearray(render_text_png("READ ME 42"))),
+            ("htm", bytearray(b"<html><body>x</body></html>")),
+        ],
+        "ref string, bytes binary",
+    )
+    plain = {
+        r["ref"]: (r["content_type"], r["text"])
+        for r in parse_documents(df).collect()
+    }
+    assert plain["img"] == ("image/png", "")
+    ocr = {
+        r["ref"]: (r["content_type"], r["text"])
+        for r in parse_documents(df, ocr_fn="bitmap").collect()
+    }
+    assert ocr["img"] == ("image/png", "READ ME 42")
+    assert ocr["htm"] == ("text/html", "x")  # non-images unaffected
+    custom = {
+        r["ref"]: r["text"]
+        for r in parse_documents(
+            df, ocr_fn=lambda d, ct: f"LEN{len(d)}"
+        ).collect()
+    }
+    assert custom["img"].startswith("LEN")
+
+
 def test_cli_import_directory(spark, tmp_path):
     """`crawlspark import`: a directory tree of mixed files -> parsed
     parquet with archive members as child rows (the standalone
