@@ -1216,10 +1216,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering note: the driver's correctness JSON records the FIRST
     # 50 dict entries. Rotated in round 5 so the six r4-tail queries
-    # (q_lsh_ann .. q_crawl_microsite) sit in the driver's window; six
-    # r1-stable queries (driver-green in r1-r3) take the tail this
-    # round. All 56 stay oracle-checked locally by
-    # tests/test_entry_contract.py regardless of position.
+    # (q_lsh_ann .. q_crawl_microsite) and the round-5 additions
+    # (q_semdedup, q_image_ocr, q_pagerank_conserving) sit in the
+    # driver's window; nine r1-stable queries (driver-green in every
+    # round they were windowed, r1-r4) take the tail this round. All
+    # 59 stay oracle-checked locally by tests/test_entry_contract.py
+    # regardless of position.
     return {
         "q_lsh_ann": q_lsh_ann,
         "q_ann_recall": q_ann_recall,
